@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Benchmark harness — runs the engine's headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "headline_queries_total", "value": N, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": ...}
+
+Each query is executed to completion (count of the result — a full
+materialization without driver-side row transfer cost dominating).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: flagship retrieval + the scan/join/agg/window/topk shapes
+# that dominate at scale.
+HEADLINE = [
+    "vector_topk",
+    "pricing_summary",
+    "top_orders_by_revenue",
+    "regional_customer_revenue",
+    "nation_order_stats",
+    "top3_orders_per_customer",
+    "topk_expensive_orders",
+    "events_json_props",
+]
+
+
+def main() -> None:
+    from cs_5542_lab_6_spark.registry import all_queries
+    from cs_5542_lab_6_spark.session import get_spark
+
+    spark = get_spark(app_name="cs5542-bench")
+    queries = all_queries()
+    names = [n for n in HEADLINE if n in queries]
+
+    # Warm the JVM + file metadata cache once so per-query numbers measure
+    # execution, not session startup.
+    queries[names[0]](spark, SF_DIR).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = queries[name](spark, SF_DIR)
+        df.collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,78 @@
+"""Text / string / id column expressions (SURVEY §2.8 F1–F6, F14).
+
+All pure Catalyst expressions — no Python UDFs. The reference does these
+with per-row ``re.sub`` / f-string loops in pandas
+(data/ingestion.py:67-77,199,212,328-331); here they vectorize inside
+whole-stage codegen and therefore scale linearly with executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def clean_text(col: Column | str) -> Column:
+    """LaTeX / URL / whitespace stripping — the reference's 6 chained
+    ``re.sub`` passes (data/ingestion.py:67-77) as chained
+    ``regexp_replace``:
+
+    1. display math ``$$..$$``      4. bare latex commands ``\\cmd``
+    2. inline math ``$..$``         5. URLs ``http\\S+``
+    3. latex commands ``\\cmd{..}`` 6. whitespace runs → single space
+    """
+    c = _c(col)
+    c = F.regexp_replace(c, r"\$\$[^$]*\$\$", " ")
+    c = F.regexp_replace(c, r"\$[^$]*\$", " ")
+    c = F.regexp_replace(c, r"\\[a-zA-Z]+\{[^}]*\}", " ")
+    c = F.regexp_replace(c, r"\\[a-zA-Z]+", " ")
+    c = F.regexp_replace(c, r"http\S+", " ")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def words(col: Column | str) -> Column:
+    """Whitespace tokenization matching Python's ``str.split()``
+    (empty-string → empty array, not [''])."""
+    c = F.trim(_c(col))
+    return F.when(F.length(c) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(c, r"\s+")
+    )
+
+
+def word_count(col: Column | str) -> Column:
+    """``len(text.split())`` (reference: data/ingestion.py:117-120,196)."""
+    return F.size(words(col))
+
+
+def normalize_entity(col: Column | str) -> Column:
+    """Entity normalization: lowercase + strip non-[a-z0-9 ] + trim.
+
+    The reference has a lower/upper inconsistency between ingestion and
+    the backend (data/ingestion.py:329-330 vs backend/retrieval.py:42,
+    flagged in docs/AGENT_ARCHITECTURE_ANALYSIS.md:38). The engine
+    standardizes on the ingestion-side lowercase form everywhere
+    (SURVEY §4.4).
+    """
+    return F.trim(F.regexp_replace(F.lower(_c(col)), "[^a-z0-9 ]", ""))
+
+
+def slugify(col: Column | str) -> Column:
+    """Section-name slug: lowercase, non-alnum → '_'
+    (reference: data/ingestion.py:199)."""
+    return F.regexp_replace(F.lower(_c(col)), "[^a-z0-9]", "_")
+
+
+def sha_id(*cols: Column | str, prefix: str | None = None) -> Column:
+    """Deterministic surrogate id: sha256 over '|'-joined parts.
+
+    Replaces the reference's ``uuid.uuid4()`` ids
+    (data/ingestion.py:349,381) so every generated row is hash-check
+    stable (SURVEY §4.3 item 2).
+    """
+    h = F.sha2(F.concat_ws("|", *[_c(c) for c in cols]), 256)
+    return F.concat(F.lit(prefix), h) if prefix else h

@@ -1,0 +1,568 @@
+"""Core relational operators over the TPC-H-ish fixtures (SURVEY §2.1–2.8).
+
+The reference's relational surface is small (scans, equi-joins, IN-lists,
+group-by counts, top-k — SURVEY §2) and executed either as Snowflake SQL
+strings or pandas loops. This module re-expresses that surface — and the
+standard OLAP extensions SURVEY §2.4/2.5 notes as "built-in via Spark" —
+as declarative DataFrame plans that Catalyst optimizes: filter/column
+pushdown into parquet, broadcast joins for dims, partial aggregation
+before shuffles, TakeOrderedAndProject for top-k.
+
+Determinism contract for the DuckDB oracle (SURVEY §4.4):
+
+- Money/quantity aggregates are summed as DECIMAL (exact, associative)
+  and cast to DOUBLE at the end — double-summation order differs between
+  engines, decimal summation cannot.
+- Averages are written as exact-decimal-sum / count, never engine AVG.
+- COUNT/SUM-of-int results are cast to BIGINT in the oracle (DuckDB sums
+  ints to HUGEINT).
+- Every LIMIT carries a full deterministic ORDER BY with unique-key
+  tiebreakers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load_table
+
+DEC = "decimal(12,2)"
+
+
+def _dec(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(DEC)
+
+
+def _dsum(col: str | Column, alias: str) -> Column:
+    """Exact decimal sum surfaced as double."""
+    return F.sum(_dec(col)).cast("double").alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# Aggregation pipeline (A1–A6 analogues on lineitem)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)       AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)  AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1.00 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1.00 - CAST(l_discount AS DECIMAL(12,2)))
+                    * (1.00 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)      AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)      AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the canonical scan → filter → hash-agg pipeline.
+
+    At scale: filter pushes to parquet, partial aggregation runs map-side
+    (6 groups ⇒ the shuffle moves 6 rows per partition, not 600M rows).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    one = F.lit("1.00").cast(DEC)
+    disc_price = _dec("l_extendedprice") * (one - _dec("l_discount"))
+    charge = disc_price * (one + _dec("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity", "sum_qty"),
+            _dsum("l_extendedprice", "sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.count("*")).alias("avg_price"),
+            (F.sum(_dec("l_discount")).cast("double") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "revenue_forecast",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.04 AND 0.06
+      AND l_quantity < 24
+    """,
+)
+def revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan + conjunctive predicates + global agg.
+    All four predicates push down to the parquet reader (min/max row-group
+    skipping at scale); the agg is a single partial+final sum."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.04)
+            & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(_dec("l_extendedprice") * _dec("l_discount")).cast("double").alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (J1–J6 analogues)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "top_orders_by_revenue",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1.00 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate  > TIMESTAMP '1996-06-30'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def top_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → fact joins → agg → top-k.
+
+    customer is small relative to lineitem: broadcast it so only the
+    orders⋈lineitem join shuffles (and AQE converts that too when the
+    filtered side is small enough). Top-k plans as TakeOrderedAndProject.
+    """
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-06-30").cast("timestamp")
+    )
+    one = F.lit("1.00").cast(DEC)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (one - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "regional_customer_revenue",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1.00 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def regional_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: star join with three broadcast dims + one fact
+    shuffle join, then agg. region→nation prune first (partition-pruning
+    shape at scale), small dims broadcast explicitly."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    one = F.lit("1.00").cast(DEC)
+
+    asia_nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(asia_nations), cust.c_nationkey == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (one - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+@query(
+    "customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join — the integrity-check shape SURVEY J4 prescribes for
+    the reference's FK-ordered uploads (data/ingestion.py:430-441)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "customers_with_open_orders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+    ORDER BY c_custkey
+    """,
+)
+def customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): no row multiplication, the probe side
+    streams — preferred over join+distinct at scale."""
+    cust = load_table(spark, sf_dir, "customer")
+    open_orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .select("o_custkey")
+    )
+    return (
+        cust.join(open_orders, cust.c_custkey == open_orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "order_fill_status",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderstatus,
+           COUNT(l.l_orderkey) AS n_lines,
+           CAST(COALESCE(SUM(CAST(l.l_quantity AS DECIMAL(12,2))), 0) AS DOUBLE) AS total_qty
+    FROM orders o
+    LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey <= 3000
+    GROUP BY o.o_orderkey, o.o_orderstatus
+    ORDER BY o.o_orderkey
+    """,
+)
+def order_fill_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer join + null-tolerant aggregation (the reference never
+    uses outer joins — SURVEY §2.3 notes they come free from df.join)."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 3000)
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left")
+        .groupBy(orders.o_orderkey, orders.o_orderstatus)
+        .agg(
+            F.count(li.l_orderkey).alias("n_lines"),
+            F.coalesce(F.sum(_dec("l_quantity")), F.lit(0).cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total_qty"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouping extensions (SURVEY §2.4 "not present in reference, built-in here")
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "nation_order_stats",
+    oracle="""
+    SELECT n_name,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS min_order,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_order
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def nation_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A3/A6 analogues: count-distinct per group (the reference's
+    paper_count, data/ingestion.py:337-344) plus min/max, over a
+    broadcast-dim star join."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count("*").alias("n_orders"),
+            _dsum("o_totalprice", "total_value"),
+            F.min("o_totalprice").alias("min_order"),
+            F.max("o_totalprice").alias("max_order"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@query(
+    "status_priority_rollup",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def status_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (SURVEY §2.4: absent in reference, free in
+    Spark). Same partial-agg + shuffle shape as a flat groupBy."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), _dsum("o_totalprice", "total_value"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "returnflag_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'F'
+                THEN CAST(l_quantity AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_f,
+           CAST(SUM(CASE WHEN l_linestatus = 'O'
+                THEN CAST(l_quantity AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_o
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def returnflag_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list (explicit list ⇒ single pass, no
+    extra distinct-values job — the at-scale idiom)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum(_dec("l_quantity")).cast("double"))
+        .withColumnRenamed("F", "qty_f")
+        .withColumnRenamed("O", "qty_o")
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits / top-k (T1–T4)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "topk_expensive_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+)
+def topk_expensive_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1: global top-k. orderBy+limit plans as TakeOrderedAndProject —
+    each partition keeps k rows, the driver merges k·p rows; no global
+    sort even at 100 TB."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (SET1–SET2)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "active_customer_keys",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    UNION
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'P'
+    ORDER BY custkey
+    """,
+)
+def active_customer_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SET1/SET2: UNION + distinct (the reference's bidirectional KG
+    union, tools.py:196, and list(set(...)), backend/retrieval.py:45)."""
+    orders = load_table(spark, sf_dir, "orders")
+    open_ = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    pend = orders.filter(F.col("o_orderstatus") == "P").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return open_.union(pend).distinct().orderBy("custkey")
+
+
+@query(
+    "single_status_customers",
+    oracle="""
+    (SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+     EXCEPT
+     SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O')
+    ORDER BY custkey
+    """,
+)
+def single_status_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (SURVEY §2.7: absent in reference, built-in here).
+    ``subtract`` = SQL set-difference EXCEPT (distinct), not ``exceptAll``
+    whose multiset semantics would leak duplicate left rows through."""
+    orders = load_table(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    o = orders.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    return f.subtract(o).orderBy("custkey")
+
+
+# ---------------------------------------------------------------------------
+# Scalar function surface (F1–F15 analogues) + date arithmetic
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_per_month",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def orders_per_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic the reference never does (SURVEY §2.8 note):
+    date_trunc rollup by month."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("order_month"))
+        .agg(F.count("*").alias("n_orders"), _dsum("o_totalprice", "total_value"))
+        .orderBy("order_month")
+    )
+
+
+@query(
+    "part_catalog_slugs",
+    oracle="""
+    SELECT p_partkey,
+           lower(p_name) AS name_lower,
+           regexp_replace(lower(p_name), '[^a-z0-9]', '_', 'g') AS slug,
+           substr(p_type, 1, 6) AS type_prefix,
+           concat('part_', lpad(CAST(p_partkey AS VARCHAR), 8, '0')) AS part_code,
+           length(p_name) AS name_len
+    FROM part
+    WHERE p_size >= 30
+    ORDER BY p_partkey
+    """,
+)
+def part_catalog_slugs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface F2/F4/F5/F15: lower, slugify, substring,
+    zero-padded id formatting (reference: data/ingestion.py:124,199,212)."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") >= 30)
+    return part.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.regexp_replace(F.lower("p_name"), "[^a-z0-9]", "_").alias("slug"),
+        F.substring("p_type", 1, 6).alias("type_prefix"),
+        F.concat(F.lit("part_"), F.lpad(F.col("p_partkey").cast("string"), 8, "0")).alias(
+            "part_code"
+        ),
+        F.length("p_name").alias("name_len"),
+    ).orderBy("p_partkey")
+
+
+@query(
+    "events_json_props",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(CAST(props->>'k' AS INTEGER) AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 analogue: JSON decode in the engine (from_json → map) instead of
+    per-row json.loads (tools.py:77). Semi-structured props parsed once,
+    then aggregated JVM-side."""
+    ev = load_table(spark, sf_dir, "events")
+    props = F.from_json(F.col("props"), "map<string,string>")
+    return (
+        ev.withColumn("k", props.getItem("k").cast("int"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("k").cast("bigint")).alias("sum_k"),
+            _dsum("value", "sum_value"),
+        )
+        .orderBy("event_type")
+    )

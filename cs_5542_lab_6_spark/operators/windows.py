@@ -1,0 +1,160 @@
+"""Window-function operators (SURVEY §2.5).
+
+The reference has no window functions — its closest shapes are global
+top-k by score (tools.py:88-89) and first-seen dedup
+(data/ingestion.py:356). Per-group ranking is the strictly stronger form
+SURVEY §2.5 prescribes. All windows are partitioned (never a global
+unpartitioned window, which would funnel 100 TB through one task) and
+every orderBy carries a unique tiebreaker for determinism.
+
+Double-valued running aggregates are computed over DECIMAL so the result
+is independent of the engine's accumulation algorithm (segment tree vs
+sequential), then surfaced as DOUBLE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load_table
+
+DEC = "decimal(12,2)"
+
+
+@query(
+    "top3_orders_per_customer",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_totalprice, rk
+    FROM (
+      SELECT c_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM customer JOIN orders ON c_custkey = o_custkey
+    )
+    WHERE rk <= 3
+    ORDER BY c_custkey, rk
+    """,
+)
+def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via row_number — the distributed replacement for
+    the reference's global sort+slice (tools.py:88-89). One shuffle on the
+    partition key; no global sort."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("c_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .select("c_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .orderBy("c_custkey", "rk")
+    )
+
+
+@query(
+    "supplier_running_revenue",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+                  OVER (PARTITION BY l_suppkey
+                        ORDER BY l_shipdate, l_orderkey, l_linenumber
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_revenue
+    FROM lineitem
+    WHERE l_suppkey <= 5
+    ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber
+    """,
+)
+def supplier_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative frame (rowsBetween unboundedPreceding→current) per
+    supplier, ordered by a unique composite key so the frame — and the
+    exact decimal accumulation — is deterministic."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 5)
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        li.select(
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            "l_shipdate",
+            F.sum(F.col("l_extendedprice").cast(DEC)).over(w).cast("double").alias(
+                "running_revenue"
+            ),
+        )
+        .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber")
+    )
+
+
+@query(
+    "order_value_rank_dense",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           RANK()       OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey) AS price_rank,
+           DENSE_RANK() OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority) AS prio_dense_rank,
+           NTILE(4)     OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey) AS price_quartile
+    FROM orders
+    WHERE o_orderkey <= 1000
+    ORDER BY o_orderkey
+    """,
+)
+def order_value_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile in one pass over a shared partition key —
+    Catalyst collapses same-window functions into a single Window node."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    by_price_desc = W.partitionBy("o_orderstatus").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    by_prio = W.partitionBy("o_orderstatus").orderBy("o_orderpriority")
+    by_price_asc = W.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.rank().over(by_price_desc).alias("price_rank"),
+            F.dense_rank().over(by_prio).alias("prio_dense_rank"),
+            F.ntile(4).over(by_price_asc).alias("price_quartile"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "user_event_gaps",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           lag(event_type)  OVER w AS prev_type,
+           lead(event_type) OVER w AS next_type,
+           COALESCE(epoch_ms(ts) - epoch_ms(lag(ts) OVER w), 0) AS ms_since_prev
+    FROM events
+    WHERE user_id <= 10
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, ts, event_id
+    """,
+)
+def user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytics over an event stream — inter-arrival gaps per
+    user, the batch form of sessionization's first step. Gap math uses
+    integer epoch-millis (exact in both engines), not float seconds."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 10)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ep_ms = F.floor(F.unix_micros(F.col("ts")) / 1000)
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.lead("event_type").over(w).alias("next_type"),
+            F.coalesce(ep_ms - F.lag(ep_ms).over(w), F.lit(0)).cast("bigint").alias(
+                "ms_since_prev"
+            ),
+        )
+        .orderBy("user_id", "ts", "event_id")
+    )
