@@ -1,1 +1,734 @@
-"""Placeholder — populated in a later milestone."""
+"""Corpus construction pipeline (SURVEY §3.3 stages 1–4, §2.9 M1/M2/M4/M7).
+
+The reference's 6-stage ingestion (data/ingestion.py: load → chunk → embed
+→ KG-extract → upload → verify) is single-process pandas ``iterrows()``
+loops. Here every stage is a declarative DataFrame transform over the
+``documents`` fixture, so stages 2–4 are embarrassingly parallel: the
+chunker is ``sequence``+``explode`` (a UDTF shape with zero Python), the
+entity extractor is ``posexplode`` + normalization expressions, and the
+co-occurrence self-join / weight aggregation are plain shuffles that AQE
+sizes at runtime.
+
+Determinism (SURVEY §4.3-2, FIXTURES §C): ids are sha256-derived (never
+uuid4 — data/ingestion.py:349,381), timestamps are a fixed literal, the
+entity extractor is a regex tokenizer with the reference's
+normalize-and-filter contract (min length 3, lowercase, strip non-alnum —
+data/ingestion.py:325-331), and the embedder is a seeded hash projection
+(64-dim to match the fixtures, L2-normalized — same contract as
+data/config.py:30-32).
+
+Every construction query is mirrored by a DuckDB oracle built from the
+same CTE chain, so the pipeline itself is under the t2 correctness gate.
+
+Scale notes (100 TB design point):
+- chunking/extraction are per-row narrow ops — no shuffle at all.
+- the pairwise co-occurrence self-join (J6; 25M+ edges in the reference,
+  reproducibility/README.md:159) shuffles on chunk_id; chunks are capped
+  at CHUNK_SIZE words so per-key fan-out is bounded (≤ entities² per
+  chunk) and AQE skew-join splits hot partitions.
+- node naming (first-writer-wins, M7) is a window over name_normalized —
+  one shuffle; paper_count is a partial-aggregated countDistinct.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.text import clean_text, normalize_entity, sha_id, words
+from ..functions.vectors import l2_normalize
+from ..registry import query
+from ..sources import load_table
+
+# Reference chunking parameters (data/config.py:25-27)
+CHUNK_SIZE = 200
+CHUNK_OVERLAP = 30
+MIN_CHUNK_WORDS = 30
+ABSTRACT_WORDS = 40  # papers.abstract := first 40 words of the document
+KG_MIN_NAME_LENGTH = 3  # data/config.py:36
+INGESTED_AT = "2026-01-01 00:00:00"  # fixed literal: never wall clock
+EMBED_DIM = 64  # fixture embedding dimensionality
+
+
+# ---------------------------------------------------------------------------
+# Stage 1 — load & clean (F1, P2)
+# ---------------------------------------------------------------------------
+
+
+def cleaned_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → cleaned text + derived paper identity
+    (reference stage 1, data/ingestion.py:80-143)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id"),
+        F.concat(F.lit("doc_"), F.col("doc_id")).alias("paper_id"),
+        clean_text("text").alias("text"),
+        "lang",
+        "source",
+    )
+
+
+# The same cleaning as a DuckDB CTE (regexp_replace needs the 'g' flag
+# there; Spark replaces all matches by default).
+_CLEANED_CTE = r"""
+cleaned AS (
+  SELECT doc_id,
+         'doc_' || doc_id AS paper_id,
+         trim(regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(text, '\$\$[^$]*\$\$', ' ', 'g'),
+                   '\$[^$]*\$', ' ', 'g'),
+                 '\\[a-zA-Z]+\{[^}]*\}', ' ', 'g'),
+               '\\[a-zA-Z]+', ' ', 'g'),
+             'http\S+', ' ', 'g'),
+           '\s+', ' ', 'g')) AS text,
+         lang, source
+  FROM documents
+),
+tokenized AS (
+  SELECT *,
+         CASE WHEN length(text) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(text, '\s+') END AS w
+  FROM cleaned
+),
+sized AS (SELECT *, len(w) AS n FROM tokenized)
+"""
+
+
+@query(
+    "papers_build",
+    oracle=f"""
+    WITH {_CLEANED_CTE}
+    SELECT paper_id,
+           'Document ' || doc_id AS title,
+           '' AS authors,
+           array_to_string(w[1:{ABSTRACT_WORDS}], ' ') AS abstract,
+           CAST(2020 + doc_id % 5 AS INTEGER) AS publication_year,
+           source,
+           '' AS source_url,
+           lang AS categories,
+           TIMESTAMP '{INGESTED_AT}' AS ingested_at
+    FROM sized
+    ORDER BY paper_id
+    """,
+)
+def papers_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAW.PAPERS analogue (sql/01_create_schema.sql:7-17) derived
+    deterministically from documents (FIXTURES §B)."""
+    c = cleaned_documents(spark, sf_dir)
+    w = words("text")
+    return c.select(
+        "paper_id",
+        F.concat(F.lit("Document "), F.col("doc_id")).alias("title"),
+        F.lit("").alias("authors"),
+        F.array_join(F.slice(w, 1, ABSTRACT_WORDS), " ").alias("abstract"),
+        (F.lit(2020) + F.col("doc_id") % 5).cast("int").alias("publication_year"),
+        "source",
+        F.lit("").alias("source_url"),
+        F.col("lang").alias("categories"),
+        F.lit(INGESTED_AT).cast("timestamp").alias("ingested_at"),
+    ).orderBy("paper_id")
+
+
+# ---------------------------------------------------------------------------
+# Stage 2 — sliding-window chunker (M1 as a pure Catalyst UDTF shape)
+# ---------------------------------------------------------------------------
+
+
+def _chunk_documents(
+    spark: SparkSession,
+    sf_dir: str,
+    size: int = CHUNK_SIZE,
+    overlap: int = CHUNK_OVERLAP,
+    min_words: int = MIN_CHUNK_WORDS,
+    with_abstract: bool = True,
+) -> DataFrame:
+    """Word-window chunker (reference: data/ingestion.py:173-185,200-222).
+
+    Window starts advance by ``step = size - overlap``; the window that
+    reaches the end of the document is the last (reference loop breaks
+    when ``end >= len(words)`` — SURVEY §4.4); trailing windows shorter
+    than ``min_words`` are dropped (P3). The abstract section is always a
+    single un-windowed chunk (data/ingestion.py:201-203).
+
+    Implementation: ``sequence`` builds the start offsets, ``explode``
+    fans them out, ``slice`` takes each window — one row in, many rows
+    out with no Python and no shuffle.
+    """
+    step = size - overlap
+    c = cleaned_documents(spark, sf_dir).select(
+        "paper_id", words("text").alias("w")
+    )
+    c = c.withColumn("n", F.size("w"))
+    # number of extra windows past the first: ceil((n - size) / step), int math
+    kmax = F.when(
+        F.col("n") > size, F.expr(f"(n - {size} + {step - 1}) div {step}")
+    ).otherwise(F.lit(0))
+    body = (
+        c.withColumn("s", F.explode(F.sequence(F.lit(0), kmax * step, F.lit(step))))
+        .select(
+            "paper_id",
+            F.lit("body").alias("section_name"),
+            F.expr(f"s div {step}").cast("int").alias("widx"),
+            (F.expr(f"s div {step}") + (1 if with_abstract else 0))
+            .cast("int")
+            .alias("chunk_index"),
+            F.array_join(F.slice("w", F.col("s") + 1, F.lit(size)), " ").alias(
+                "text_content"
+            ),
+            F.least(F.lit(size), F.col("n") - F.col("s")).cast("int").alias("word_count"),
+        )
+    )
+    if with_abstract:
+        abstract = c.select(
+            "paper_id",
+            F.lit("abstract").alias("section_name"),
+            F.lit(0).alias("widx"),
+            F.lit(0).alias("chunk_index"),
+            F.array_join(F.slice("w", 1, ABSTRACT_WORDS), " ").alias("text_content"),
+            F.least(F.lit(ABSTRACT_WORDS), F.col("n")).cast("int").alias("word_count"),
+        )
+        out = abstract.unionByName(body)
+    else:
+        out = body
+    return (
+        out.filter(F.col("word_count") >= min_words)
+        .select(
+            F.concat(
+                "paper_id",
+                F.lit("_"),
+                "section_name",
+                F.lit("_c"),
+                F.lpad(F.col("widx").cast("string"), 3, "0"),
+            ).alias("chunk_id"),
+            "paper_id",
+            "chunk_index",
+            "section_name",
+            "text_content",
+            "word_count",
+            F.lit(INGESTED_AT).cast("timestamp").alias("ingested_at"),
+        )
+    )
+
+
+def _chunks_cte(size: int, overlap: int, min_words: int, with_abstract: bool = True) -> str:
+    """DuckDB CTE mirroring ``_chunk_documents`` (appends to _CLEANED_CTE)."""
+    step = size - overlap
+    abstract_part = f"""
+      SELECT paper_id, 'abstract' AS section_name, 0 AS widx, 0 AS chunk_index,
+             array_to_string(w[1:{ABSTRACT_WORDS}], ' ') AS text_content,
+             CAST(least({ABSTRACT_WORDS}, n) AS INTEGER) AS word_count
+      FROM sized
+      UNION ALL
+    """
+    body_offset = 1 if with_abstract else 0
+    return f"""
+raw_chunks AS (
+  {abstract_part if with_abstract else ''}
+  SELECT paper_id, 'body' AS section_name,
+         CAST(s // {step} AS INTEGER) AS widx,
+         CAST(s // {step} + {body_offset} AS INTEGER) AS chunk_index,
+         array_to_string(w[s+1:s+{size}], ' ') AS text_content,
+         CAST(least({size}, n - s) AS INTEGER) AS word_count
+  FROM (
+    SELECT *, unnest(range(0,
+        (CASE WHEN n > {size} THEN (n - {size} + {step - 1}) // {step} ELSE 0 END) * {step} + 1,
+        {step})) AS s
+    FROM sized
+  )
+),
+chunks AS (
+  SELECT paper_id || '_' || section_name || '_c' || lpad(CAST(widx AS VARCHAR), 3, '0') AS chunk_id,
+         paper_id, chunk_index, section_name, text_content, word_count,
+         TIMESTAMP '{INGESTED_AT}' AS ingested_at
+  FROM raw_chunks
+  WHERE word_count >= {min_words}
+)
+"""
+
+
+_DEFAULT_CHUNKS_SQL = _CLEANED_CTE + "," + _chunks_cte(
+    CHUNK_SIZE, CHUNK_OVERLAP, MIN_CHUNK_WORDS
+)
+
+
+@query(
+    "chunks_build",
+    oracle=f"""
+    WITH {_DEFAULT_CHUNKS_SQL}
+    SELECT chunk_id, paper_id, chunk_index, section_name, text_content,
+           word_count, ingested_at
+    FROM chunks
+    ORDER BY chunk_id
+    """,
+)
+def chunks_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAW.CHUNKS analogue (sql/01_create_schema.sql:21-30) minus the
+    embedding column (added by the non-SQL-expressible embedder — see
+    ``chunks_with_embeddings``)."""
+    return _chunk_documents(spark, sf_dir).orderBy("chunk_id")
+
+
+@query(
+    "chunk_windows_demo",
+    oracle=f"""
+    WITH {_CLEANED_CTE}, {_chunks_cte(20, 5, 5, with_abstract=False)}
+    SELECT chunk_id, paper_id, chunk_index, section_name, text_content, word_count
+    FROM chunks
+    ORDER BY chunk_id
+    """,
+)
+def chunk_windows_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chunker with small windows (size=20, overlap=5) so the fixture
+    documents genuinely produce multi-window output — exercises the
+    step/last-window/min-words edge cases of M1 at fixture scale."""
+    return _chunk_documents(
+        spark, sf_dir, size=20, overlap=5, min_words=5, with_abstract=False
+    ).drop("ingested_at").orderBy("chunk_id")
+
+
+# ---------------------------------------------------------------------------
+# Stage 3 — deterministic hash-projection embedder (M2 substitute)
+# ---------------------------------------------------------------------------
+
+
+def embed_text(text_col: Column | str, dim: int = EMBED_DIM) -> Column:
+    """Seeded hash-projection embedding: component i is the sum over
+    tokens of a hash-derived value in [-0.5, 0.5), L2-normalized.
+
+    Same contract as the reference's sentence-transformer embeddings
+    (768-dim L2-normalized, data/config.py:30-32; dimension matched to
+    the 64-dim fixtures): deterministic, text-sensitive, unit-norm. Pure
+    Catalyst (xxhash64 + higher-order functions) — no Python, so the
+    "model" scales exactly like the scan. The real-model path is the
+    pandas_udf in ``cs_5542_lab_6_spark.functions.embedding_udf``.
+    """
+    toks = words(text_col)
+    raw = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.aggregate(
+            toks,
+            F.lit(0.0),
+            lambda acc, t: acc
+            + (F.pmod(F.xxhash64(t, i), F.lit(1000003)) / 1000003.0 - 0.5),
+        ),
+    )
+    return l2_normalize(raw).cast("array<float>")
+
+
+def chunks_with_embeddings_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _chunk_documents(spark, sf_dir).withColumn(
+        "embedding", embed_text("text_content")
+    )
+
+
+@query("chunks_with_embeddings")  # no oracle: embedder is not SQL-expressible
+def chunks_with_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full RAW.CHUNKS analogue incl. the 64-dim embedding column
+    (driver records rows-only; unit tests assert the L2-norm invariant)."""
+    return chunks_with_embeddings_df(spark, sf_dir).orderBy("chunk_id")
+
+
+@query("chunk_vector_topk")  # no oracle: depends on the embedder
+def chunk_vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 over the engine-built corpus: embed a literal query string with
+    the same embedder, score all chunks, top-5 (tools.py:45-92 end to
+    end, with chunk_id tiebreak)."""
+    from ..functions.vectors import cosine_score
+
+    chunks = chunks_with_embeddings_df(spark, sf_dir)
+    qvec = embed_text(F.lit("spark join performance"))
+    return (
+        chunks.select(
+            "chunk_id",
+            "paper_id",
+            "section_name",
+            cosine_score(F.col("embedding"), qvec).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("chunk_id"))
+        .limit(5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stage 4 — knowledge-graph extraction (M4 substitute, M7, J5/J6, A1/A2)
+# ---------------------------------------------------------------------------
+
+# Entity mentions: whitespace tokens, normalized (lowercase, strip
+# non-alnum — data/ingestion.py:328-331), min length 3 (P6), first
+# occurrence per (chunk, entity) kept (A5 dict.fromkeys semantics).
+_ENTS_CTE = f"""
+mentions AS (
+  SELECT chunk_id, paper_id, chunk_index,
+         unnest(regexp_split_to_array(text_content, '\\s+')) AS token,
+         unnest(range(0, len(regexp_split_to_array(text_content, '\\s+')))) AS pos
+  FROM chunks
+),
+normed AS (
+  SELECT *, trim(regexp_replace(lower(token), '[^a-z0-9 ]', '', 'g')) AS name_normalized
+  FROM mentions
+),
+first_seen AS (
+  SELECT *, row_number() OVER (PARTITION BY chunk_id, name_normalized ORDER BY pos) AS rn
+  FROM normed
+  WHERE length(name_normalized) >= {KG_MIN_NAME_LENGTH}
+),
+ents AS (
+  SELECT chunk_id, paper_id, chunk_index, pos, token, name_normalized,
+         'node_' || substr(name_normalized, 1, 60) AS node_id
+  FROM first_seen WHERE rn = 1
+)
+"""
+
+_CORPUS_CTES = _DEFAULT_CHUNKS_SQL + "," + _ENTS_CTE
+
+
+def chunk_entities_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity mentions per chunk — the M4 substitute (FIXTURES §C):
+    posexplode tokens, normalize, length-filter, first-seen dedup."""
+    chunks = _chunk_documents(spark, sf_dir)
+    toks = chunks.select(
+        "chunk_id",
+        "paper_id",
+        "chunk_index",
+        F.posexplode(words("text_content")).alias("pos", "token"),
+    )
+    normed = toks.withColumn("name_normalized", normalize_entity("token")).filter(
+        F.length("name_normalized") >= KG_MIN_NAME_LENGTH
+    )
+    first_seen = W.partitionBy("chunk_id", "name_normalized").orderBy("pos")
+    return (
+        normed.withColumn("rn", F.row_number().over(first_seen))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .withColumn(
+            "node_id", F.concat(F.lit("node_"), F.substring("name_normalized", 1, 60))
+        )
+    )
+
+
+@query(
+    "kg_map_build",
+    oracle=f"""
+    WITH {_CORPUS_CTES}
+    SELECT sha256(chunk_id || '|' || node_id) AS map_id,
+           chunk_id, node_id, CAST(1.0 AS DOUBLE) AS confidence
+    FROM ents
+    ORDER BY chunk_id, node_id
+    """,
+)
+def kg_map_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRAPH.CHUNK_ENTITY_MAP analogue (sql/01_create_schema.sql:68-73):
+    the materialized chunk↔entity many-to-many bridge (J5), with
+    sha256-derived map_id replacing uuid4 (data/ingestion.py:349)."""
+    return (
+        chunk_entities_df(spark, sf_dir)
+        .select(
+            sha_id("chunk_id", "node_id").alias("map_id"),
+            "chunk_id",
+            "node_id",
+            F.lit(1.0).alias("confidence"),
+        )
+        .orderBy("chunk_id", "node_id")
+    )
+
+
+@query(
+    "kg_nodes_build",
+    oracle=f"""
+    WITH {_CORPUS_CTES},
+    firsts AS (
+      SELECT node_id, name_normalized, token AS name
+      FROM (SELECT *, row_number() OVER (PARTITION BY node_id
+                       ORDER BY paper_id, chunk_index, pos) AS g FROM ents)
+      WHERE g = 1
+    ),
+    counts AS (
+      SELECT node_id, COUNT(DISTINCT paper_id) AS paper_count FROM ents GROUP BY node_id
+    )
+    SELECT f.node_id, 'Entity' AS label, f.name, f.name_normalized,
+           CAST(c.paper_count AS BIGINT) AS paper_count
+    FROM firsts f JOIN counts c ON f.node_id = c.node_id
+    ORDER BY f.node_id
+    """,
+)
+def kg_nodes_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRAPH.KNOWLEDGE_NODES analogue (sql/01_create_schema.sql:44-51):
+    M7 first-writer-wins surface naming (registry dict semantics,
+    data/ingestion.py:309-344 → window over the global mention order) +
+    A1 countDistinct paper_count. The reference leaves node.embedding
+    null (data/ingestion.py:373) — omitted here."""
+    ents = chunk_entities_df(spark, sf_dir)
+    global_order = W.partitionBy("node_id").orderBy("paper_id", "chunk_index", "pos")
+    firsts = (
+        ents.withColumn("g", F.row_number().over(global_order))
+        .filter(F.col("g") == 1)
+        .select("node_id", "name_normalized", F.col("token").alias("name"))
+    )
+    counts = ents.groupBy("node_id").agg(F.countDistinct("paper_id").alias("paper_count"))
+    return (
+        firsts.join(counts, "node_id")
+        .select("node_id", F.lit("Entity").alias("label"), "name", "name_normalized", "paper_count")
+        .orderBy("node_id")
+    )
+
+
+@query(
+    "kg_edges_build",
+    oracle=f"""
+    WITH {_CORPUS_CTES},
+    pairs AS (
+      SELECT a.node_id AS source_node_id, b.node_id AS target_node_id, a.paper_id
+      FROM ents a JOIN ents b
+        ON a.chunk_id = b.chunk_id AND a.node_id < b.node_id
+    )
+    SELECT sha256(source_node_id || '|' || target_node_id || '|' || paper_id) AS edge_id,
+           source_node_id, target_node_id,
+           'CO_OCCURS' AS relation_type, paper_id,
+           CAST(COUNT(*) AS DOUBLE) AS weight,
+           TIMESTAMP '{INGESTED_AT}' AS ingested_at
+    FROM pairs
+    GROUP BY source_node_id, target_node_id, paper_id
+    ORDER BY source_node_id, target_node_id, paper_id
+    """,
+)
+def kg_edges_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRAPH.KNOWLEDGE_EDGES analogue (sql/01_create_schema.sql:55-63):
+    J6 pairwise in-chunk co-occurrence as a self equi-join on chunk_id
+    with the canonical ``src < tgt`` residual (data/ingestion.py:356-362),
+    A2 weight = per-paper co-occurrence count. This is the 25M-edge
+    explosion at reference scale — the join shuffles on chunk_id (bounded
+    fan-out per chunk) and AQE splits skewed partitions."""
+    ents = chunk_entities_df(spark, sf_dir).select("chunk_id", "paper_id", "node_id")
+    a = ents.alias("a")
+    b = ents.select("chunk_id", "node_id").alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.chunk_id") == F.col("b.chunk_id"))
+        & (F.col("a.node_id") < F.col("b.node_id")),
+    ).select(
+        F.col("a.node_id").alias("source_node_id"),
+        F.col("b.node_id").alias("target_node_id"),
+        F.col("a.paper_id").alias("paper_id"),
+    )
+    return (
+        pairs.groupBy("source_node_id", "target_node_id", "paper_id")
+        .agg(F.count("*").cast("double").alias("weight"))
+        .select(
+            sha_id("source_node_id", "target_node_id", "paper_id").alias("edge_id"),
+            "source_node_id",
+            "target_node_id",
+            F.lit("CO_OCCURS").alias("relation_type"),
+            "paper_id",
+            "weight",
+            F.lit(INGESTED_AT).cast("timestamp").alias("ingested_at"),
+        )
+        .orderBy("source_node_id", "target_node_id", "paper_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Query layer over the built corpus (S5/J1 view, J2/J3 neighborhood, S9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "chunks_view",
+    oracle=f"""
+    WITH {_DEFAULT_CHUNKS_SQL},
+    papers AS (
+      SELECT paper_id, 'Document ' || doc_id AS title, source, lang AS categories
+      FROM sized
+    )
+    SELECT c.chunk_id, c.paper_id, p.title, c.section_name, c.text_content,
+           c.word_count, p.source, p.categories
+    FROM chunks c JOIN papers p ON c.paper_id = p.paper_id
+    ORDER BY c.chunk_id
+    """,
+)
+def chunks_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APP.CHUNKS_V analogue (sql/01_create_schema.sql:78-93): the J1
+    fact ⋈ small-dim inner equi-join, dim side broadcast so the view adds
+    zero shuffles over the chunk scan."""
+    chunks = _chunk_documents(spark, sf_dir)
+    papers = papers_build(spark, sf_dir).select("paper_id", "title", "source", "categories")
+    return (
+        chunks.join(F.broadcast(papers), "paper_id")
+        .select(
+            "chunk_id",
+            "paper_id",
+            "title",
+            "section_name",
+            "text_content",
+            "word_count",
+            "source",
+            "categories",
+        )
+        .orderBy("chunk_id")
+    )
+
+
+# Query entities for the neighborhood query — fixture vocabulary terms.
+KG_QUERY_ENTITIES = ("spark", "join", "filter")
+_IN_LIST = ", ".join(f"'{e}'" for e in KG_QUERY_ENTITIES)
+
+
+@query(
+    "kg_neighborhood",
+    oracle=f"""
+    WITH {_CORPUS_CTES},
+    pairs AS (
+      SELECT a.node_id AS source_node_id, b.node_id AS target_node_id, a.paper_id
+      FROM ents a JOIN ents b
+        ON a.chunk_id = b.chunk_id AND a.node_id < b.node_id
+    ),
+    edges AS (
+      SELECT source_node_id, target_node_id, CAST(COUNT(*) AS DOUBLE) AS weight
+      FROM pairs GROUP BY source_node_id, target_node_id
+    ),
+    firsts AS (
+      SELECT node_id, name_normalized, token AS name
+      FROM (SELECT *, row_number() OVER (PARTITION BY node_id
+                       ORDER BY paper_id, chunk_index, pos) AS g FROM ents)
+      WHERE g = 1
+    ),
+    target_nodes AS (
+      SELECT node_id, name FROM firsts WHERE name_normalized IN ({_IN_LIST})
+    ),
+    neigh AS (
+      SELECT t.name AS entity_name, n2.name AS neighbor_name,
+             'CO_OCCURS' AS relation_type, e.weight, 'out' AS direction
+      FROM target_nodes t
+      JOIN edges e  ON e.source_node_id = t.node_id
+      JOIN firsts n2 ON e.target_node_id = n2.node_id
+      UNION ALL
+      SELECT t.name, n2.name, 'CO_OCCURS', e.weight, 'in'
+      FROM target_nodes t
+      JOIN edges e  ON e.target_node_id = t.node_id
+      JOIN firsts n2 ON e.source_node_id = n2.node_id
+    )
+    SELECT entity_name, neighbor_name, relation_type,
+           COALESCE(weight, 1.0) AS weight, direction
+    FROM neigh
+    ORDER BY weight DESC, entity_name, neighbor_name, direction
+    LIMIT 25
+    """,
+)
+def kg_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's KG retrieval (tools.py:182-217): CTE-factored
+    IN-list target selection (P5), bidirectional 1-hop joins (J2/J3)
+    merged with UNION ALL (SET1), null weight → 1.0 coalesce
+    (tools.py:211), LIMIT k. Aggregated edge weights (paper dimension
+    summed out via COUNT over all pairs) keep the query deterministic.
+
+    Scale shape: target_nodes is tiny (IN-list) → broadcast to both
+    direction joins; edges shuffle once on the join key.
+    """
+    ents = chunk_entities_df(spark, sf_dir).select(
+        "chunk_id", "paper_id", "chunk_index", "pos", "token", "name_normalized", "node_id"
+    )
+    a = ents.alias("a")
+    b = ents.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.node_id") < F.col("b.node_id")),
+        )
+        .groupBy(
+            F.col("a.node_id").alias("source_node_id"),
+            F.col("b.node_id").alias("target_node_id"),
+        )
+        .agg(F.count("*").cast("double").alias("weight"))
+    )
+    global_order = W.partitionBy("node_id").orderBy("paper_id", "chunk_index", "pos")
+    firsts = (
+        ents.withColumn("g", F.row_number().over(global_order))
+        .filter(F.col("g") == 1)
+        .select("node_id", "name_normalized", F.col("token").alias("name"))
+    )
+    targets = firsts.filter(F.col("name_normalized").isin(*KG_QUERY_ENTITIES)).select(
+        "node_id", "name"
+    )
+    n2 = firsts.select(F.col("node_id").alias("n2_id"), F.col("name").alias("neighbor_name"))
+    out = (
+        F.broadcast(targets)
+        .join(edges, targets.node_id == edges.source_node_id)
+        .join(n2, edges.target_node_id == F.col("n2_id"))
+        .select(
+            F.col("name").alias("entity_name"),
+            "neighbor_name",
+            F.lit("CO_OCCURS").alias("relation_type"),
+            "weight",
+            F.lit("out").alias("direction"),
+        )
+    )
+    inc = (
+        F.broadcast(targets)
+        .join(edges, targets.node_id == edges.target_node_id)
+        .join(n2, edges.source_node_id == F.col("n2_id"))
+        .select(
+            F.col("name").alias("entity_name"),
+            "neighbor_name",
+            F.lit("CO_OCCURS").alias("relation_type"),
+            "weight",
+            F.lit("in").alias("direction"),
+        )
+    )
+    return (
+        out.unionAll(inc)
+        .withColumn("weight", F.coalesce("weight", F.lit(1.0)))
+        .orderBy(F.desc("weight"), "entity_name", "neighbor_name", "direction")
+        .limit(25)
+    )
+
+
+@query(
+    "corpus_verify",
+    oracle=f"""
+    WITH {_CORPUS_CTES},
+    pairs AS (
+      SELECT a.node_id AS source_node_id, b.node_id AS target_node_id, a.paper_id
+      FROM ents a JOIN ents b
+        ON a.chunk_id = b.chunk_id AND a.node_id < b.node_id
+    )
+    SELECT * FROM (
+      SELECT 'papers' AS table_name, COUNT(*) AS n_rows,
+             CASE WHEN COUNT(*) > 0 THEN 'OK' ELSE 'EMPTY' END AS status FROM sized
+      UNION ALL
+      SELECT 'chunks', COUNT(*), CASE WHEN COUNT(*) > 0 THEN 'OK' ELSE 'EMPTY' END FROM chunks
+      UNION ALL
+      SELECT 'chunk_entity_map', COUNT(*), CASE WHEN COUNT(*) > 0 THEN 'OK' ELSE 'EMPTY' END FROM ents
+      UNION ALL
+      SELECT 'knowledge_nodes', COUNT(DISTINCT node_id),
+             CASE WHEN COUNT(DISTINCT node_id) > 0 THEN 'OK' ELSE 'EMPTY' END FROM ents
+      UNION ALL
+      SELECT 'knowledge_edges', COUNT(*), CASE WHEN COUNT(*) > 0 THEN 'OK' ELSE 'EMPTY' END
+      FROM (SELECT DISTINCT source_node_id, target_node_id, paper_id FROM pairs)
+    )
+    ORDER BY table_name
+    """,
+)
+def corpus_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage 6 verification (data/ingestion.py:511-551): COUNT(*) per
+    corpus table with OK/EMPTY status — the reference's only pipeline
+    correctness check, kept as a first-class query."""
+    counts = [
+        ("papers", papers_build(spark, sf_dir)),
+        ("chunks", chunks_build(spark, sf_dir)),
+        ("chunk_entity_map", kg_map_build(spark, sf_dir)),
+        ("knowledge_nodes", kg_nodes_build(spark, sf_dir)),
+        ("knowledge_edges", kg_edges_build(spark, sf_dir)),
+    ]
+    rows = None
+    for name, df in counts:
+        r = df.agg(F.count("*").alias("n_rows")).select(
+            F.lit(name).alias("table_name"),
+            "n_rows",
+            F.when(F.col("n_rows") > 0, "OK").otherwise("EMPTY").alias("status"),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows.orderBy("table_name")

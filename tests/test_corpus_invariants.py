@@ -1,0 +1,71 @@
+"""Property checks mirroring the reference's verification surface
+(data/ingestion.py:511-551 row counts, 270-271 dim assert) per
+FIXTURES.md §C: chunk word-count bounds, embedding norm, edge
+canonicalization, FK integrity via anti-joins."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cs_5542_lab_6_spark.functions.vectors import l2_norm
+from cs_5542_lab_6_spark.pipeline.corpus import (
+    CHUNK_SIZE,
+    EMBED_DIM,
+    MIN_CHUNK_WORDS,
+    chunks_build,
+    chunks_with_embeddings_df,
+    kg_edges_build,
+    kg_map_build,
+    kg_nodes_build,
+    papers_build,
+)
+
+
+def test_chunk_word_count_bounds(spark, sf_dir):
+    chunks = chunks_build(spark, sf_dir)
+    bad = chunks.filter(
+        (F.col("word_count") < MIN_CHUNK_WORDS) | (F.col("word_count") > CHUNK_SIZE)
+    ).count()
+    assert bad == 0
+    # word_count matches the actual token count of text_content
+    mismatch = chunks.filter(
+        F.size(F.split(F.col("text_content"), r"\s+")) != F.col("word_count")
+    ).count()
+    assert mismatch == 0
+
+
+def test_embeddings_unit_norm_and_dim(spark, sf_dir):
+    ch = chunks_with_embeddings_df(spark, sf_dir)
+    stats = ch.select(
+        F.min(F.size("embedding")).alias("dmin"),
+        F.max(F.size("embedding")).alias("dmax"),
+        F.max(F.abs(l2_norm("embedding") - 1.0)).alias("norm_err"),
+    ).collect()[0]
+    assert stats["dmin"] == stats["dmax"] == EMBED_DIM
+    assert stats["norm_err"] < 1e-5
+
+
+def test_edges_canonical_and_fk_integrity(spark, sf_dir):
+    edges = kg_edges_build(spark, sf_dir)
+    assert edges.filter(F.col("source_node_id") >= F.col("target_node_id")).count() == 0
+    assert edges.filter(F.col("weight") < 1.0).count() == 0
+
+    nodes = kg_nodes_build(spark, sf_dir).select("node_id")
+    # every edge endpoint resolves to a node (left_anti empty — SURVEY J4)
+    dangling_src = edges.join(
+        nodes, edges.source_node_id == nodes.node_id, "left_anti"
+    ).count()
+    dangling_tgt = edges.join(
+        nodes, edges.target_node_id == nodes.node_id, "left_anti"
+    ).count()
+    assert dangling_src == 0 and dangling_tgt == 0
+
+    cmap = kg_map_build(spark, sf_dir)
+    chunks = chunks_build(spark, sf_dir).select("chunk_id")
+    assert cmap.join(chunks, "chunk_id", "left_anti").count() == 0
+    assert cmap.join(nodes, "node_id", "left_anti").count() == 0
+
+
+def test_papers_pk_unique(spark, sf_dir):
+    papers = papers_build(spark, sf_dir)
+    assert papers.count() == papers.select("paper_id").distinct().count()
