@@ -67,6 +67,35 @@ def slugify(col: Column | str) -> Column:
     return F.regexp_replace(F.lower(_c(col)), "[^a-z0-9]", "_")
 
 
+# Modulus for token / rolling hashes: 2^31 - 1 keeps every intermediate of
+# ``acc*31 + h`` under 2^37 — no bigint overflow in Spark or DuckDB.
+HASH_P = 2_147_483_647
+
+# DuckDB-side twin of ``token_hash`` (format with {t} = token expression).
+DUCK_TOKEN_HASH = (
+    "CAST(concat('0x', substr(sha256({t}), 1, 15)) AS BIGINT) % " + str(HASH_P)
+)
+
+# 60-bit variant (no modulus) for operators that need more bit entropy
+# (SimHash signatures).
+DUCK_TOKEN_HASH60 = "CAST(concat('0x', substr(sha256({t}), 1, 15)) AS BIGINT)"
+
+
+def token_hash60(col: Column | str) -> Column:
+    """Full 60-bit sha256-derived hash (positive bigint, no modulus)."""
+    return F.conv(F.substring(F.sha2(_c(col), 256), 1, 15), 16, 10).cast("long")
+
+
+def token_hash(col: Column | str) -> Column:
+    """Deterministic 31-bit token hash: first 15 hex chars of sha256 as a
+    bigint, reduced mod 2^31-1 — mirrored exactly by ``DUCK_TOKEN_HASH``
+    so hash-derived operators (fingerprints, MinHash, SimHash) stay
+    oracle-checkable across engines."""
+    return (
+        F.conv(F.substring(F.sha2(_c(col), 256), 1, 15), 16, 10).cast("long") % HASH_P
+    )
+
+
 def sha_id(*cols: Column | str, prefix: str | None = None) -> Column:
     """Deterministic surrogate id: sha256 over '|'-joined parts.
 

@@ -1,1 +1,314 @@
-"""Placeholder — populated in a later milestone."""
+"""Text-analysis operators for the training-data pipeline surface.
+
+The reference's text handling stops at cleaning + word counting
+(data/ingestion.py:67-77,117-120); a corpus engine at 100 TB also needs
+per-document language ID, quality scoring, token counting, and
+fingerprinting (north-star extras, SURVEY §4.3-3). Everything here is a
+pure Catalyst expression over the ``documents`` fixture — regexps,
+higher-order array functions, and hash arithmetic inside whole-stage
+codegen; no Python UDFs, so each operator scales exactly like the scan
+(narrow, zero-shuffle except the final frequency aggregation).
+
+Determinism: token hashes are sha256-derived (same scheme in the DuckDB
+oracles), ratios are rounded to 4 decimals, and every ordering has a
+total tiebreak.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import DUCK_TOKEN_HASH, HASH_P, token_hash, words
+from ..registry import query
+from ..sources import load_table
+
+# "BPE-ish" pre-tokenizer: letter runs | digit runs | single non-space
+# symbol — the classic byte-pair pre-segmentation shape, identical RE2/Java
+# semantics in both engines.
+TOKEN_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+# Tiny per-language stopword lists for wordlist-voting language ID.
+# Alphabetical language order is the deterministic argmax tiebreak.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "und", "das", "ist", "nicht", "mit", "ein", "auf", "den"),
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it", "for", "was"),
+    "es": ("el", "los", "las", "que", "en", "un", "es", "por", "con", "una"),
+    "fr": ("le", "les", "et", "des", "est", "une", "pour", "dans", "qui", "pas"),
+}
+
+
+def _count_in_set(toks: Column, wordlist: tuple[str, ...]) -> Column:
+    lit_arr = F.array(*[F.lit(w) for w in wordlist])
+    return F.size(F.filter(toks, lambda t: F.array_contains(lit_arr, t)))
+
+
+def _duck_count_in_set(toks_expr: str, wordlist: tuple[str, ...]) -> str:
+    in_list = ", ".join(f"'{w}'" for w in wordlist)
+    return f"len(list_filter({toks_expr}, t -> list_contains([{in_list}], t)))"
+
+
+@query(
+    "doc_token_stats",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             length(text) AS n_chars,
+             CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS w,
+             regexp_extract_all(text, '{TOKEN_RE}') AS bpe
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars,
+           CAST(len(w) AS INTEGER) AS ws_tokens,
+           CAST(len(bpe) AS INTEGER) AS bpe_tokens,
+           round(CASE WHEN len(w) > 0
+                 THEN CAST(list_sum(list_transform(w, t -> length(t))) AS DOUBLE) / len(w)
+                 ELSE 0.0 END, 4) AS avg_token_len
+    FROM toks
+    ORDER BY doc_id
+    """,
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (F3 generalized): whitespace tokens (the
+    reference's ``len(text.split())``, data/ingestion.py:117-120) plus a
+    BPE-ish regex pre-tokenization count and mean token length."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = words("text")
+    char_sum = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(toks).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(TOKEN_RE), 0)).alias("bpe_tokens"),
+        F.round(
+            F.when(F.size(toks) > 0, char_sum.cast("double") / F.size(toks)).otherwise(
+                0.0
+            ),
+            4,
+        ).alias("avg_token_len"),
+    ).orderBy("doc_id")
+
+
+_LANG_SCORE_COLS_DUCK = ",\n           ".join(
+    f"{_duck_count_in_set('w', ws)} AS score_{lang}"
+    for lang, ws in LANG_STOPWORDS.items()
+)
+_LANG_ARGMAX_DUCK = (
+    "CASE WHEN best = 0 THEN 'unknown' "
+    + " ".join(
+        f"WHEN score_{lang} = best THEN '{lang}'" for lang in LANG_STOPWORDS
+    )
+    + " END"
+)
+
+
+@query(
+    "doc_language_id",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS w
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang,
+           {_LANG_SCORE_COLS_DUCK}
+      FROM toks
+    ),
+    best AS (
+      SELECT *, greatest(score_de, score_en, score_es, score_fr) AS best FROM scored
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           {_LANG_ARGMAX_DUCK} AS predicted_lang,
+           score_de, score_en, score_es, score_fr
+    FROM best
+    ORDER BY doc_id
+    """,
+)
+def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wordlist-voting language ID (north-star text analysis): per-language
+    stopword hit counts, deterministic argmax (alphabetical tiebreak,
+    zero hits ⇒ 'unknown'). One narrow pass — no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = words(F.lower(F.col("text")))
+    scored = docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[
+            _count_in_set(toks, ws).alias(f"score_{lang}")
+            for lang, ws in LANG_STOPWORDS.items()
+        ],
+    )
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in LANG_STOPWORDS])
+    pred = F.when(best == 0, F.lit("unknown"))
+    for lang in LANG_STOPWORDS:
+        pred = pred.when(F.col(f"score_{lang}") == best, F.lit(lang))
+    return scored.select(
+        "doc_id",
+        "labeled_lang",
+        pred.alias("predicted_lang"),
+        *[f"score_{lang}" for lang in LANG_STOPWORDS],
+    ).orderBy("doc_id")
+
+
+_EN_STOP_DUCK = _duck_count_in_set("w", LANG_STOPWORDS["en"])
+
+
+@query(
+    "doc_quality_scores",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, source, text,
+             length(text) AS n_chars,
+             CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS w
+      FROM documents
+    ),
+    sig AS (
+      SELECT doc_id, lang, source, n_chars,
+             CAST(len(w) AS INTEGER) AS n_tokens,
+             round(CASE WHEN n_chars > 0
+               THEN CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / n_chars
+               ELSE 0.0 END, 4) AS punct_ratio,
+             round(CASE WHEN len(w) > 0
+               THEN CAST({_EN_STOP_DUCK} AS DOUBLE) / len(w)
+               ELSE 0.0 END, 4) AS stopword_ratio
+      FROM toks
+    )
+    SELECT doc_id, lang, source, n_tokens, punct_ratio, stopword_ratio,
+           round(0.4 * least(1.0, n_tokens / 100.0)
+               + 0.3 * (1.0 - least(1.0, punct_ratio * 5.0))
+               + 0.3 * least(1.0, stopword_ratio * 10.0), 4) AS quality_score,
+           CASE WHEN round(0.4 * least(1.0, n_tokens / 100.0)
+               + 0.3 * (1.0 - least(1.0, punct_ratio * 5.0))
+               + 0.3 * least(1.0, stopword_ratio * 10.0), 4) >= 0.7 THEN 'high'
+                WHEN round(0.4 * least(1.0, n_tokens / 100.0)
+               + 0.3 * (1.0 - least(1.0, punct_ratio * 5.0))
+               + 0.3 * least(1.0, stopword_ratio * 10.0), 4) >= 0.4 THEN 'medium'
+                ELSE 'low' END AS quality_bucket
+    FROM sig
+    ORDER BY doc_id
+    """,
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring (north-star text analysis): length,
+    punctuation ratio, and stopword ratio folded into a composite score
+    with high/medium/low buckets — the P2 quality filter
+    (data/ingestion.py:117-122) generalized to a graded signal."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = words(F.lower(F.col("text")))
+    n_chars = F.length("text")
+    n_tokens = F.size(toks)
+    punct = F.length(F.regexp_replace("text", r"[a-zA-Z0-9\s]", ""))
+    sig = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(
+            F.when(n_chars > 0, punct.cast("double") / n_chars).otherwise(0.0), 4
+        ).alias("punct_ratio"),
+        F.round(
+            F.when(
+                n_tokens > 0,
+                _count_in_set(toks, LANG_STOPWORDS["en"]).cast("double") / n_tokens,
+            ).otherwise(0.0),
+            4,
+        ).alias("stopword_ratio"),
+    )
+    score = F.round(
+        0.4 * F.least(F.lit(1.0), F.col("n_tokens") / 100.0)
+        + 0.3 * (1.0 - F.least(F.lit(1.0), F.col("punct_ratio") * 5.0))
+        + 0.3 * F.least(F.lit(1.0), F.col("stopword_ratio") * 10.0),
+        4,
+    )
+    return sig.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_tokens",
+        "punct_ratio",
+        "stopword_ratio",
+        score.alias("quality_score"),
+        F.when(score >= 0.7, "high")
+        .when(score >= 0.4, "medium")
+        .otherwise("low")
+        .alias("quality_bucket"),
+    ).orderBy("doc_id")
+
+
+_DUCK_HASHES = (
+    "list_transform(w, t -> " + DUCK_TOKEN_HASH.format(t="t") + ")"
+)
+
+
+@query(
+    "doc_fingerprints",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS w
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(w) AS INTEGER) AS n_tokens,
+           list_reduce(list_prepend(CAST(0 AS BIGINT), {_DUCK_HASHES}),
+                       (acc, h) -> (acc * 31 + h) % {HASH_P}) AS fingerprint
+    FROM toks
+    ORDER BY doc_id
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (north-star text analysis): an
+    order-sensitive polynomial rolling hash over sha-derived token hashes,
+    ``acc = (acc*31 + h) mod 2^31-1``. Identical fold in the oracle, so
+    the fingerprint is cross-engine stable — the basis for exact dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = words(F.lower(F.col("text")))
+    fp = F.aggregate(
+        F.transform(toks, token_hash),
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * 31 + h) % HASH_P,
+    )
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        fp.alias("fingerprint"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "corpus_token_frequencies",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+      FROM documents WHERE length(trim(text)) > 0
+    )
+    SELECT token, COUNT(*) AS freq
+    FROM toks
+    GROUP BY token
+    ORDER BY freq DESC, token
+    LIMIT 50
+    """,
+)
+def corpus_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level token frequency top-50 (explode → hash-agg → top-k).
+    At scale: partial map-side aggregation collapses each partition to its
+    distinct tokens before the single shuffle; TakeOrderedAndProject
+    avoids a full sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select(F.explode(words(F.lower(F.col("text")))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(50)
+    )
