@@ -1,1 +1,320 @@
-"""Placeholder — populated in a later milestone."""
+"""Similarity-search operators over the ``embeddings`` fixture.
+
+Three tiers of the same capability (north-star extras, SURVEY §4.3-3):
+
+1. ``ann_brute_force_topk`` — exact multi-query cosine top-k; the correct
+   baseline and the reference's own retrieval shape (M5, tools.py:45-92)
+   generalized from 1 query vector to a query *set*.
+2. ``ann_lsh_topk`` — random-hyperplane (sign) LSH: 8 fixed hyperplanes
+   bucket every vector into a 8-bit code; a query searches only its
+   bucket. Sub-linear candidate sets, approximate recall.
+3. ``ann_ivf_topk`` — IVF shape: coarse quantizer (per-``label`` centroid
+   built with order-independent integer arithmetic), nprobe=2 nearest
+   centroids per query, exact search inside the probed partitions only.
+
+Scale design: brute force is one broadcast (queries) + narrow scan +
+per-query TakeOrderedAndProject; LSH/IVF turn that scan into an equi-join
+on bucket/partition keys, i.e. partition pruning for vectors. All three
+are pure Catalyst — scoring via zip_with/aggregate folds inside codegen,
+mirrored exactly by DuckDB list arithmetic (scores rounded to 4)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.vectors import dot
+from ..registry import query
+from ..sources import load_table
+
+QUERY_IDS = (0, 7, 42)  # deterministic query-vector set
+TOP_K = 10
+N_PLANES = 8
+IVF_NPROBE = 2
+EMBED_DIM = 64
+_QUERY_IN = ", ".join(str(q) for q in QUERY_IDS)
+
+
+def _plane_component(p: int, d: int) -> float:
+    """Deterministic pseudo-random hyperplane component in [-0.5, 0.5),
+    sha256-derived — embedded as identical literals in Spark and DuckDB."""
+    h = hashlib.sha256(f"plane:{p}:{d}".encode()).hexdigest()
+    return round(int(h[:12], 16) / 16**12 - 0.5, 6)
+
+
+PLANES: list[list[float]] = [
+    [_plane_component(p, d) for d in range(EMBED_DIM)] for p in range(N_PLANES)
+]
+
+
+def _norm(v: Column) -> Column:
+    return F.sqrt(dot(v, v))
+
+
+def _cos(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    return F.round(dot(a, b) / (na * nb), 4)
+
+
+_DUCK_EMB = """
+e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM e WHERE vec_id IN (%s))
+""" % _QUERY_IN
+
+
+@query(
+    "ann_brute_force_topk",
+    oracle=f"""
+    WITH {_DUCK_EMB},
+    scored AS (
+      SELECT q.qid, e.vec_id, e.label,
+             round(list_dot_product(q.qv, e.v) / (q.qn * e.nrm), 4) AS cosine
+      FROM q JOIN e ON e.vec_id <> q.qid
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT qid, CAST(rank AS INTEGER) AS rank, vec_id, label, cosine
+    FROM ranked WHERE rank <= {TOP_K}
+    ORDER BY qid, rank
+    """,
+)
+def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-{TOP_K} for each query vector: broadcast the tiny
+    query set against the full collection, score JVM-side, one window
+    ranking pass per query partition.
+
+    At 100 TB the scan dominates and parallelizes perfectly; the shuffle
+    moves only (qid, vec_id, score) triples — never the vectors."""
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn("nrm", _norm(F.col("v")))
+    )
+    qset = e.filter(F.col("vec_id").isin(*QUERY_IDS)).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(qset))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            "label",
+            _cos(F.col("qv"), F.col("v"), F.col("qn"), F.col("nrm")).alias("cosine"),
+        )
+    )
+    rank = F.row_number().over(
+        W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    )
+    return (
+        scored.withColumn("rank", rank)
+        .filter(F.col("rank") <= TOP_K)
+        .select("qid", "rank", "vec_id", "label", "cosine")
+        .orderBy("qid", "rank")
+    )
+
+
+def _duck_plane_list(p: int) -> str:
+    return "[" + ", ".join(repr(x) for x in PLANES[p]) + "]"
+
+
+_DUCK_BUCKET = " + ".join(
+    f"(CASE WHEN list_dot_product(v, {_duck_plane_list(p)}) >= 0 THEN {1 << p} ELSE 0 END)"
+    for p in range(N_PLANES)
+)
+
+
+def _spark_bucket(v: Column) -> Column:
+    bucket = F.lit(0)
+    for p in range(N_PLANES):
+        plane = F.array(*[F.lit(x) for x in PLANES[p]])
+        bucket = bucket + F.when(dot(v, plane) >= 0, F.lit(1 << p)).otherwise(0)
+    return bucket
+
+
+@query(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH {_DUCK_EMB},
+    coded AS (SELECT vec_id, label, v, nrm, {_DUCK_BUCKET} AS bucket FROM e),
+    qc AS (
+      SELECT q.qid, q.qv, q.qn, c.bucket
+      FROM q JOIN coded c ON c.vec_id = q.qid
+    ),
+    scored AS (
+      SELECT qc.qid, c.vec_id, c.label, c.bucket,
+             round(list_dot_product(qc.qv, c.v) / (qc.qn * c.nrm), 4) AS cosine
+      FROM qc JOIN coded c ON c.bucket = qc.bucket AND c.vec_id <> qc.qid
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT qid, CAST(rank AS INTEGER) AS rank, vec_id, label, bucket, cosine
+    FROM ranked WHERE rank <= {TOP_K}
+    ORDER BY qid, rank
+    """,
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-{TOP_K} via random-hyperplane LSH: every vector gets
+    an {N_PLANES}-bit sign code against fixed sha-derived hyperplanes;
+    queries search only their own bucket (recall traded for a ~2^{N_PLANES}×
+    smaller candidate set).
+
+    Scale shape: the bucket code is computed in the scan (narrow); search
+    becomes an equi-join on the bucket key — the vector analogue of
+    partition pruning. More planes or multi-probe widen recall."""
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn("nrm", _norm(F.col("v")))
+        .withColumn("bucket", _spark_bucket(F.col("v")))
+    )
+    qset = e.filter(F.col("vec_id").isin(*QUERY_IDS)).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = (
+        e.join(
+            F.broadcast(qset),
+            (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("qid")),
+        )
+        .select(
+            "qid",
+            "vec_id",
+            "label",
+            "bucket",
+            _cos(F.col("qv"), F.col("v"), F.col("qn"), F.col("nrm")).alias("cosine"),
+        )
+    )
+    rank = F.row_number().over(
+        W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    )
+    return (
+        scored.withColumn("rank", rank)
+        .filter(F.col("rank") <= TOP_K)
+        .select("qid", "rank", "vec_id", "label", "bucket", "cosine")
+        .orderBy("qid", "rank")
+    )
+
+
+@query(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH {_DUCK_EMB},
+    comp AS (
+      SELECT label, t.d, CAST(round(v[t.d] * 1000) AS BIGINT) AS xi
+      FROM e, unnest(range(1, {EMBED_DIM} + 1)) AS t(d)
+    ),
+    cent AS (
+      SELECT label, array_agg(c ORDER BY d) AS cv
+      FROM (
+        SELECT label, d, CAST(SUM(xi) AS DOUBLE) / (1000.0 * COUNT(*)) AS c
+        FROM comp GROUP BY label, d
+      ) GROUP BY label
+    ),
+    qdist AS (
+      SELECT q.qid, c.label,
+             round(list_sum(list_transform(range(1, {EMBED_DIM} + 1),
+                   i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))), 4) AS dist
+      FROM q CROSS JOIN cent c
+    ),
+    probes AS (
+      SELECT qid, label FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dist, label) AS pr
+        FROM qdist
+      ) WHERE pr <= {IVF_NPROBE}
+    ),
+    scored AS (
+      SELECT q.qid, e.vec_id, e.label,
+             round(list_dot_product(q.qv, e.v) / (q.qn * e.nrm), 4) AS cosine
+      FROM q
+      JOIN probes p ON p.qid = q.qid
+      JOIN e ON e.label = p.label AND e.vec_id <> q.qid
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT qid, CAST(rank AS INTEGER) AS rank, vec_id, label, cosine
+    FROM ranked WHERE rank <= {TOP_K}
+    ORDER BY qid, rank
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: per-``label`` centroids act as the coarse quantizer
+    (components quantized to 1/1000 integers before averaging, so the
+    centroid is order-independent and cross-engine exact); each query
+    probes its {IVF_NPROBE} nearest centroids and searches only those
+    partitions exactly.
+
+    Scale shape: with vectors written partitioned by cluster id, the probe
+    list prunes the scan to nprobe/nlist of the data — IVF is literally
+    partition pruning plus a small centroid broadcast."""
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn("nrm", _norm(F.col("v")))
+    )
+    # order-independent centroid: quantize to ints, sum, divide once
+    comp = e.select(
+        "label", F.posexplode("v").alias("d", "x")
+    ).withColumn("xi", F.round(F.col("x") * 1000).cast("long"))
+    cent = (
+        comp.groupBy("label", "d")
+        .agg((F.sum("xi").cast("double") / (1000.0 * F.count("*"))).alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "c"))), lambda s: s["c"]
+            ).alias("cv")
+        )
+    )
+    qset = e.filter(F.col("vec_id").isin(*QUERY_IDS)).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    sqdiff = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    qdist = F.broadcast(qset).crossJoin(F.broadcast(cent)).select(
+        "qid", "qv", "qn", "label", F.round(sqdiff, 4).alias("dist")
+    )
+    pr = F.row_number().over(W.partitionBy("qid").orderBy(F.asc("dist"), F.asc("label")))
+    probes = (
+        qdist.withColumn("pr", pr)
+        .filter(F.col("pr") <= IVF_NPROBE)
+        .select("qid", "qv", "qn", "label")
+    )
+    scored = (
+        e.join(F.broadcast(probes), "label")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            "label",
+            _cos(F.col("qv"), F.col("v"), F.col("qn"), F.col("nrm")).alias("cosine"),
+        )
+    )
+    rank = F.row_number().over(
+        W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    )
+    return (
+        scored.withColumn("rank", rank)
+        .filter(F.col("rank") <= TOP_K)
+        .select("qid", "rank", "vec_id", "label", "cosine")
+        .orderBy("qid", "rank")
+    )

@@ -71,6 +71,7 @@ def _load_all_modules() -> None:
         return
     from .operators import (  # noqa: F401
         dedup,
+        multimodal,
         relational,
         retrieval,
         similarity,
@@ -78,6 +79,6 @@ def _load_all_modules() -> None:
         windows,
     )
     from .pipeline import corpus  # noqa: F401
-    from .streaming import batch_twins  # noqa: F401
+    from .streaming import batch_twins, stream  # noqa: F401
 
     _LOADED = True
