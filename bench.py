@@ -22,7 +22,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Headline set: flagship retrieval + the scan/join/agg/window/topk shapes
-# that dominate at scale.
+# that dominate at scale, plus one representative of each pipeline family
+# (corpus build, KG explosion, dedup, ANN, streaming windows, text stats).
 HEADLINE = [
     "vector_topk",
     "pricing_summary",
@@ -32,6 +33,18 @@ HEADLINE = [
     "top3_orders_per_customer",
     "topk_expensive_orders",
     "events_json_props",
+    "chunk_vector_topk",
+    "chunks_build",
+    "kg_edges_build",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_nn",
+    "ann_brute_force_topk",
+    "ann_ivf_topk",
+    "events_session_windows",
+    "stream_tumbling_daily",
+    "doc_fingerprints",
+    "doc_quality_scores",
 ]
 
 
@@ -51,7 +64,11 @@ def main() -> None:
     for name in names:
         t0 = time.perf_counter()
         df = queries[name](spark, SF_DIR)
-        df.collect()
+        # noop sink: full materialization of every row and column on the
+        # executors with zero driver-transfer cost (collect() on the
+        # million-row builds would measure Python row conversion instead
+        # of the engine).
+        df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

@@ -212,8 +212,22 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 3. MinHash + LSH banding
 # ---------------------------------------------------------------------------
 
-_DUCK_MH_A = "[" + ", ".join(str(x) for x in _MH_A) + "]"
-_DUCK_MH_B = "[" + ", ".join(str(x) for x in _MH_B) + "]"
+_ROWS_PER_BAND = MINHASH_PERMS // MINHASH_BANDS
+_DUCK_MINHASH_COLS = ",\n             ".join(
+    f"MIN(({_MH_A[i]} * xs + {_MH_B[i]}) % {HASH_P}) AS h{i}"
+    for i in range(MINHASH_PERMS)
+)
+_DUCK_BAND_SIG = (
+    "CASE b.band "
+    + " ".join(
+        "WHEN {j} THEN [{hs}]".format(
+            j=j,
+            hs=", ".join(f"h{i}" for i in range(j * _ROWS_PER_BAND, (j + 1) * _ROWS_PER_BAND)),
+        )
+        for j in range(MINHASH_BANDS)
+    )
+    + " END"
+)
 
 
 @query(
@@ -221,15 +235,12 @@ _DUCK_MH_B = "[" + ", ".join(str(x) for x in _MH_B) + "]"
     oracle=f"""
     WITH {_DUCK_SHINGLES_CTE},
     mh AS (
-      SELECT doc_id, p.i,
-             MIN(({_DUCK_MH_A}[p.i + 1] * xs + {_DUCK_MH_B}[p.i + 1]) % {HASH_P}) AS h
-      FROM sh, (SELECT unnest(range(0, {MINHASH_PERMS})) AS i) p
-      GROUP BY doc_id, p.i
+      SELECT doc_id, {_DUCK_MINHASH_COLS}
+      FROM sh GROUP BY doc_id
     ),
     bands AS (
-      SELECT doc_id, i // {MINHASH_PERMS // MINHASH_BANDS} AS band,
-             array_agg(h ORDER BY i) AS sig
-      FROM mh GROUP BY doc_id, i // {MINHASH_PERMS // MINHASH_BANDS}
+      SELECT doc_id, b.band, {_DUCK_BAND_SIG} AS sig
+      FROM mh, (SELECT unnest(range(0, {MINHASH_BANDS})) AS b) b(band)
     ),
     cand AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
@@ -267,27 +278,33 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     .04 at j=.3 — high-similarity recall with a small candidate set."""
     sh = _doc_shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    perms = F.broadcast(
-        spark.createDataFrame(
-            [(i, _MH_A[i], _MH_B[i]) for i in range(MINHASH_PERMS)],
-            "i int, a long, b long",
-        )
+    # all 16 permutation minima in ONE hash-agg pass (map-side partials);
+    # the earlier perm-table crossJoin version shuffled 16x the rows.
+    mh = sh.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(_MH_A[i]) * F.col("xs") + F.lit(_MH_B[i])) % HASH_P).alias(
+                f"h{i}"
+            )
+            for i in range(MINHASH_PERMS)
+        ]
     )
-    rows_per_band = MINHASH_PERMS // MINHASH_BANDS
-    mh = (
-        sh.crossJoin(perms)
-        .groupBy("doc_id", "i")
-        .agg(F.min((F.col("a") * F.col("xs") + F.col("b")) % HASH_P).alias("h"))
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.array(
+                    *[
+                        F.col(f"h{i}")
+                        for i in range(j * _ROWS_PER_BAND, (j + 1) * _ROWS_PER_BAND)
+                    ]
+                ).alias("sig"),
+            )
+            for j in range(MINHASH_BANDS)
+        ]
     )
-    bands = (
-        mh.withColumn("band", F.expr(f"i div {rows_per_band}"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("i", "h"))), lambda s: s["h"]
-            ).alias("sig")
-        )
-    )
+    bands = mh.select(
+        "doc_id", F.explode(band_structs).alias("bs")
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
     ba, bb = bands.alias("ba"), bands.alias("bb")
     cand = (
         ba.join(
@@ -378,31 +395,32 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     per doc on a 1-byte-entropy key — skew-prone, so AQE skew splitting
     stays on; verification is a bitop, not a text compare."""
     docs = load_table(spark, sf_dir, "documents")
-    tf = (
+    # one narrow explode + ONE groupBy with 60 bit-sums (map-side partial
+    # aggregation collapses each partition to 60 longs per doc — no 60x
+    # row blowup). Summing per token *occurrence* folds the tf weighting
+    # in: sum_occ(2*bit-1) == sum_distinct c * (2*bit-1).
+    occ = (
         docs.filter(F.length(F.trim("text")) > 0)
         .select("doc_id", F.explode(words(F.lower(F.col("text")))).alias("token"))
-        .groupBy("doc_id", "token")
-        .agg(F.count("*").alias("c"))
         .withColumn("x", token_hash60("token"))
     )
-    bit_idx = F.broadcast(
-        spark.createDataFrame([(b,) for b in range(SIMHASH_BITS)], "b int")
+    bit_sums = occ.groupBy("doc_id").agg(
+        *[
+            F.sum(2 * F.expr(f"(x >> {b}) & 1") - 1).alias(f"s{b}")
+            for b in range(SIMHASH_BITS)
+        ]
     )
-    bits = (
-        tf.crossJoin(bit_idx)
-        .withColumn(
-            "contrib",
-            F.col("c") * (2 * F.expr("(x >> b) & 1") - 1),
-        )
-        .groupBy("doc_id", "b")
-        .agg(F.sum("contrib").alias("s"))
-    )
-    sig = bits.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(
-                F.lit(0).cast("long")
-            )
-        ).alias("simhash")
+    sig = bit_sums.select(
+        "doc_id",
+        sum(
+            [
+                F.when(
+                    F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")
+                ).otherwise(F.lit(0).cast("long"))
+                for b in range(SIMHASH_BITS)
+            ],
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
     )
     band_idx = F.broadcast(
         spark.createDataFrame([(k,) for k in range(SIMHASH_BANDS)], "k int")

@@ -35,8 +35,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..functions.embedding import embed_query, embed_text
 from ..functions.text import clean_text, normalize_entity, sha_id, words
-from ..functions.vectors import l2_normalize
 from ..registry import query
 from ..sources import load_table
 
@@ -295,30 +295,6 @@ def chunk_windows_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def embed_text(text_col: Column | str, dim: int = EMBED_DIM) -> Column:
-    """Seeded hash-projection embedding: component i is the sum over
-    tokens of a hash-derived value in [-0.5, 0.5), L2-normalized.
-
-    Same contract as the reference's sentence-transformer embeddings
-    (768-dim L2-normalized, data/config.py:30-32; dimension matched to
-    the 64-dim fixtures): deterministic, text-sensitive, unit-norm. Pure
-    Catalyst (xxhash64 + higher-order functions) — no Python, so the
-    "model" scales exactly like the scan. The real-model path is the
-    pandas_udf in ``cs_5542_lab_6_spark.functions.embedding_udf``.
-    """
-    toks = words(text_col)
-    raw = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda i: F.aggregate(
-            toks,
-            F.lit(0.0),
-            lambda acc, t: acc
-            + (F.pmod(F.xxhash64(t, i), F.lit(1000003)) / 1000003.0 - 0.5),
-        ),
-    )
-    return l2_normalize(raw).cast("array<float>")
-
-
 def chunks_with_embeddings_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _chunk_documents(spark, sf_dir).withColumn(
         "embedding", embed_text("text_content")
@@ -340,7 +316,9 @@ def chunk_vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vectors import cosine_score
 
     chunks = chunks_with_embeddings_df(spark, sf_dir)
-    qvec = embed_text(F.lit("spark join performance"))
+    qvec = F.array(
+        *[F.lit(x) for x in embed_query("spark join performance")]
+    ).cast("array<float>")
     return (
         chunks.select(
             "chunk_id",
