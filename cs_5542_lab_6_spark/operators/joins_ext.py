@@ -1,0 +1,212 @@
+"""Extended join / set / grouping operators beyond the reference's surface.
+
+SURVEY §2.3 notes the reference has no sort-merge/range/as-of joins, no
+semi/anti beyond what the engine already added, and §2.7 notes INTERSECT /
+EXCEPT are absent; §2.4 lacks cube/grouping-sets. These are table stakes
+for an analytics engine, so they're first-class oracle-backed operators
+here, each implemented in its scale-correct shape:
+
+- as-of join: union + ignore-nulls window carry-forward — one shuffle on
+  the partition key, no per-row probe (the classic distributed as-of).
+- range join: time-bucketed self equi-join on (user, bucket) with the
+  ±1-bucket overlap trick, so proximity search never degenerates into the
+  O(n²) inequality-only nested loop.
+- intersect/except: Spark's INTERSECT/EXCEPT (hash-based set ops).
+- cube: map-side grouping-set expansion, one shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load_table
+
+RANGE_WINDOW_MIN = 10  # range-join proximity window (minutes)
+
+
+@query(
+    "events_asof_last_click",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             CASE WHEN event_type = 'click' THEN ts END AS click_ts
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    carried AS (
+      SELECT *,
+             last_value(click_ts IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS asof_click_ts
+      FROM tagged
+    )
+    SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+           asof_click_ts,
+           (epoch_us(ts) - epoch_us(asof_click_ts)) // 1000000 AS seconds_since_click
+    FROM carried
+    WHERE event_type = 'purchase'
+    ORDER BY purchase_id
+    """,
+)
+def events_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every purchase matched to the user's most recent prior
+    click. Implemented as the scalable union-and-carry-forward idiom —
+    tag click timestamps, ignore-nulls last_value over (user, time) with
+    a 1-preceding frame (strictly *before* the purchase), filter to
+    purchases. One shuffle on user_id; contrast with the naive
+    inequality join which is quadratic per user."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    tagged = ev.withColumn(
+        "click_ts", F.when(F.col("event_type") == "click", F.col("ts"))
+    )
+    frame = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    carried = tagged.withColumn(
+        "asof_click_ts", F.last("click_ts", ignorenulls=True).over(frame)
+    )
+    return (
+        carried.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "asof_click_ts",
+            F.expr(
+                "(unix_micros(ts) - unix_micros(asof_click_ts)) div 1000000"
+            ).alias("seconds_since_click"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+@query(
+    "events_range_pairs",
+    oracle=f"""
+    SELECT a.event_id AS event_a, b.event_id AS event_b, a.user_id,
+           a.event_type AS type_a, b.event_type AS type_b,
+           (epoch_us(b.ts) - epoch_us(a.ts)) // 1000000 AS gap_seconds
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL '{RANGE_WINDOW_MIN} minutes'
+    ORDER BY event_a, event_b
+    """,
+)
+def events_range_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) self-join: pairs of same-user events within
+    {RANGE_WINDOW_MIN} minutes. Implemented with the bucketing trick: both
+    sides get a {RANGE_WINDOW_MIN}-minute time bucket, the join runs as an
+    *equi*-join on (user, bucket) with the right side expanded into its
+    own and the preceding bucket, and the exact inequality is a residual
+    filter.
+    Catalyst executes a hash join on the compound key instead of a
+    nested-loop over each user's history — at 100 TB that's the
+    difference between a shuffle join and a cross product."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    bucket = (F.unix_timestamp("ts") / (RANGE_WINDOW_MIN * 60)).cast("long")
+    a = ev.withColumn("bucket", bucket).alias("a")
+    # the right side also lands in the PRECEDING bucket, so a later event
+    # one bucket ahead of `a` still shares a's (user, bucket) key; each
+    # qualifying pair matches exactly one expanded key
+    b = (
+        ev.withColumn("b0", bucket)
+        .withColumn("bucket", F.explode(F.array(F.col("b0"), F.col("b0") - 1)))
+        .alias("b")
+    )
+    pairs = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("b.ts") > F.col("a.ts"))
+        & (
+            F.col("b.ts")
+            <= F.col("a.ts") + F.expr(f"INTERVAL {RANGE_WINDOW_MIN} MINUTES")
+        ),
+    )
+    return pairs.select(
+        F.col("a.event_id").alias("event_a"),
+        F.col("b.event_id").alias("event_b"),
+        F.col("a.user_id").alias("user_id"),
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+        F.expr("(unix_micros(b.ts) - unix_micros(a.ts)) div 1000000").alias(
+            "gap_seconds"
+        ),
+    ).orderBy("event_a", "event_b")
+
+
+@query(
+    "segment_nation_intersect",
+    oracle="""
+    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+    ORDER BY c_nationkey
+    """,
+)
+def segment_nation_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (SURVEY §2.7 gap): nations that have customers in BOTH
+    market segments — hash-based distinct set intersection, one shuffle."""
+    c = load_table(spark, sf_dir, "customer")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
+    auto = c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_nationkey")
+    return building.intersect(auto).orderBy("c_nationkey")
+
+
+@query(
+    "segment_nation_except",
+    oracle="""
+    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    EXCEPT
+    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+    ORDER BY c_nationkey
+    """,
+)
+def segment_nation_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (SURVEY §2.7 gap): nations with BUILDING customers but no
+    AUTOMOBILE customers — distinct set difference."""
+    c = load_table(spark, sf_dir, "customer")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
+    auto = c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_nationkey")
+    return building.subtract(auto).orderBy("c_nationkey")
+
+
+@query(
+    "order_status_priority_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def order_status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority) — all 2^2 grouping sets in one pass
+    (SURVEY §2.4 noted cube/rollup as free built-ins; rollup is covered
+    by status_priority_rollup). Spark expands grouping sets map-side, so
+    the cube still costs one shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )

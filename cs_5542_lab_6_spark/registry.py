@@ -71,6 +71,7 @@ def _load_all_modules() -> None:
         return
     from .operators import (  # noqa: F401
         dedup,
+        joins_ext,
         multimodal,
         relational,
         retrieval,
@@ -78,7 +79,9 @@ def _load_all_modules() -> None:
         textstats,
         windows,
     )
+    from . import agent_api  # noqa: F401
     from .pipeline import corpus  # noqa: F401
+    from .sources import sql_runner  # noqa: F401
     from .streaming import batch_twins, stream  # noqa: F401
 
     _LOADED = True

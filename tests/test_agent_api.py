@@ -1,0 +1,46 @@
+"""Agent tool façade tests (M8–M9): the 4-tool surface composes over the
+engine, the orchestrator is deterministic, and the summarizer renders the
+reference's context-block shape."""
+
+from __future__ import annotations
+
+from cs_5542_lab_6_spark.agent_api import (
+    CITATION_CAP,
+    run_research_query,
+    search_papers,
+    summarize_context,
+)
+
+
+def test_search_papers_tool(spark, sf_dir):
+    hits = search_papers(spark, sf_dir, "spark join performance", top_k=3).collect()
+    assert len(hits) == 3
+    scores = [r["score"] for r in hits]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_summarize_context_deterministic():
+    chunks = [
+        {"chunk_id": "c1", "paper_id": "doc_1", "section_name": "body",
+         "text_content": "alpha " * 50, "score": 0.91},
+        {"chunk_id": "c2", "paper_id": "doc_2", "section_name": "abstract",
+         "text_content": "beta", "score": 0.44},
+    ]
+    a = summarize_context("what is alpha?", chunks)
+    b = summarize_context("what is alpha?", chunks)
+    assert a == b
+    assert "[1] doc_1 | body" in a
+    assert "score=0.91" in a
+    assert summarize_context("q", []).endswith("No relevant context retrieved.")
+
+
+def test_run_research_query_shape(spark, sf_dir):
+    out = run_research_query(spark, sf_dir, "spark join performance", top_k=3)
+    assert set(out) == {"answer", "citations", "tools_used", "steps",
+                        "retrieval_failure"}
+    assert out["tools_used"][0] == "search_papers"
+    assert out["tools_used"][-1] == "summarize_context"
+    assert len(out["citations"]) <= CITATION_CAP
+    # deterministic end to end
+    again = run_research_query(spark, sf_dir, "spark join performance", top_k=3)
+    assert again["answer"] == out["answer"]
