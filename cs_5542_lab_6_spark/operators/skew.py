@@ -1,0 +1,89 @@
+"""Skew-handling and approximate-aggregation operators.
+
+SURVEY §4.2/§7.3 call out the reference's skew blindness (the 25M-edge
+dict accumulation, data/ingestion.py:312,362) and §2.4 notes A1 should
+become ``approx_count_distinct`` at 100 TB. Two scale levers, both as
+checkable operators:
+
+- salted two-phase aggregation: hot grouping keys (5 event types across
+  100k+ rows) are split across N salt buckets for the first shuffle, then
+  re-combined — the manual fallback when AQE skew handling can't help
+  (aggregation skew, not join skew). Results are provably identical to
+  the direct groupBy (same oracle).
+- approximate distinct/quantiles: HLL + KLL sketches for the counts the
+  reference computes exactly per node (A1) — constant memory per key at
+  any scale; the test pins sketch error against the exact values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load_table
+
+SALT_BUCKETS = 16
+
+
+@query(
+    "events_salted_type_stats",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_salted_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted aggregation: phase 1 groups on (event_type, salt) so a hot
+    key's rows spread over {SALT_BUCKETS} reducers; phase 2 re-aggregates
+    the partials per key. The oracle is the plain GROUP BY — salting must
+    be invisible in the result. Decimal accumulation keeps the re-combined
+    sum order-independent.
+
+    (With only 5 distinct keys, *map-side partial aggregation* already
+    defuses this case; the operator exists for the high-cardinality-with-
+    hot-head distributions where partials alone spill.)"""
+    ev = load_table(spark, sf_dir, "events")
+    salt = F.pmod(F.col("event_id"), F.lit(SALT_BUCKETS))
+    partial = (
+        ev.withColumn("salt", salt)
+        .groupBy("event_type", "salt")
+        .agg(
+            F.count("*").alias("pn"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("pv"),
+        )
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(
+            F.sum("pn").alias("n_events"),
+            F.sum("pv").cast("double").alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query("orders_approx_stats")  # sketch-based: rows-only (no exact oracle)
+def orders_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates per order status: HyperLogLog++ distinct
+    customers (the A1 count at 100 TB — constant memory vs the exact
+    hash set) and approximate total-price quantiles. Deterministic for a
+    fixed input (the sketches are deterministic algorithms), but not
+    SQL-oracle-comparable since DuckDB's sketches differ; the unit test
+    pins the error envelope against the exact values instead."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+            F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10000).alias(
+                "price_quantiles"
+            ),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -76,6 +76,7 @@ def _load_all_modules() -> None:
         relational,
         retrieval,
         similarity,
+        skew,
         textstats,
         windows,
     )

@@ -1,0 +1,48 @@
+"""Ingestion driver tests: staged checkpoint build, resume skipping,
+partitioned layout, FK verification (reference lifecycle
+data/ingestion.py:558-603 distributed)."""
+
+from __future__ import annotations
+
+import os
+
+from cs_5542_lab_6_spark.pipeline.corpus import chunks_build, papers_build
+from cs_5542_lab_6_spark.pipeline.ingest import (
+    build_corpus,
+    load_checkpoint,
+    verify_corpus,
+    year_partition_count,
+)
+
+
+def test_build_checkpoint_resume_verify(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "corpus")
+
+    report = build_corpus(spark, sf_dir, out, resume=True)
+    assert set(report) == {"papers", "chunks", "kg_nodes", "kg_edges", "kg_map"}
+    assert all(v["status"] == "OK" for v in report.values())
+    assert not any(v["skipped"] for v in report.values())
+
+    # checkpointed row counts match the live builders
+    assert report["papers"]["rows"] == papers_build(spark, sf_dir).count()
+    assert report["chunks"]["rows"] == chunks_build(spark, sf_dir).count()
+
+    # resume run touches nothing
+    report2 = build_corpus(spark, sf_dir, out, resume=True)
+    assert all(v["skipped"] for v in report2.values())
+    assert {k: v["rows"] for k, v in report2.items()} == {
+        k: v["rows"] for k, v in report.items()
+    }
+
+    # papers checkpoint is hive-partitioned by year → pruning is real
+    parts = [p for p in os.listdir(os.path.join(out, "papers"))
+             if p.startswith("publication_year=")]
+    assert len(parts) == 5
+    assert year_partition_count(spark, out, 2021) > 0
+
+    # embedding column survived the checkpoint round trip
+    emb = load_checkpoint(spark, out, "chunks").select("embedding").first()[0]
+    assert len(emb) == 64
+
+    # FK integrity: zero orphans everywhere
+    assert set(verify_corpus(spark, out).values()) == {0}

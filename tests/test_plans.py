@@ -1,0 +1,71 @@
+"""Physical-plan regression tests: the plans we shipped are the plans we
+keep. Guards the scale-critical properties — predicate pushdown into the
+parquet scans, column pruning, broadcast joins for small dims,
+TakeOrderedAndProject for top-k (never a full sort), and the absence of
+nested-loop/cartesian fallbacks in the candidate-join operators."""
+
+from __future__ import annotations
+
+import pytest
+
+from cs_5542_lab_6_spark.registry import all_queries
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = all_queries()[name](spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_vector_topk_plan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "vector_topk")
+    assert "TakeOrderedAndProject" in plan  # distributed top-k, no full sort
+    assert "BroadcastHashJoin" in plan  # docs dim broadcast
+    assert "SortMergeJoin" not in plan
+    # the query-vector point lookup pushes into the scan
+    assert "EqualTo(vec_id,0)" in plan
+
+
+def test_point_lookup_pushdown(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "doc_lookup")
+    assert "EqualTo(doc_id,42)" in plan
+
+
+def test_pricing_summary_partial_agg_and_pruning(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "pricing_summary")
+    # partial (map-side) + final aggregation around one exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "LessThanOrEqual(l_shipdate" in plan  # predicate pushdown
+    assert "l_partkey" not in plan  # column pruning: unused columns never read
+
+
+def test_chunks_view_broadcasts_dim(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "chunks_view")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_candidate_joins_never_nested_loop(spark, sf_dir):
+    for name in ["dedup_ngram_jaccard", "dedup_minhash_lsh", "events_range_pairs"]:
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_token_frequency_topk_plan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "corpus_token_frequencies")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2  # partial+final on token counts
+
+
+@pytest.mark.parametrize("name", ["papers_build", "doc_token_stats"])
+def test_narrow_builders_have_no_join_or_extra_exchange(spark, sf_dir, name):
+    import re
+
+    plan = plan_of(spark, sf_dir, name)
+    assert "Join" not in plan
+    # only the final orderBy exchange — narrow transforms add none
+    # (count node headers; the formatted output repeats each node in the
+    # detail section)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1
