@@ -158,3 +158,37 @@ def user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "ts", "event_id")
     )
+
+
+@query(
+    "customer_balance_distribution",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           CAST(ntile(4) OVER (PARTITION BY c_nationkey
+                               ORDER BY c_acctbal, c_custkey) AS INTEGER) AS balance_quartile,
+           round(percent_rank() OVER (PARTITION BY c_nationkey
+                                      ORDER BY c_acctbal, c_custkey), 4) AS pct_rank,
+           round(cume_dist() OVER (PARTITION BY c_nationkey
+                                   ORDER BY c_acctbal, c_custkey), 4) AS cume
+    FROM customer
+    ORDER BY c_custkey
+    """,
+)
+def customer_balance_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution analytics per nation: ntile quartiles, percent_rank,
+    cume_dist — the statistical window family (§2.5) the reference never
+    had. One shuffle on the nation key; the unique c_custkey tiebreak
+    makes every rank deterministic."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return (
+        cust.select(
+            "c_custkey",
+            "c_nationkey",
+            "c_acctbal",
+            F.ntile(4).over(w).alias("balance_quartile"),
+            F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 4).alias("cume"),
+        )
+        .orderBy("c_custkey")
+    )

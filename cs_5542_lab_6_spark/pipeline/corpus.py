@@ -710,3 +710,77 @@ def corpus_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = r if rows is None else rows.unionByName(r)
     return rows.orderBy("table_name")
+
+
+@query(
+    "kg_two_hop",
+    oracle=f"""
+    WITH {_CORPUS_CTES},
+    pairs AS (
+      SELECT a.node_id AS src, b.node_id AS tgt
+      FROM ents a JOIN ents b
+        ON a.chunk_id = b.chunk_id AND a.node_id < b.node_id
+    ),
+    edges AS (
+      SELECT src, tgt, CAST(COUNT(*) AS DOUBLE) AS weight
+      FROM pairs GROUP BY src, tgt
+    ),
+    undirected AS (
+      SELECT src, tgt, weight FROM edges
+      UNION ALL
+      SELECT tgt, src, weight FROM edges
+    ),
+    seed AS (SELECT 'node_spark' AS node_id),
+    hop1 AS (
+      SELECT u.tgt AS node_id, u.weight
+      FROM seed s JOIN undirected u ON u.src = s.node_id
+    ),
+    hop2 AS (
+      SELECT u2.tgt AS node_id, MAX(h1.weight * u2.weight) AS path_weight
+      FROM hop1 h1 JOIN undirected u2 ON u2.src = h1.node_id
+      WHERE u2.tgt <> 'node_spark'
+      GROUP BY u2.tgt
+    )
+    SELECT node_id, path_weight
+    FROM hop2
+    ORDER BY path_weight DESC, node_id
+    LIMIT 20
+    """,
+)
+def kg_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop graph traversal (beyond the reference's single hop,
+    tools.py:186-200): every node reachable in two co-occurrence hops from
+    the seed, ranked by the best product-weight 2-path (seed excluded; the
+    fixture graph is dense enough that the strictly-2-hop-exclusive set is
+    empty, so the query reports path strength instead). Two self-joins on
+    the aggregated edge relation — one BFS frontier expansion; at scale
+    each hop is one shuffle join with the frontier broadcast when small."""
+    ents = chunk_entities_df(spark, sf_dir).select("chunk_id", "node_id")
+    a, b = ents.alias("a"), ents.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.node_id") < F.col("b.node_id")),
+        )
+        .groupBy(F.col("a.node_id").alias("src"), F.col("b.node_id").alias("tgt"))
+        .agg(F.count("*").cast("double").alias("weight"))
+    )
+    und = edges.unionByName(
+        edges.select(
+            F.col("tgt").alias("src"), F.col("src").alias("tgt"), "weight"
+        )
+    )
+    seed = "node_spark"
+    hop1 = und.filter(F.col("src") == seed).select(
+        F.col("tgt").alias("node_id"), "weight"
+    )
+    u2 = und.alias("u2")
+    h1 = F.broadcast(hop1).alias("h1")
+    hop2 = (
+        h1.join(u2, F.col("u2.src") == F.col("h1.node_id"))
+        .filter(F.col("u2.tgt") != seed)
+        .groupBy(F.col("u2.tgt").alias("node_id"))
+        .agg(F.max(F.col("h1.weight") * F.col("u2.weight")).alias("path_weight"))
+    )
+    return hop2.orderBy(F.desc("path_weight"), F.asc("node_id")).limit(20)
