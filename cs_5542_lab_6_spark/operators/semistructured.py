@@ -1,0 +1,97 @@
+"""Semi-structured operators: MapType JSON handling and unpivot.
+
+SURVEY §1.2 prescribes MapType for the ``events.props`` JSON column (the
+reference never parses its nested JSON beyond single-key extraction);
+unpivot/stack is the missing inverse of the pivot the engine already has
+(returnflag_pivot). Both stay fully relational: from_json → explode is a
+narrow transform, and stack() multiplies rows map-side without a shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load_table
+
+
+@query(
+    "events_props_map",
+    oracle="""
+    SELECT event_type, k.key AS prop_key,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(props->>k.key AS INTEGER)) AS BIGINT) AS sum_value,
+           CAST(MIN(CAST(props->>k.key AS INTEGER)) AS INTEGER) AS min_value,
+           CAST(MAX(CAST(props->>k.key AS INTEGER)) AS INTEGER) AS max_value
+    FROM events, unnest(json_keys(props)) AS k(key)
+    GROUP BY event_type, k.key
+    ORDER BY event_type, prop_key
+    """,
+)
+def events_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON props as a real MapType column (SURVEY §1.2): parse once with
+    from_json, explode the entries, aggregate per (type, key). Malformed
+    JSON yields null maps that drop out — PERMISSIVE-mode semantics (P7).
+    Schema-on-read for arbitrary keys, unlike the reference's hardcoded
+    single-key extraction."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type", F.explode(F.from_json("props", "map<string,int>")).alias(
+            "prop_key", "prop_value"
+        )
+    )
+    return (
+        parsed.groupBy("event_type", "prop_key")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("prop_value").alias("sum_value"),
+            F.min("prop_value").alias("min_value"),
+            F.max("prop_value").alias("max_value"),
+        )
+        .orderBy("event_type", "prop_key")
+    )
+
+
+@query(
+    "lineitem_unpivot_metrics",
+    oracle="""
+    WITH long AS (
+      SELECT 'discount' AS metric, l_discount AS v FROM lineitem
+      UNION ALL
+      SELECT 'price', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT 'quantity', l_quantity FROM lineitem
+    )
+    SELECT metric, COUNT(*) AS n,
+           CAST(SUM(CAST(v AS DECIMAL(18,4))) AS DOUBLE) AS total,
+           CAST(MIN(CAST(v AS DECIMAL(18,4))) AS DOUBLE) AS min_v,
+           CAST(MAX(CAST(v AS DECIMAL(18,4))) AS DOUBLE) AS max_v
+    FROM long
+    GROUP BY metric
+    ORDER BY metric
+    """,
+)
+def lineitem_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide → long) via stack(): three measure columns become
+    (metric, value) rows, then one aggregation over the long form — the
+    inverse of returnflag_pivot. stack() expands rows in the scan stage;
+    the only shuffle is the 3-group aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.select(
+        F.expr(
+            "stack(3, 'quantity', l_quantity, 'price', l_extendedprice,"
+            " 'discount', l_discount) AS (metric, v)"
+        )
+    )
+    dec = F.col("v").cast("decimal(18,4)")
+    return (
+        long.groupBy("metric")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(dec).cast("double").alias("total"),
+            F.min(dec).cast("double").alias("min_v"),
+            F.max(dec).cast("double").alias("max_v"),
+        )
+        .orderBy("metric")
+    )

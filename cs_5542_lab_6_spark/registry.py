@@ -75,6 +75,7 @@ def _load_all_modules() -> None:
         multimodal,
         relational,
         retrieval,
+        semistructured,
         similarity,
         skew,
         textstats,
