@@ -31,7 +31,7 @@ from ..functions.text import (
     words,
 )
 from ..registry import query
-from ..sources import load_table
+from ..sources import fan_out, load_table
 
 SHINGLE_K = 3
 JACCARD_THRESHOLD = 0.2  # exact n-gram pass (fixture near-dups are ≥ 0.9)
@@ -69,13 +69,19 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Joining on the 31-bit hash instead of the shingle string keeps the
     candidate-join shuffle to 8-byte keys; any hash collision affects both
-    engines identically (same hash function in the oracle)."""
-    docs = load_table(spark, sf_dir, "documents")
+    engines identically (same hash function in the oracle).
+
+    Cached: every consumer (sizes, signatures, both sides of the verify
+    join) reuses one materialization instead of re-shingling — the Spark
+    analogue of the reference's chunk cache (agent.py:48-63). cache() is
+    MEMORY_AND_DISK, so at scale it spills rather than OOMs."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
     w = words(F.lower(F.col("text")))
     return (
         docs.select("doc_id", F.explode(shingle_array(w)).alias("s"))
         .select("doc_id", token_hash("s").alias("xs"))
         .distinct()
+        .cache()
     )
 
 
@@ -394,7 +400,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     At scale: signatures are 8 bytes/doc; the band join shuffles 4 rows
     per doc on a 1-byte-entropy key — skew-prone, so AQE skew splitting
     stays on; verification is a bitop, not a text compare."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
     # one narrow explode + ONE groupBy with 60 bit-sums (map-side partial
     # aggregation collapses each partition to 60 longs per doc — no 60x
     # row blowup). Summing per token *occurrence* folds the tf weighting
@@ -421,7 +427,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
             F.lit(0).cast("long"),
         ).alias("simhash"),
-    )
+    ).cache()  # 8 bytes/doc; both sides of the band join reuse it
     band_idx = F.broadcast(
         spark.createDataFrame([(k,) for k in range(SIMHASH_BANDS)], "k int")
     )
@@ -490,12 +496,16 @@ def dedup_embedding_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine near-dup detection (a full threshold scan is the same plan
     with a WHERE on cosine).
 
-    Scale shape: blocking turns O(n²) into Σ|block|²; the join shuffles
-    on the block key and the per-vector argmax is one window pass. For
-    un-blocked corpora the LSH route (``ann_lsh_topk``) replaces the
-    equi-join."""
+    Scale shape: blocking turns O(n²) into Σ|block|²; the label key has
+    low cardinality, so a shuffle join would collapse onto ~10 partitions
+    — instead the probe side stays fanned out and the build side is
+    broadcast (vectors are the small table here), so pair generation and
+    the dot products run on every core. The per-vector argmax is one
+    window pass. For un-blocked corpora the LSH route (``ann_lsh_topk``)
+    replaces the equi-join; for a build side too big to broadcast, salt
+    the label key."""
     e = (
-        load_table(spark, sf_dir, "embeddings")
+        fan_out(load_table(spark, sf_dir, "embeddings"), "vec_id")
         .select(
             "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
         )
@@ -510,7 +520,7 @@ def dedup_embedding_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    a, b = e.alias("a"), e.alias("b")
+    a, b = e.alias("a"), F.broadcast(e).alias("b")
     dot_ab = F.aggregate(
         F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
         F.lit(0.0),

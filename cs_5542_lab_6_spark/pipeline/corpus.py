@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 from ..functions.embedding import embed_query, embed_text
 from ..functions.text import clean_text, normalize_entity, sha_id, words
 from ..registry import query
-from ..sources import load_table
+from ..sources import fan_out, load_table
 
 # Reference chunking parameters (data/config.py:25-27)
 CHUNK_SIZE = 200
@@ -55,10 +55,18 @@ EMBED_DIM = 64  # fixture embedding dimensionality
 # ---------------------------------------------------------------------------
 
 
-def cleaned_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+def cleaned_documents(
+    spark: SparkSession, sf_dir: str, spread: bool = False
+) -> DataFrame:
     """documents → cleaned text + derived paper identity
-    (reference stage 1, data/ingestion.py:80-143)."""
+    (reference stage 1, data/ingestion.py:80-143).
+
+    ``spread=True`` fans the scan out across the cluster before the six
+    regex passes — used by the chunk/KG pipelines whose downstream work is
+    CPU-dense; plain relational consumers (papers_build) stay narrow."""
     docs = load_table(spark, sf_dir, "documents")
+    if spread:
+        docs = fan_out(docs, "doc_id")
     return docs.select(
         F.col("doc_id"),
         F.concat(F.lit("doc_"), F.col("doc_id")).alias("paper_id"),
@@ -159,7 +167,7 @@ def _chunk_documents(
     out with no Python and no shuffle.
     """
     step = size - overlap
-    c = cleaned_documents(spark, sf_dir).select(
+    c = cleaned_documents(spark, sf_dir, spread=True).select(
         "paper_id", words("text").alias("w")
     )
     c = c.withColumn("n", F.size("w"))
@@ -366,7 +374,14 @@ _CORPUS_CTES = _DEFAULT_CHUNKS_SQL + "," + _ENTS_CTE
 
 def chunk_entities_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity mentions per chunk — the M4 substitute (FIXTURES §C):
-    posexplode tokens, normalize, length-filter, first-seen dedup."""
+    posexplode tokens, normalize, length-filter, first-seen dedup.
+
+    Cached: the KG build/query family consumes this relation two-to-five
+    times per query (both sides of the co-occurrence self-join, the
+    naming window, the paper_count agg) — one materialization instead of
+    repeated chunk+explode+window recomputation, mirroring the
+    reference's chunk cache idiom (agent.py:48-63). MEMORY_AND_DISK, so
+    at 100 TB it spills instead of OOMing."""
     chunks = _chunk_documents(spark, sf_dir)
     toks = chunks.select(
         "chunk_id",
@@ -385,6 +400,7 @@ def chunk_entities_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "node_id", F.concat(F.lit("node_"), F.substring("name_normalized", 1, 60))
         )
+        .cache()
     )
 
 

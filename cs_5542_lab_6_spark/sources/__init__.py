@@ -1,3 +1,3 @@
-from .tables import TABLE_NAMES, load_table, register_views
+from .tables import TABLE_NAMES, fan_out, load_table, register_views
 
-__all__ = ["TABLE_NAMES", "load_table", "register_views"]
+__all__ = ["TABLE_NAMES", "fan_out", "load_table", "register_views"]

@@ -137,6 +137,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame, *cols: str) -> DataFrame:
+    """Rebalance an unsplittable scan across the cluster before a
+    CPU-dense derivation (shingling, per-token hashing, window chunking).
+
+    A small parquet file is one row group → one scan partition, so any
+    expensive narrow transform chained onto it runs on a single core while
+    the rest of the cluster idles. Shuffling the *raw* rows first (before
+    the heavy expressions — Spark pipelines narrow transforms into the
+    map side of the next exchange, so the repartition must come first)
+    spreads that work over every core for the cost of moving the source
+    bytes once.
+
+    No-op when the scan already yields at least the default parallelism —
+    the 100 TB case, where file splits dominate and an extra full-data
+    shuffle would be the bottleneck. Keying by a stable id keeps the
+    placement deterministic and rebalances per-document size skew.
+    """
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
+        return df
+    if cols:
+        return df.repartition(sc.defaultParallelism, *[F.col(c) for c in cols])
+    return df.repartition(sc.defaultParallelism)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture as a temp view for the SQL API
     (reference analogue: USE DATABASE session context, tools.py:67-68 —
