@@ -29,9 +29,10 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..sources.tables import _SCHEMAS
-from .batch_twins import _dsum
+from .batch_twins import SESSION_GAP, _dsum
 
 WATERMARK_DELAY = "1 hour"
+JOIN_WINDOW = "6 hours"
 
 _RUN_IDS = itertools.count()
 
@@ -155,6 +156,194 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = doubled.dropDuplicatesWithinWatermark(["event_id"])
     out = _run_to_memory(deduped, "stream_dedup", "append")
     return out.select("event_id", "user_id", "event_type", "value").orderBy("event_id")
+
+
+@query(
+    "stream_session_windows",
+    oracle=f"""
+    WITH lagd AS (
+      SELECT user_id, ts, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p
+      FROM events
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN p IS NULL OR ts - p >= INTERVAL '{SESSION_GAP}'
+                     THEN 1 ELSE 0 END AS f
+      FROM lagd
+    ),
+    sess AS (
+      SELECT *, SUM(f) OVER (PARTITION BY user_id ORDER BY ts, f
+                             ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '{SESSION_GAP}' AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM sess
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merging session windows (gap {SESSION_GAP}) executed through
+    Structured Streaming — ``F.session_window`` in a streaming
+    aggregation, complete mode, so every merged session is emitted once
+    the bounded source drains. Same gaps-and-islands oracle as the batch
+    twin ``events_session_windows``: the streaming merge must agree with
+    batch exactly. At scale the append-mode variant bounds state by a
+    watermark; the merge logic (state rows coalescing as gaps close) is
+    identical."""
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.groupBy("user_id", F.session_window("ts", SESSION_GAP).alias("w"))
+        .agg(F.count("*").alias("n_events"), _dsum("value", "total_value"))
+    )
+    out = _run_to_memory(agg, "stream_session", "complete")
+    return out.select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "n_events",
+        "total_value",
+    ).orderBy("user_id", "session_start")
+
+
+@query(
+    "stream_user_stats_stateful",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+           MIN(ts) AS first_ts,
+           MAX(ts) AS last_ts
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def stream_user_stats_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``
+    (SURVEY §2.10's 'applyInPandasWithState for custom stateful
+    operators'): per-user running profile (event count, purchase count,
+    first/last seen) kept in explicit GroupState and re-emitted each
+    micro-batch. The cumulative columns are monotone, so the final value
+    per user is a min/max over emissions regardless of how availableNow
+    batched the source — deterministic and oracle-checkable. At scale:
+    state is one small row per user, partitioned by the grouping key;
+    eviction policy would use a ProcessingTime/EventTime timeout."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import kept local
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = stream_events(spark, sf_dir).select("user_id", "event_type", "ts")
+
+    def update_user(key, pdfs, state: GroupState):
+        n, np_, first_us, last_us = (
+            state.get if state.exists else (0, 0, None, None)
+        )
+        for pdf in pdfs:
+            n += len(pdf)
+            np_ += int((pdf["event_type"] == "purchase").sum())
+            ts_us = pdf["ts"].astype("int64") // 1000  # ns → µs
+            lo, hi = int(ts_us.min()), int(ts_us.max())
+            first_us = lo if first_us is None else min(first_us, lo)
+            last_us = hi if last_us is None else max(last_us, hi)
+        state.update((n, np_, first_us, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "n_purchases": [np_],
+                "first_us": [first_us],
+                "last_us": [last_us],
+            }
+        )
+
+    emitted = ev.groupBy("user_id").applyInPandasWithState(
+        update_user,
+        outputStructType="user_id long, n_events long, n_purchases long, "
+        "first_us long, last_us long",
+        stateStructType="n long, np long, first_us long, last_us long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = _run_to_memory(emitted, "stream_user_stats", "update")
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("n_purchases").alias("n_purchases"),
+            F.timestamp_micros(F.min("first_us")).alias("first_ts"),
+            F.timestamp_micros(F.max("last_us")).alias("last_ts"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "stream_click_purchase_join",
+    oracle=f"""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+           (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS gap_seconds,
+           p.value AS purchase_value
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts > c.ts
+     AND p.ts <= c.ts + INTERVAL '{JOIN_WINDOW}'
+    ORDER BY click_id, purchase_id
+    """,
+)
+def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: purchases attributed to a same-user
+    click within {JOIN_WINDOW}. Both sides carry a watermark and the join
+    condition bounds event time on both ends, so Spark can evict buffered
+    rows once the watermark passes — the canonical state-bounded
+    stream-stream join. Inner matches emit as they are found; with the
+    bounded fixture drained, the result equals the batch range join the
+    oracle expresses."""
+    clicks = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", WATERMARK_DELAY)
+    )
+    purchases = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", WATERMARK_DELAY)
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {JOIN_WINDOW}")),
+        "inner",
+    )
+    out = _run_to_memory(joined, "stream_join", "append")
+    return out.select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (
+            (F.unix_micros("purchase_ts") - F.unix_micros("click_ts"))
+            / F.lit(1_000_000)
+        )
+        .cast("long")
+        .alias("gap_seconds"),
+        "purchase_value",
+    ).orderBy("click_id", "purchase_id")
 
 
 def write_metrics_stream(spark: SparkSession, sf_dir: str, out_dir: str) -> int:

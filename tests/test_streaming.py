@@ -4,8 +4,12 @@ with their batch twins row-for-row."""
 
 from __future__ import annotations
 
-from cs_5542_lab_6_spark.streaming.batch_twins import events_tumbling_daily
+from cs_5542_lab_6_spark.streaming.batch_twins import (
+    events_session_windows,
+    events_tumbling_daily,
+)
 from cs_5542_lab_6_spark.streaming.stream import (
+    stream_session_windows,
     stream_tumbling_daily,
     write_metrics_stream,
 )
@@ -14,6 +18,12 @@ from cs_5542_lab_6_spark.streaming.stream import (
 def test_stream_equals_batch_twin(spark, sf_dir):
     got = {tuple(r) for r in stream_tumbling_daily(spark, sf_dir).collect()}
     want = {tuple(r) for r in events_tumbling_daily(spark, sf_dir).collect()}
+    assert got == want
+
+
+def test_session_stream_equals_batch_twin(spark, sf_dir):
+    got = {tuple(r) for r in stream_session_windows(spark, sf_dir).collect()}
+    want = {tuple(r) for r in events_session_windows(spark, sf_dir).collect()}
     assert got == want
 
 
