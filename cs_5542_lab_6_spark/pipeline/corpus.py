@@ -729,6 +729,28 @@ def corpus_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_chunk_ratio",
+    oracle=f"""
+    WITH {_CORPUS_CTES}
+    SELECT COUNT(*) AS n_chunks,
+           COUNT(DISTINCT paper_id) AS n_papers,
+           CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT paper_id)
+             AS avg_chunks_per_paper
+    FROM chunks
+    """,
+)
+def corpus_chunk_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 derived ratio (data/ingestion.py:226): average chunks per paper
+    as one aggregation — count over count-distinct, not two separate
+    driver-side len() calls."""
+    return chunks_build(spark, sf_dir).agg(
+        F.count("*").alias("n_chunks"),
+        F.countDistinct("paper_id").alias("n_papers"),
+        (F.count("*") / F.countDistinct("paper_id")).alias("avg_chunks_per_paper"),
+    )
+
+
+@query(
     "kg_two_hop",
     oracle=f"""
     WITH {_CORPUS_CTES},

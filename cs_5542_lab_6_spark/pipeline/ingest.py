@@ -102,6 +102,20 @@ def verify_corpus(spark: SparkSession, out_dir: str) -> dict[str, int]:
     }
 
 
+def write_warehouse_table(df: DataFrame, path: str) -> str:
+    """S4's warehouse-upload shape (data/ingestion.py:430-504): column
+    names uppercased before the write (F14, data/ingestion.py:459) and an
+    ``INGESTED_AT`` load timestamp stamped at write time (F12, the
+    ``DEFAULT CURRENT_TIMESTAMP()`` of sql/01_create_schema.sql:16,29,62).
+    Applied only at the sink boundary — engine-side names stay lowercase,
+    and hash-checked queries exclude the nondeterministic column."""
+    out = df.toDF(*[c.upper() for c in df.columns]).withColumn(
+        "INGESTED_AT", F.current_timestamp()
+    )
+    out.write.mode("overwrite").parquet(path)
+    return path
+
+
 def _has_checkpoint(path: str) -> bool:
     """A parquet checkpoint is complete iff its _SUCCESS marker exists
     (a bare directory from an interrupted write must not satisfy

@@ -11,8 +11,20 @@ from cs_5542_lab_6_spark.pipeline.ingest import (
     build_corpus,
     load_checkpoint,
     verify_corpus,
+    write_warehouse_table,
     year_partition_count,
 )
+
+
+def test_warehouse_writer_uppercases_and_stamps(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "RAW_PAPERS")
+    write_warehouse_table(papers_build(spark, sf_dir), path)
+    wh = spark.read.parquet(path)
+    assert all(c == c.upper() for c in wh.columns)
+    assert "INGESTED_AT" in wh.columns
+    row = wh.select("PAPER_ID", "INGESTED_AT").first()
+    assert row["INGESTED_AT"] is not None
+    assert wh.count() == papers_build(spark, sf_dir).count()
 
 
 def test_build_checkpoint_resume_verify(spark, sf_dir, tmp_path):
