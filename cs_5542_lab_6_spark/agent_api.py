@@ -25,7 +25,7 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from .functions.embedding import embed_query
+from .functions.embedding import duck_embedding_cte, duck_qvec_sql, embed_query
 from .functions.vectors import cosine_score
 from .pipeline.corpus import (
     _DEFAULT_CHUNKS_SQL,
@@ -130,11 +130,27 @@ def run_research_query(
 # ---------------------------------------------------------------------------
 
 
-@query("agent_search_papers")  # embedder-dependent: rows-only check
+_ASP_QUESTION = "distributed join performance"
+
+
+@query(
+    "agent_search_papers",
+    oracle=f"""
+    WITH {_DEFAULT_CHUNKS_SQL},
+    {duck_embedding_cte()}
+    SELECT c.chunk_id, c.paper_id, c.section_name, c.text_content,
+           round(list_dot_product(e.embedding::DOUBLE[],
+                                  {duck_qvec_sql(_ASP_QUESTION)}), 4) AS score
+    FROM chunks c JOIN emb e USING (chunk_id)
+    ORDER BY score DESC, c.chunk_id
+    LIMIT 5
+    """,
+)
 def agent_search_papers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """search_papers with a fixed question — the flagship M5 retrieval
-    through the public tool API."""
-    return search_papers(spark, sf_dir, "distributed join performance", top_k=5)
+    through the public tool API, value-hash checked end to end thanks to
+    the exact-integer embedder (functions/embedding.py)."""
+    return search_papers(spark, sf_dir, _ASP_QUESTION, top_k=5)
 
 
 @query(

@@ -8,13 +8,26 @@ text-sensitive (SURVEY §4.3-2):
 
 - ``embed_text_udf`` — Arrow-batched ``pandas_udf``: token hashes via
   sha256 (executor-local, no model download), then one vectorized numpy
-  projection ``((h·Aᵢ + Bᵢ) mod P)/P − ½`` summed over tokens. This is
+  projection ``mᵢ = (h·Aᵢ + Bᵢ) mod P`` summed over tokens. This is
   the real M2 execution shape: per-executor batch inference, columnar
   transfer, no per-row Python. A real sentence-transformer drops into
   ``_embed_one``'s slot with a lazy executor-local model global.
 - ``embed_query`` — the driver-side replica (M3): byte-for-byte the same
-  arithmetic in plain Python, so a query vector literal matches what the
-  executors produce for identical text.
+  arithmetic, so a query vector literal matches what the executors
+  produce for identical text.
+- ``duck_embedding_cte`` — the DuckDB twin: the arithmetic is *exact
+  integer* until two final IEEE ops, so the oracle reproduces the
+  embedding bit-for-bit and embedder-dependent queries stay value-hash
+  checkable (SURVEY §4.3 item 2).
+
+Exactness scheme (order-independent, hence engine-independent):
+every per-(token,dim) value mᵢ is an integer < P; the per-dim token sum
+Sᵢ and the centered numerator Nᵢ = 2·Sᵢ − count·P are exact int64; the
+squared norm Σ Nᵢ² is an exact Python int / DuckDB HUGEINT. The only
+float ops are one int→double conversion + sqrt + divide — identical
+IEEE-754 in numpy and DuckDB. (An earlier variant summed doubles
+per token; numpy's pairwise summation vs SQL's fold order made
+bit-exact parity impossible.)
 
 An earlier pure-Catalyst version (aggregate/transform lambdas) was
 correct but interpreted per (token × dim) — higher-order functions do not
@@ -25,6 +38,7 @@ The vectorized UDF embeds the same corpus in seconds.
 from __future__ import annotations
 
 import hashlib
+import math
 
 import numpy as np
 import pandas as pd
@@ -43,8 +57,10 @@ _B = np.array([(15485863 * (i + 1)) % _P for i in range(EMBED_DIM)], dtype=np.in
 
 
 def _token_h(tok: str) -> int:
-    """60-bit sha256-derived token hash (same scheme as text.token_hash60)."""
-    return int.from_bytes(hashlib.sha256(tok.encode()).digest()[:8], "big") >> 4
+    """31-bit sha256-derived token hash: the 60-bit scheme of
+    text.token_hash60 reduced mod P, so h·Aᵢ + Bᵢ < 2⁶² — exact in
+    int64 (numpy) and BIGINT (DuckDB) alike, no wraparound emulation."""
+    return (int.from_bytes(hashlib.sha256(tok.encode()).digest()[:8], "big") >> 4) % _P
 
 
 def _embed_one(text: str, cache: dict[str, int]) -> np.ndarray:
@@ -56,12 +72,12 @@ def _embed_one(text: str, cache: dict[str, int]) -> np.ndarray:
         dtype=np.int64,
         count=len(toks),
     )
-    # int64 wrap-around in h*A is deterministic (two's complement); the
-    # modulus folds it back to [0, P).
     m = (hs[:, None] * _A[None, :] + _B[None, :]) % _P
-    v = (m / _P - 0.5).sum(axis=0)
-    n = float(np.sqrt((v * v).sum()))
-    return v / n if n > 0 else v
+    # Exact-integer accumulation (see module docstring): N ∝ the centered
+    # sum Σ(m/P − ½); norm² in exact Python ints (N² would overflow int64).
+    n = 2 * m.sum(axis=0) - len(toks) * _P
+    norm2 = float(sum(int(x) * int(x) for x in n))
+    return n / math.sqrt(norm2) if norm2 > 0 else np.zeros(EMBED_DIM)
 
 
 # explicit DataType (a DDL string would need an active SparkSession at
@@ -87,3 +103,60 @@ def embed_query(text: str) -> list[float]:
     arithmetic to the executor UDF, returned as a plain list for use as a
     broadcast literal."""
     return [float(x) for x in _embed_one(text, {})]
+
+
+def embed_query_f32(text: str) -> list[float]:
+    """``embed_query`` rounded through float32 — the exact values the
+    engine compares against, since embedding columns and query-vector
+    literals are cast to ``array<float>``. Use for oracle SQL literals."""
+    return [float(x) for x in np.array(embed_query(text), dtype=np.float32)]
+
+
+def duck_qvec_sql(text: str) -> str:
+    """The query vector as a DuckDB ``DOUBLE[]`` literal (float32-rounded
+    like the Spark side; ``repr`` round-trips each double exactly)."""
+    return "[" + ", ".join(repr(x) for x in embed_query_f32(text)) + "]::DOUBLE[]"
+
+
+def duck_embedding_cte(
+    src: str = "chunks", id_col: str = "chunk_id", text_col: str = "text_content"
+) -> str:
+    """DuckDB twin of ``embed_text``: CTE chain ending in
+    ``emb({id_col}, embedding FLOAT[])``, bit-identical to the pandas UDF
+    (verified in tests/test_oracle_parity.py via the embedder queries).
+    Rows of ``{src}`` must have ≥1 token — the zero-vector branch has no
+    SQL twin (never exercised: chunks are min-words filtered)."""
+    return f"""
+emb_toks AS (
+  SELECT {id_col},
+         unnest(regexp_split_to_array(trim(lower({text_col})), '\\s+')) AS tok
+  FROM {src}
+),
+emb_h AS (
+  SELECT {id_col},
+         CAST(concat('0x', substr(sha256(tok), 1, 15)) AS BIGINT) % {_P} AS h31
+  FROM emb_toks
+),
+emb_dims AS (
+  SELECT {id_col}, i,
+         (104729 * (i + 1)) % {_P} AS a,
+         (15485863 * (i + 1)) % {_P} AS b,
+         h31
+  FROM emb_h, (SELECT unnest(range(0, {EMBED_DIM})) AS i) dims
+),
+emb_sums AS (
+  SELECT {id_col}, i,
+         CAST(2 * SUM((h31 * a + b) % {_P}) - COUNT(*) * {_P} AS BIGINT) AS n
+  FROM emb_dims GROUP BY {id_col}, i
+),
+emb_norm AS (
+  SELECT {id_col}, sqrt(CAST(SUM(CAST(n AS HUGEINT) * n) AS DOUBLE)) AS nrm
+  FROM emb_sums GROUP BY {id_col}
+),
+emb AS (
+  SELECT s.{id_col},
+         array_agg(CAST(CAST(n AS DOUBLE) / nrm AS FLOAT) ORDER BY i) AS embedding
+  FROM emb_sums s JOIN emb_norm USING ({id_col})
+  GROUP BY s.{id_col}
+)
+"""

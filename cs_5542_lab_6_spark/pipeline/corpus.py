@@ -35,7 +35,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..functions.embedding import embed_query, embed_text
+from ..functions.embedding import (
+    duck_embedding_cte,
+    duck_qvec_sql,
+    embed_query,
+    embed_text,
+)
 from ..functions.text import clean_text, normalize_entity, sha_id, words
 from ..registry import query
 from ..sources import fan_out, load_table
@@ -309,14 +314,42 @@ def chunks_with_embeddings_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("chunks_with_embeddings")  # no oracle: embedder is not SQL-expressible
+@query(
+    "chunks_with_embeddings",
+    oracle=f"""
+    WITH {_DEFAULT_CHUNKS_SQL},
+    {duck_embedding_cte()}
+    SELECT c.chunk_id, c.paper_id, c.chunk_index, c.section_name,
+           c.text_content, c.word_count, c.ingested_at, e.embedding
+    FROM chunks c JOIN emb e USING (chunk_id)
+    ORDER BY c.chunk_id
+    """,
+)
 def chunks_with_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full RAW.CHUNKS analogue incl. the 64-dim embedding column
-    (driver records rows-only; unit tests assert the L2-norm invariant)."""
+    """Full RAW.CHUNKS analogue incl. the 64-dim embedding column. The
+    embedder's exact-integer arithmetic makes even the float32 embedding
+    arrays bit-identical to the DuckDB oracle (functions/embedding.py
+    docstring) — the M2 substitute is fully value-hash checked, not just
+    rows-only."""
     return chunks_with_embeddings_df(spark, sf_dir).orderBy("chunk_id")
 
 
-@query("chunk_vector_topk")  # no oracle: depends on the embedder
+_CVT_QUESTION = "spark join performance"
+
+
+@query(
+    "chunk_vector_topk",
+    oracle=f"""
+    WITH {_DEFAULT_CHUNKS_SQL},
+    {duck_embedding_cte()}
+    SELECT c.chunk_id, c.paper_id, c.section_name,
+           round(list_dot_product(e.embedding::DOUBLE[],
+                                  {duck_qvec_sql(_CVT_QUESTION)}), 4) AS score
+    FROM chunks c JOIN emb e USING (chunk_id)
+    ORDER BY score DESC, c.chunk_id
+    LIMIT 5
+    """,
+)
 def chunk_vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M5 over the engine-built corpus: embed a literal query string with
     the same embedder, score all chunks, top-5 (tools.py:45-92 end to
@@ -325,7 +358,7 @@ def chunk_vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     chunks = chunks_with_embeddings_df(spark, sf_dir)
     qvec = F.array(
-        *[F.lit(x) for x in embed_query("spark join performance")]
+        *[F.lit(x) for x in embed_query(_CVT_QUESTION)]
     ).cast("array<float>")
     return (
         chunks.select(

@@ -59,6 +59,22 @@ def test_token_frequency_topk_plan(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2  # partial+final on token counts
 
 
+@pytest.mark.parametrize(
+    "name",
+    ["order_status_priority_cube", "status_priority_grouping_sets"],
+)
+def test_grouping_set_expansion_single_shuffle(spark, sf_dir, name):
+    import re
+
+    plan = plan_of(spark, sf_dir, name)
+    # map-side Expand feeds one partial+final agg pair — grouping sets
+    # never become a union of separate scans/shuffles
+    assert "Expand" in plan
+    assert "Union" not in plan
+    agg_exchanges = len(re.findall(r"\(\d+\) Exchange hashpartitioning", plan))
+    assert agg_exchanges <= 1, plan
+
+
 @pytest.mark.parametrize("name", ["papers_build", "doc_token_stats"])
 def test_narrow_builders_have_no_join_or_extra_exchange(spark, sf_dir, name):
     import re
