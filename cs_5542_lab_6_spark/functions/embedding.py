@@ -63,19 +63,26 @@ def _token_h(tok: str) -> int:
     return (int.from_bytes(hashlib.sha256(tok.encode()).digest()[:8], "big") >> 4) % _P
 
 
-def _embed_one(text: str, cache: dict[str, int]) -> np.ndarray:
+def _embed_numerator(text: str, cache: dict[str, int]) -> np.ndarray:
+    """The exact-integer centered numerator Nᵢ = 2·Sᵢ − count·P (int64).
+    N fully determines the final embedding (embedding = N / √ΣN²), so it
+    doubles as a formatting-safe cross-engine signature of the vector."""
     toks = text.lower().split()
     if not toks:
-        return np.zeros(EMBED_DIM)
+        return np.zeros(EMBED_DIM, dtype=np.int64)
     hs = np.fromiter(
         (cache.get(t) or cache.setdefault(t, _token_h(t)) for t in toks),
         dtype=np.int64,
         count=len(toks),
     )
     m = (hs[:, None] * _A[None, :] + _B[None, :]) % _P
+    return 2 * m.sum(axis=0) - len(toks) * _P
+
+
+def _embed_one(text: str, cache: dict[str, int]) -> np.ndarray:
     # Exact-integer accumulation (see module docstring): N ∝ the centered
     # sum Σ(m/P − ½); norm² in exact Python ints (N² would overflow int64).
-    n = 2 * m.sum(axis=0) - len(toks) * _P
+    n = _embed_numerator(text, cache)
     norm2 = float(sum(int(x) * int(x) for x in n))
     return n / math.sqrt(norm2) if norm2 > 0 else np.zeros(EMBED_DIM)
 
@@ -96,6 +103,35 @@ def embed_text(col: Column | str) -> Column:
     deterministic. Cast to float to match the fixture embedding type."""
     c = F.col(col) if isinstance(col, str) else col
     return embed_text_udf(c).cast("array<float>")
+
+
+@pandas_udf(T.StringType())
+def embed_signature_udf(texts: pd.Series) -> pd.Series:
+    """Comma-joined int64 numerator vector per text — an exact-integer,
+    formatting-safe serialization of the embedding for driver hash checks
+    (array columns crash the driver's canonicalizer; float→string
+    formatting differs across engines; int64→string does not)."""
+    cache: dict[str, int] = {}
+    return texts.map(
+        lambda t: ",".join(str(int(x)) for x in _embed_numerator(t or "", cache))
+    )
+
+
+def embed_signature(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return embed_signature_udf(c)
+
+
+def duck_embedding_sig_cte(id_col: str = "chunk_id") -> str:
+    """DuckDB twin of ``embed_signature`` — appends an ``emb_sig`` CTE to
+    ``duck_embedding_cte`` (requires its ``emb_sums`` CTE in scope)."""
+    return f"""
+emb_sig AS (
+  SELECT {id_col},
+         string_agg(CAST(n AS VARCHAR), ',' ORDER BY i) AS embedding_sig
+  FROM emb_sums GROUP BY {id_col}
+)
+"""
 
 
 def embed_query(text: str) -> list[float]:

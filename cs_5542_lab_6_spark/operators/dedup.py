@@ -122,7 +122,7 @@ sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
       SELECT sha256(text) AS text_sha,
              COUNT(*) AS dup_count,
              MIN(doc_id) AS keeper_doc_id,
-             list_sort(array_agg(doc_id)) AS member_ids
+             array_to_string(list_sort(array_agg(doc_id)), ',') AS member_ids
       FROM corpus GROUP BY sha256(text)
     )
     SELECT text_sha, dup_count, keeper_doc_id, member_ids
@@ -136,6 +136,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     query plants them deterministically (every 10th doc re-inserted with a
     shifted id) and then finds exactly those groups.
 
+    member_ids is the sorted id list serialized as a comma-joined string —
+    array-typed output columns are not canonicalizable by the driver's
+    hash comparator (pandas sort_values chokes on lists).
+
     At scale: one hash-agg shuffle on a 32-byte key; map-side partial agg
     collapses per-partition duplicates first."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -148,7 +152,13 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("dup_count"),
             F.min("doc_id").alias("keeper_doc_id"),
-            F.sort_array(F.collect_list("doc_id")).alias("member_ids"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("member_ids"),
         )
         .filter(F.col("dup_count") > 1)
         .orderBy("keeper_doc_id")

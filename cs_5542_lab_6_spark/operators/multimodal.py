@@ -108,13 +108,39 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _fake_decode_features(payload: bytes) -> list[float]:
     """Deterministic stand-in for image/audio decode + feature extraction:
     a normalized 16-bin byte histogram. Same contract as a real extractor
-    (fixed-dim float vector per asset)."""
+    (fixed-dim float vector per asset). Reference implementation for the
+    vectorized batch path (pinned equal in tests/test_multimodal.py)."""
     import numpy as np
 
     arr = np.frombuffer(payload, dtype=np.uint8)
     hist = np.bincount(arr % FEATURE_DIM, minlength=FEATURE_DIM).astype("float64")
     total = hist.sum()
     return list(hist / total if total else hist)
+
+
+def _fake_decode_batch(payloads: "pd.Series") -> "pd.DataFrame":
+    """Vectorized fake decode over a whole Arrow batch: one concatenated
+    uint8 buffer, one reshape (payloads are fixed-size), 16 vectorized
+    bin counts — no per-row Python. Falls back to per-row bincount only
+    for ragged batches (never hit with the current asset synthesis)."""
+    import numpy as np
+
+    n = len(payloads)
+    lens = np.fromiter((len(p) for p in payloads), dtype=np.int64, count=n)
+    if n > 0 and lens.min() == lens.max() and lens[0] > 0:
+        mat = np.frombuffer(b"".join(payloads), dtype=np.uint8).reshape(n, lens[0])
+        nib = mat % FEATURE_DIM
+        hist = np.stack([(nib == k).sum(axis=1) for k in range(FEATURE_DIM)], axis=1)
+        feats = hist / lens[:, None].astype("float64")
+    else:  # pragma: no cover - ragged payloads
+        feats = np.stack(
+            [np.array(_fake_decode_features(p)) for p in payloads]
+            or [np.zeros(FEATURE_DIM)] * 0
+        ).reshape(n, FEATURE_DIM)
+    return pd.DataFrame(
+        {f"f{k}": feats[:, k] for k in range(FEATURE_DIM)},
+        index=payloads.index,
+    )
 
 
 def _decode_real(payload: bytes) -> list[float]:  # pragma: no cover
@@ -125,31 +151,63 @@ def _decode_real(payload: bytes) -> list[float]:  # pragma: no cover
     raise NotImplementedError("real decode wiring pending media libs")
 
 
-@query("multimodal_decode_features")  # binary+UDF path: rows-only check
+# DuckDB twin of the fake decode: payload byte k mod 16 is the *low hex
+# nibble* of byte k, i.e. hex char 2k+2 (1-indexed) of the 256-char hex
+# string — so the byte histogram is pure SQL over substr() nibbles.
+_DUCK_FEATURE_COLS = ",\n           ".join(
+    f"CAST(SUM(CASE WHEN v = {k} THEN 1 ELSE 0 END) AS DOUBLE) / 128.0 AS f{k}"
+    for k in range(FEATURE_DIM)
+)
+
+
+@query(
+    "multimodal_decode_features",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'png'
+                  WHEN doc_id % 3 = 1 THEN 'jpeg'
+                  ELSE 'mp4' END AS format,
+             repeat(sha256(text), 4) AS hx
+      FROM documents
+    ),
+    nib AS (
+      SELECT doc_id, CAST(concat('0x', substr(hx, 2 * i.i, 1)) AS INTEGER) AS v
+      FROM a, (SELECT unnest(range(1, 129)) AS i) i
+    )
+    SELECT a.doc_id, a.format, CAST(128 AS INTEGER) AS n_bytes,
+           {_DUCK_FEATURE_COLS}
+    FROM nib JOIN a USING (doc_id)
+    GROUP BY a.doc_id, a.format
+    ORDER BY a.doc_id
+    """,
+)
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched decode/feature-extract over ``mapInPandas``: the
     executor-side pattern for media (M2's batch-inference shape,
-    data/ingestion.py:238-277, applied to bytes). Emits a fixed-dim
-    feature vector per asset; unit tests pin dimensionality, norm and
-    determinism."""
+    data/ingestion.py:238-277, applied to bytes). Emits one scalar column
+    per feature dimension (f0..f15) — hash-checkable by the driver and
+    value-identical to the DuckDB nibble-histogram oracle (count/128 is a
+    power-of-two division, exact in IEEE double on both engines)."""
     a = assets(spark, sf_dir)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [
-                _fake_decode_features(p) if _PIL_IMAGE is None else _decode_real(p)
-                for p in pdf["payload"]
-            ]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "format": pdf["format"],
-                    "n_bytes": pdf["n_bytes"],
-                    "feature": feats,
-                }
+            feats = (
+                _fake_decode_batch(pdf["payload"])
+                if _PIL_IMAGE is None
+                else pd.DataFrame(
+                    [_decode_real(p) for p in pdf["payload"]],
+                    columns=[f"f{k}" for k in range(FEATURE_DIM)],
+                    index=pdf.index,
+                )
             )
+            out = pdf[["doc_id", "format", "n_bytes"]].copy()
+            yield pd.concat([out, feats], axis=1)
 
-    schema = "doc_id long, format string, n_bytes int, feature array<double>"
+    schema = "doc_id long, format string, n_bytes int, " + ", ".join(
+        f"f{k} double" for k in range(FEATURE_DIM)
+    )
     return a.mapInPandas(decode, schema).orderBy("doc_id")
 
 

