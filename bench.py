@@ -32,7 +32,7 @@ HEADLINE = [
     "nation_order_stats",
     "top3_orders_per_customer",
     "topk_expensive_orders",
-    "events_json_props",
+    "events_props_map",
     "chunk_vector_topk",
     "chunks_build",
     "kg_edges_build",

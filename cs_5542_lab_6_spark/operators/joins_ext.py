@@ -145,39 +145,35 @@ def events_range_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "segment_nation_intersect",
+    "segment_nation_setops",
     oracle="""
-    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
-    INTERSECT
-    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
-    ORDER BY c_nationkey
+    WITH building AS (
+      SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+    auto AS (
+      SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+    SELECT 'intersect' AS op, c_nationkey
+    FROM (SELECT c_nationkey FROM building INTERSECT SELECT c_nationkey FROM auto)
+    UNION ALL
+    SELECT 'except', c_nationkey
+    FROM (SELECT c_nationkey FROM building EXCEPT SELECT c_nationkey FROM auto)
+    ORDER BY op, c_nationkey
     """,
 )
-def segment_nation_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT (SURVEY §2.7 gap): nations that have customers in BOTH
-    market segments — hash-based distinct set intersection, one shuffle."""
+def segment_nation_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT + EXCEPT (SURVEY §2.7 gaps) in one tagged result: nations
+    with customers in BOTH segments ('intersect') and nations with
+    BUILDING customers but no AUTOMOBILE customers ('except'). Both are
+    hash-based distinct set operations, one shuffle each; consolidated
+    into a single registry entry (was segment_nation_intersect/_except)
+    to keep the driver's fixed correctness window on distinct operators."""
     c = load_table(spark, sf_dir, "customer")
     building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
     auto = c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_nationkey")
-    return building.intersect(auto).orderBy("c_nationkey")
-
-
-@query(
-    "segment_nation_except",
-    oracle="""
-    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
-    EXCEPT
-    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
-    ORDER BY c_nationkey
-    """,
-)
-def segment_nation_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT (SURVEY §2.7 gap): nations with BUILDING customers but no
-    AUTOMOBILE customers — distinct set difference."""
-    c = load_table(spark, sf_dir, "customer")
-    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
-    auto = c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_nationkey")
-    return building.subtract(auto).orderBy("c_nationkey")
+    both = building.intersect(auto).select(
+        F.lit("intersect").alias("op"), "c_nationkey"
+    )
+    only = building.subtract(auto).select(F.lit("except").alias("op"), "c_nationkey")
+    return both.unionByName(only).orderBy("op", "c_nationkey")
 
 
 @query(
@@ -193,9 +189,9 @@ def segment_nation_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def order_status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (status, priority) — all 2^2 grouping sets in one pass
-    (SURVEY §2.4 noted cube/rollup as free built-ins; rollup is covered
-    by status_priority_rollup). Spark expands grouping sets map-side, so
-    the cube still costs one shuffle."""
+    (SURVEY §2.4 noted cube/rollup as free built-ins; the rollup chain is
+    covered by status_priority_grouping_sets). Spark expands grouping
+    sets map-side, so the cube still costs one shuffle."""
     o = load_table(spark, sf_dir, "orders")
     return (
         o.cube("o_orderstatus", "o_orderpriority")
@@ -219,19 +215,26 @@ def order_status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_orders,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
     FROM orders
-    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
     ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
     """,
 )
 def status_priority_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit GROUPING SETS ((status), (priority)) — the general form
-    cube/rollup specialize (SURVEY §2.4). Two independent one-column
-    aggregations computed in a single scan + single shuffle via map-side
-    grouping-set expansion, instead of two passes unioned."""
+    """Explicit GROUPING SETS — the general form cube/rollup specialize
+    (SURVEY §2.4). The set list ((s,p),(s),()) is exactly the ROLLUP
+    hierarchy, spelled through the general grouping-sets API: one query
+    covers both the explicit-sets operator and the rollup totals it
+    replaced (formerly status_priority_rollup), in a single scan + single
+    shuffle via map-side grouping-set expansion. CUBE keeps its own entry
+    (order_status_priority_cube) since its set list differs."""
     o = load_table(spark, sf_dir, "orders")
     return (
         o.groupingSets(
-            [["o_orderstatus"], ["o_orderpriority"]],
+            [
+                ["o_orderstatus", "o_orderpriority"],
+                ["o_orderstatus"],
+                [],
+            ],
             "o_orderstatus",
             "o_orderpriority",
         )

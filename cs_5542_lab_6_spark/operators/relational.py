@@ -232,50 +232,38 @@ def regional_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "customers_without_orders",
+    "customer_order_presence",
     oracle="""
-    SELECT c_custkey, c_name, c_mktsegment
+    SELECT 'no_orders' AS presence, c_custkey, c_name
     FROM customer
     WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-    ORDER BY c_custkey
-    """,
-)
-def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join — the integrity-check shape SURVEY J4 prescribes for
-    the reference's FK-ordered uploads (data/ingestion.py:430-441)."""
-    cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
-    return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
-        .select("c_custkey", "c_name", "c_mktsegment")
-        .orderBy("c_custkey")
-    )
-
-
-@query(
-    "customers_with_open_orders",
-    oracle="""
-    SELECT c_custkey, c_name
+    UNION ALL
+    SELECT 'open_orders', c_custkey, c_name
     FROM customer
     WHERE EXISTS (SELECT 1 FROM orders
                   WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
-    ORDER BY c_custkey
+    ORDER BY presence, c_custkey
     """,
 )
-def customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-semi join (EXISTS): no row multiplication, the probe side
-    streams — preferred over join+distinct at scale."""
+def customer_order_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti + left-semi joins in one tagged result (consolidated from
+    customers_without_orders / customers_with_open_orders): 'no_orders' is
+    the anti-join integrity-check shape SURVEY J4 prescribes for the
+    reference's FK-ordered uploads (data/ingestion.py:430-441);
+    'open_orders' is the EXISTS semi-join — no row multiplication, the
+    probe side streams, preferred over join+distinct at scale."""
     cust = load_table(spark, sf_dir, "customer")
-    open_orders = (
-        load_table(spark, sf_dir, "orders")
-        .filter(F.col("o_orderstatus") == "O")
-        .select("o_custkey")
+    orders = load_table(spark, sf_dir, "orders")
+    none = (
+        cust.join(orders.select("o_custkey"), cust.c_custkey == F.col("o_custkey"), "left_anti")
+        .select(F.lit("no_orders").alias("presence"), "c_custkey", "c_name")
     )
-    return (
+    open_orders = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    some = (
         cust.join(open_orders, cust.c_custkey == open_orders.o_custkey, "left_semi")
-        .select("c_custkey", "c_name")
-        .orderBy("c_custkey")
+        .select(F.lit("open_orders").alias("presence"), "c_custkey", "c_name")
     )
+    return none.unionByName(some).orderBy("presence", "c_custkey")
 
 
 @query(
@@ -349,31 +337,6 @@ def nation_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("max_order"),
         )
         .orderBy("n_name")
-    )
-
-
-@query(
-    "status_priority_rollup",
-    oracle="""
-    SELECT o_orderstatus, o_orderpriority,
-           COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_value
-    FROM orders
-    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
-    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
-    """,
-)
-def status_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP hierarchy totals (SURVEY §2.4: absent in reference, free in
-    Spark). Same partial-agg + shuffle shape as a flat groupBy."""
-    orders = load_table(spark, sf_dir, "orders")
-    return (
-        orders.rollup("o_orderstatus", "o_orderpriority")
-        .agg(F.count("*").alias("n_orders"), _dsum("o_totalprice", "total_value"))
-        .orderBy(
-            F.col("o_orderstatus").asc_nulls_first(),
-            F.col("o_orderpriority").asc_nulls_first(),
-        )
     )
 
 
@@ -538,31 +501,6 @@ def part_catalog_slugs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("p_partkey")
 
 
-@query(
-    "events_json_props",
-    oracle="""
-    SELECT event_type,
-           COUNT(*) AS n_events,
-           CAST(SUM(CAST(CAST(props->>'k' AS INTEGER) AS BIGINT)) AS BIGINT) AS sum_k,
-           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
-    FROM events
-    GROUP BY event_type
-    ORDER BY event_type
-    """,
-)
-def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F7 analogue: JSON decode in the engine (from_json → map) instead of
-    per-row json.loads (tools.py:77). Semi-structured props parsed once,
-    then aggregated JVM-side."""
-    ev = load_table(spark, sf_dir, "events")
-    props = F.from_json(F.col("props"), "map<string,string>")
-    return (
-        ev.withColumn("k", props.getItem("k").cast("int"))
-        .groupBy("event_type")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.sum(F.col("k").cast("bigint")).alias("sum_k"),
-            _dsum("value", "sum_value"),
-        )
-        .orderBy("event_type")
-    )
+# JSON props handling (F7/P7) lives in operators/semistructured.py:
+# events_props_map parses the props column once into a real MapType and
+# aggregates every key — subsuming the former single-key events_json_props.

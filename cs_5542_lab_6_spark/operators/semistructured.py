@@ -23,7 +23,8 @@ from ..sources import load_table
            COUNT(*) AS n_events,
            CAST(SUM(CAST(props->>k.key AS INTEGER)) AS BIGINT) AS sum_value,
            CAST(MIN(CAST(props->>k.key AS INTEGER)) AS INTEGER) AS min_value,
-           CAST(MAX(CAST(props->>k.key AS INTEGER)) AS INTEGER) AS max_value
+           CAST(MAX(CAST(props->>k.key AS INTEGER)) AS INTEGER) AS max_value,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_event_value
     FROM events, unnest(json_keys(props)) AS k(key)
     GROUP BY event_type, k.key
     ORDER BY event_type, prop_key
@@ -34,12 +35,15 @@ def events_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     from_json, explode the entries, aggregate per (type, key). Malformed
     JSON yields null maps that drop out — PERMISSIVE-mode semantics (P7).
     Schema-on-read for arbitrary keys, unlike the reference's hardcoded
-    single-key extraction."""
+    single-key extraction (the former events_json_props query, subsumed
+    here — sum_event_value carries its event-value aggregate)."""
     ev = load_table(spark, sf_dir, "events")
     parsed = ev.select(
-        "event_type", F.explode(F.from_json("props", "map<string,int>")).alias(
+        "event_type",
+        "value",
+        F.explode(F.from_json("props", "map<string,int>")).alias(
             "prop_key", "prop_value"
-        )
+        ),
     )
     return (
         parsed.groupBy("event_type", "prop_key")
@@ -48,6 +52,9 @@ def events_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("prop_value").alias("sum_value"),
             F.min("prop_value").alias("min_value"),
             F.max("prop_value").alias("max_value"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_event_value"),
         )
         .orderBy("event_type", "prop_key")
     )

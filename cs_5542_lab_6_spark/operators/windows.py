@@ -26,12 +26,14 @@ DEC = "decimal(12,2)"
 @query(
     "top3_orders_per_customer",
     oracle="""
-    SELECT c_custkey, o_orderkey, o_totalprice, rk
+    SELECT c_custkey, o_orderkey, o_totalprice, rk, price_rank, price_dense_rank
     FROM (
       SELECT c_custkey, o_orderkey, o_totalprice,
-             ROW_NUMBER() OVER (PARTITION BY c_custkey
-                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+             ROW_NUMBER() OVER w AS rk,
+             RANK()       OVER w AS price_rank,
+             DENSE_RANK() OVER w AS price_dense_rank
       FROM customer JOIN orders ON c_custkey = o_custkey
+      WINDOW w AS (PARTITION BY c_custkey ORDER BY o_totalprice DESC, o_orderkey)
     )
     WHERE rk <= 3
     ORDER BY c_custkey, rk
@@ -39,8 +41,12 @@ DEC = "decimal(12,2)"
 )
 def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group top-k via row_number — the distributed replacement for
-    the reference's global sort+slice (tools.py:88-89). One shuffle on the
-    partition key; no global sort."""
+    the reference's global sort+slice (tools.py:88-89) — plus rank /
+    dense_rank over the same window (consolidated from the former
+    order_value_rank_dense; ntile/percent_rank/cume_dist live in
+    customer_balance_distribution). Catalyst collapses all three ranking
+    functions into one Window node: one shuffle on the partition key, no
+    global sort."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     w = W.partitionBy("c_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
@@ -48,6 +54,8 @@ def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.join(orders, cust.c_custkey == orders.o_custkey)
         .select("c_custkey", "o_orderkey", "o_totalprice")
         .withColumn("rk", F.row_number().over(w))
+        .withColumn("price_rank", F.rank().over(w))
+        .withColumn("price_dense_rank", F.dense_rank().over(w))
         .filter(F.col("rk") <= 3)
         .orderBy("c_custkey", "rk")
     )
@@ -88,40 +96,6 @@ def supplier_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber")
-    )
-
-
-@query(
-    "order_value_rank_dense",
-    oracle="""
-    SELECT o_orderkey, o_orderstatus, o_totalprice,
-           RANK()       OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey) AS price_rank,
-           DENSE_RANK() OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority) AS prio_dense_rank,
-           NTILE(4)     OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey) AS price_quartile
-    FROM orders
-    WHERE o_orderkey <= 1000
-    ORDER BY o_orderkey
-    """,
-)
-def order_value_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rank / dense_rank / ntile in one pass over a shared partition key —
-    Catalyst collapses same-window functions into a single Window node."""
-    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
-    by_price_desc = W.partitionBy("o_orderstatus").orderBy(
-        F.desc("o_totalprice"), F.asc("o_orderkey")
-    )
-    by_prio = W.partitionBy("o_orderstatus").orderBy("o_orderpriority")
-    by_price_asc = W.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
-    return (
-        orders.select(
-            "o_orderkey",
-            "o_orderstatus",
-            "o_totalprice",
-            F.rank().over(by_price_desc).alias("price_rank"),
-            F.dense_rank().over(by_prio).alias("prio_dense_rank"),
-            F.ntile(4).over(by_price_asc).alias("price_quartile"),
-        )
-        .orderBy("o_orderkey")
     )
 
 

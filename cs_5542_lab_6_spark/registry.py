@@ -34,11 +34,101 @@ class Q:
 
 _REGISTRY: dict[str, Q] = {}
 
+# Driver-facing registration order. The correctness harness evaluates a
+# bounded prefix of ``queries()`` (50 entries in round 1), so ordering IS
+# the verification budget: reference-parity queries (corpus pipeline, KG,
+# agent tools, SQL runner, streaming batch twins — the operators a user
+# of the reference actually runs) come first, then the LLM-data-pipeline
+# families (dedup/ANN/text/multimodal/sketches), then one representative
+# of each beyond-reference operator family. Everything not listed keeps
+# module registration order after the listed prefix — those are the
+# beyond-reference extras whose operator shapes are already represented
+# inside the prefix, plus the streaming queries whose semantics are
+# asserted stream≡batch≡oracle in tests/test_streaming.py.
+_PRIORITY: tuple[str, ...] = (
+    # Reference-parity corpus pipeline (SURVEY §3.3 stages 1-4 + queries)
+    "papers_build",
+    "chunks_build",
+    "chunk_windows_demo",
+    "chunks_with_embeddings",
+    "chunk_vector_topk",
+    "kg_map_build",
+    "kg_nodes_build",
+    "kg_edges_build",
+    "chunks_view",
+    "kg_neighborhood",
+    "kg_two_hop",
+    "corpus_verify",
+    "corpus_chunk_ratio",
+    # Agent tool surface (M8-M9)
+    "agent_search_papers",
+    "agent_paper_details",
+    "agent_chunk_context",
+    # SQL script runner (S12)
+    "sql_script_segment_revenue",
+    # Streaming window semantics, batch-twin form (§2.10)
+    "events_tumbling_daily",
+    "events_sliding_2d",
+    "events_session_windows",
+    "eval_metrics_log",
+    # Flagship retrieval (M5/S6)
+    "vector_topk",
+    "vector_topk_filtered",
+    "doc_lookup",
+    # Deduplication family
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_nn",
+    # Similarity search family
+    "ann_brute_force_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    # Text analysis family
+    "doc_token_stats",
+    "doc_language_id",
+    "doc_quality_scores",
+    "doc_fingerprints",
+    "corpus_token_frequencies",
+    # Multimodal family
+    "multimodal_metadata",
+    "multimodal_decode_features",
+    "multimodal_frame_sample",
+    # Skew / approximate aggregation
+    "events_salted_type_stats",
+    "orders_approx_stats",
+    # Semi-structured
+    "events_props_map",
+    "lineitem_unpivot_metrics",
+    # Extended joins / sets / windows representatives
+    "events_asof_last_click",
+    "events_range_pairs",
+    "segment_nation_setops",
+    "top3_orders_per_customer",
+    "customer_balance_distribution",
+    "nation_order_stats",
+)
+
 
 def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
     if name in _REGISTRY:
         raise ValueError(f"duplicate query name {name!r}")
     _REGISTRY[name] = Q(fn, oracle)
+
+
+def _ordered() -> dict[str, Q]:
+    """Registry in driver-facing order: the _PRIORITY prefix, then the
+    remaining registrations in module import order."""
+    _load_all_modules()
+    out: dict[str, Q] = {}
+    for name in _PRIORITY:
+        if name in _REGISTRY:
+            out[name] = _REGISTRY[name]
+    for name, q in _REGISTRY.items():
+        if name not in out:
+            out[name] = q
+    return out
 
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
@@ -52,13 +142,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 def all_queries() -> dict[str, QueryFn]:
-    _load_all_modules()
-    return {name: q.fn for name, q in _REGISTRY.items()}
+    return {name: q.fn for name, q in _ordered().items()}
 
 
 def all_oracles() -> dict[str, str]:
-    _load_all_modules()
-    return {name: q.oracle for name, q in _REGISTRY.items() if q.oracle is not None}
+    return {name: q.oracle for name, q in _ordered().items() if q.oracle is not None}
 
 
 _LOADED = False
