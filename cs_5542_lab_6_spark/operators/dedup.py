@@ -506,14 +506,14 @@ def dedup_embedding_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine near-dup detection (a full threshold scan is the same plan
     with a WHERE on cosine).
 
-    Scale shape: blocking turns O(n²) into Σ|block|²; the label key has
-    low cardinality, so a shuffle join would collapse onto ~10 partitions
-    — instead the probe side stays fanned out and the build side is
-    broadcast (vectors are the small table here), so pair generation and
-    the dot products run on every core. The per-vector argmax is one
-    window pass. For un-blocked corpora the LSH route (``ann_lsh_topk``)
-    replaces the equi-join; for a build side too big to broadcast, salt
-    the label key."""
+    Scale shape: blocking turns O(n²) into Σ|block|²; the per-vector
+    argmax is one window pass. No broadcast hint on either side — the
+    full embeddings table is exactly the relation that will NOT fit a
+    broadcast at scale, so the planner chooses from size stats
+    (auto-broadcast locally, sort-merge on the label key beyond the
+    threshold, with AQE skew-splitting for hot labels). For un-blocked
+    corpora the LSH route (``ann_lsh_topk``) replaces the equi-join; for
+    pathologically hot labels, salt the label key."""
     e = (
         fan_out(load_table(spark, sf_dir, "embeddings"), "vec_id")
         .select(
@@ -530,7 +530,7 @@ def dedup_embedding_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    a, b = e.alias("a"), F.broadcast(e).alias("b")
+    a, b = e.alias("a"), e.alias("b")
     dot_ab = F.aggregate(
         F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
         F.lit(0.0),

@@ -44,6 +44,13 @@ def cosine_topk(
     Determinism contract (SURVEY §4.4): scores rounded to 4 decimals
     (reference rounds too, tools.py:85) and ordering carries a ``doc_id``
     tiebreaker so the selected top-k set is engine-independent.
+
+    Join strategy: only the 1-row query vector carries an explicit
+    broadcast hint. documents has the same cardinality as embeddings, so
+    hinting it broadcast would OOM the build side at scale — the planner
+    picks broadcast vs sort-merge from size stats (auto-broadcast under
+    the threshold locally, shuffle join beyond it), and AQE re-plans at
+    runtime. Asserted in tests/test_plans.py both ways.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     docs = load_table(spark, sf_dir, "documents")
@@ -53,7 +60,7 @@ def cosine_topk(
     )
     scored = (
         emb.crossJoin(F.broadcast(qvec))  # 1-row dim side: broadcast, no shuffle
-        .join(F.broadcast(docs), emb.vec_id == docs.doc_id, "inner")
+        .join(docs, emb.vec_id == docs.doc_id, "inner")
         .select(
             "doc_id",
             "lang",
@@ -110,7 +117,7 @@ def vector_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         emb.crossJoin(F.broadcast(qvec))
-        .join(F.broadcast(docs), emb.vec_id == docs.doc_id, "inner")
+        .join(docs, emb.vec_id == docs.doc_id, "inner")  # size-based strategy
         .select("doc_id", "label", cosine_score("embedding", "qvec").alias("score"))
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(10)

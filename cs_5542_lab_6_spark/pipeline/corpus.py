@@ -589,12 +589,15 @@ def kg_edges_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def chunks_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """APP.CHUNKS_V analogue (sql/01_create_schema.sql:78-93): the J1
-    fact ⋈ small-dim inner equi-join, dim side broadcast so the view adds
-    zero shuffles over the chunk scan."""
+    fact ⋈ dim inner equi-join. papers is derived from ALL documents —
+    same cardinality class as the fact side — so no broadcast hint: the
+    planner auto-broadcasts while papers fits the threshold and degrades
+    to a shuffle join beyond it (a forced broadcast of every paper would
+    OOM the build side at 100 TB)."""
     chunks = _chunk_documents(spark, sf_dir)
     papers = papers_build(spark, sf_dir).select("paper_id", "title", "source", "categories")
     return (
-        chunks.join(F.broadcast(papers), "paper_id")
+        chunks.join(papers, "paper_id")
         .select(
             "chunk_id",
             "paper_id",
