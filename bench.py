@@ -36,6 +36,8 @@ HEADLINE = [
     "chunk_vector_topk",
     "chunks_build",
     "kg_edges_build",
+    "kg_two_hop",
+    "events_sliding_2d",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_nn",
@@ -49,6 +51,8 @@ HEADLINE = [
 
 
 def main() -> None:
+    from cs_5542_lab_6_spark.pipeline import corpus
+    from cs_5542_lab_6_spark.pipeline.ingest import build_corpus
     from cs_5542_lab_6_spark.registry import all_queries
     from cs_5542_lab_6_spark.session import get_spark
 
@@ -61,6 +65,18 @@ def main() -> None:
     queries[names[0]](spark, SF_DIR).count()
 
     timings: dict[str, float] = {}
+
+    # Materialize the corpus warehouse first (the reference's chunk-cache
+    # idiom, agent.py:44-63): the retrieval/KG query layer then scans the
+    # parquet checkpoints instead of re-chunking + re-embedding per query.
+    # Rebuilt from scratch every run (resume=False) so a stale warehouse
+    # can never leak into timings; the build cost is reported as its own
+    # line item. Cold-path build costs remain visible via the
+    # chunks_build / kg_edges_build entries, which always derive from raw.
+    os.environ.setdefault(corpus.WAREHOUSE_ENV, "/tmp/spark_graft_warehouse")
+    t0 = time.perf_counter()
+    build_corpus(spark, SF_DIR, corpus.warehouse_dir(SF_DIR), resume=False)
+    timings["warehouse_build"] = round(time.perf_counter() - t0, 4)
     for name in names:
         t0 = time.perf_counter()
         df = queries[name](spark, SF_DIR)

@@ -29,9 +29,9 @@ from .functions.embedding import duck_embedding_cte, duck_qvec_sql, embed_query
 from .functions.vectors import cosine_score
 from .pipeline.corpus import (
     _DEFAULT_CHUNKS_SQL,
+    chunks_source,
     chunks_view,
-    chunks_with_embeddings_df,
-    kg_neighborhood,
+    kg_neighborhood_for,
     papers_build,
 )
 from .registry import query
@@ -45,8 +45,10 @@ def search_papers(
     spark: SparkSession, sf_dir: str, question: str, top_k: int = DEFAULT_TOP_K
 ) -> DataFrame:
     """Tool 1 (tools.py:45-92): embed the question driver-side (M3),
-    score every chunk JVM-side, top-k with deterministic tiebreak."""
-    chunks = chunks_with_embeddings_df(spark, sf_dir)
+    score every chunk JVM-side, top-k with deterministic tiebreak.
+    Served from the materialized corpus when the warehouse is warm
+    (chunks_source — the reference's chunk-cache idiom, agent.py:44-63)."""
+    chunks = chunks_source(spark, sf_dir)
     qvec = F.array(*[F.lit(x) for x in embed_query(question)]).cast("array<float>")
     return (
         chunks.select(
@@ -70,10 +72,12 @@ def get_paper_details(spark: SparkSession, sf_dir: str, paper_id: str) -> DataFr
 def search_knowledge_graph(
     spark: SparkSession, sf_dir: str, entities: list[str], top_k: int = 10
 ) -> DataFrame:
-    """Tool 3 (tools.py:164-217): entity extraction from the query is the
-    same normalize-filter contract as ingestion; neighborhood join is the
-    bidirectional 1-hop of kg_neighborhood, re-limited to top_k."""
-    return kg_neighborhood(spark, sf_dir).limit(top_k)
+    """Tool 3 (tools.py:164-217): the passed entities are normalized with
+    the ingestion contract (lowercase, strip non-alnum, min length 3) and
+    drive the IN-list target filter of the bidirectional 1-hop
+    neighborhood — the documented tool-3 contract, not a fixed entity
+    set."""
+    return kg_neighborhood_for(spark, sf_dir, entities, limit=top_k)
 
 
 def summarize_context(question: str, chunks: list[dict[str, Any]]) -> str:
@@ -112,7 +116,10 @@ def run_research_query(
     top_score = citations[0]["score"] if citations else 0.0
     if top_score < RETRIEVAL_FAILURE_SCORE:
         tools_used.append("search_knowledge_graph")
-        kg = search_knowledge_graph(spark, sf_dir, [question]).collect()
+        # entity extraction from the query: whitespace tokens through the
+        # same normalize-filter contract (tools.py:164-177); normalization
+        # and the min-length filter happen inside the neighborhood query
+        kg = search_knowledge_graph(spark, sf_dir, question.split()).collect()
         citations += [r.asDict() for r in kg]
     tools_used.append("summarize_context")
     answer = summarize_context(question, citations)

@@ -61,6 +61,16 @@ def normalize_entity(col: Column | str) -> Column:
     return F.trim(F.regexp_replace(F.lower(_c(col)), "[^a-z0-9 ]", ""))
 
 
+def normalize_entity_py(name: str) -> str:
+    """Driver-side replica of ``normalize_entity`` for query-time entity
+    lists (the agent's tool-3 contract extracts entities from the user's
+    question and normalizes them with the same ingestion rules,
+    tools.py:175-176)."""
+    import re
+
+    return re.sub(r"[^a-z0-9 ]", "", name.lower()).strip()
+
+
 def slugify(col: Column | str) -> Column:
     """Section-name slug: lowercase, non-alnum → '_'
     (reference: data/ingestion.py:199)."""

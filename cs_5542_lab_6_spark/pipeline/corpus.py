@@ -32,6 +32,8 @@ Scale notes (100 TB design point):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -316,6 +318,52 @@ def chunks_with_embeddings_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Warm-warehouse sources (the reference's chunk cache, agent.py:44-63)
+# ---------------------------------------------------------------------------
+#
+# The reference pre-fetches the whole chunk table once and serves every
+# retrieval query from that cache (52s → 9s per task1_cursor_report.md:54).
+# The engine's analogue: when ``ingest.build_corpus`` has materialized the
+# corpus under $SPARK_GRAFT_WAREHOUSE/<sf>/<stage>, query-layer operators
+# scan those parquet checkpoints instead of re-deriving chunks/entities
+# from raw text per query. Opt-in via the env var so driver correctness
+# runs stay hermetic (cold path ≡ warm path is asserted in
+# tests/test_ingest.py); at 100 TB the warm path is the only sane one —
+# retrieval must not re-chunk and re-embed the corpus per query.
+
+WAREHOUSE_ENV = "SPARK_GRAFT_WAREHOUSE"
+
+
+def warehouse_dir(sf_dir: str) -> str | None:
+    root = os.environ.get(WAREHOUSE_ENV)
+    if not root:
+        return None
+    return os.path.join(root, os.path.basename(sf_dir.rstrip("/")))
+
+
+def _warm_path(sf_dir: str, stage: str) -> str | None:
+    """Checkpoint dir for a stage iff complete (_SUCCESS), else None."""
+    base = warehouse_dir(sf_dir)
+    if not base:
+        return None
+    path = os.path.join(base, stage)
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    return None
+
+
+def chunks_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedded chunks for the retrieval layer: the materialized ``chunks``
+    checkpoint when warm (a pure parquet scan — column pruning drops
+    text_content when only embeddings are scored), the stage-2+3 derivation
+    otherwise."""
+    p = _warm_path(sf_dir, "chunks")
+    if p:
+        return spark.read.parquet(p)
+    return chunks_with_embeddings_df(spark, sf_dir)
+
+
 @query(
     "chunks_with_embeddings",
     oracle=f"""
@@ -364,10 +412,12 @@ _CVT_QUESTION = "spark join performance"
 def chunk_vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M5 over the engine-built corpus: embed a literal query string with
     the same embedder, score all chunks, top-5 (tools.py:45-92 end to
-    end, with chunk_id tiebreak)."""
+    end, with chunk_id tiebreak). Reads the materialized corpus when a
+    warm warehouse exists (chunks_source) — retrieval latency then
+    matches vector_topk instead of paying a full re-chunk + re-embed."""
     from ..functions.vectors import cosine_score
 
-    chunks = chunks_with_embeddings_df(spark, sf_dir)
+    chunks = chunks_source(spark, sf_dir)
     qvec = F.array(
         *[F.lit(x) for x in embed_query(_CVT_QUESTION)]
     ).cast("array<float>")
@@ -617,6 +667,105 @@ KG_QUERY_ENTITIES = ("spark", "join", "filter")
 _IN_LIST = ", ".join(f"'{e}'" for e in KG_QUERY_ENTITIES)
 
 
+def _kg_relations(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(edges, firsts) for the KG query layer.
+
+    edges: undirected co-occurrence weights aggregated over papers
+    (src < tgt canonical); firsts: (node_id, name_normalized, name) with
+    first-writer-wins naming (M7). Served from the kg_nodes/kg_edges
+    warehouse checkpoints when warm — summing the per-paper checkpoint
+    weights gives exactly the cold path's pair counts — and derived from
+    raw text otherwise (the reference re-queries its warehouse the same
+    way, tools.py:182-217, rather than re-running NER per query)."""
+    pn, pe = _warm_path(sf_dir, "kg_nodes"), _warm_path(sf_dir, "kg_edges")
+    if pn and pe:
+        nodes = spark.read.parquet(pn)
+        edges = (
+            spark.read.parquet(pe)
+            .groupBy("source_node_id", "target_node_id")
+            .agg(F.sum("weight").alias("weight"))
+        )
+        firsts = nodes.select("node_id", "name_normalized", "name")
+        return edges, firsts
+    ents = chunk_entities_df(spark, sf_dir).select(
+        "chunk_id", "paper_id", "chunk_index", "pos", "token", "name_normalized", "node_id"
+    )
+    a = ents.alias("a")
+    b = ents.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.node_id") < F.col("b.node_id")),
+        )
+        .groupBy(
+            F.col("a.node_id").alias("source_node_id"),
+            F.col("b.node_id").alias("target_node_id"),
+        )
+        .agg(F.count("*").cast("double").alias("weight"))
+    )
+    global_order = W.partitionBy("node_id").orderBy("paper_id", "chunk_index", "pos")
+    firsts = (
+        ents.withColumn("g", F.row_number().over(global_order))
+        .filter(F.col("g") == 1)
+        .select("node_id", "name_normalized", F.col("token").alias("name"))
+    )
+    return edges, firsts
+
+
+def kg_neighborhood_for(
+    spark: SparkSession,
+    sf_dir: str,
+    entities: tuple[str, ...] | list[str] = KG_QUERY_ENTITIES,
+    limit: int = 25,
+) -> DataFrame:
+    """Parameterized bidirectional 1-hop neighborhood (tools.py:182-217):
+    the entity list is normalized with the ingestion contract and applied
+    as the IN-list target filter — the agent façade passes the entities it
+    extracted from the user's question (tool-3 contract)."""
+    from ..functions.text import normalize_entity_py
+
+    normed = [normalize_entity_py(e) for e in entities]
+    normed = [e for e in normed if len(e) >= KG_MIN_NAME_LENGTH]
+    edges, firsts = _kg_relations(spark, sf_dir)
+    targets = firsts.filter(F.col("name_normalized").isin(normed)).select(
+        "node_id", "name"
+    )
+    n2 = firsts.select(
+        F.col("node_id").alias("n2_id"), F.col("name").alias("neighbor_name")
+    )
+    out = (
+        F.broadcast(targets)
+        .join(edges, targets.node_id == edges.source_node_id)
+        .join(n2, edges.target_node_id == F.col("n2_id"))
+        .select(
+            F.col("name").alias("entity_name"),
+            "neighbor_name",
+            F.lit("CO_OCCURS").alias("relation_type"),
+            "weight",
+            F.lit("out").alias("direction"),
+        )
+    )
+    inc = (
+        F.broadcast(targets)
+        .join(edges, targets.node_id == edges.target_node_id)
+        .join(n2, edges.source_node_id == F.col("n2_id"))
+        .select(
+            F.col("name").alias("entity_name"),
+            "neighbor_name",
+            F.lit("CO_OCCURS").alias("relation_type"),
+            "weight",
+            F.lit("in").alias("direction"),
+        )
+    )
+    return (
+        out.unionAll(inc)
+        .withColumn("weight", F.coalesce("weight", F.lit(1.0)))
+        .orderBy(F.desc("weight"), "entity_name", "neighbor_name", "direction")
+        .limit(limit)
+    )
+
+
 @query(
     "kg_neighborhood",
     oracle=f"""
@@ -666,65 +815,10 @@ def kg_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     summed out via COUNT over all pairs) keep the query deterministic.
 
     Scale shape: target_nodes is tiny (IN-list) → broadcast to both
-    direction joins; edges shuffle once on the join key.
+    direction joins; edges shuffle once on the join key. Reads the
+    materialized kg_nodes/kg_edges checkpoints when warm (_kg_relations).
     """
-    ents = chunk_entities_df(spark, sf_dir).select(
-        "chunk_id", "paper_id", "chunk_index", "pos", "token", "name_normalized", "node_id"
-    )
-    a = ents.alias("a")
-    b = ents.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.chunk_id") == F.col("b.chunk_id"))
-            & (F.col("a.node_id") < F.col("b.node_id")),
-        )
-        .groupBy(
-            F.col("a.node_id").alias("source_node_id"),
-            F.col("b.node_id").alias("target_node_id"),
-        )
-        .agg(F.count("*").cast("double").alias("weight"))
-    )
-    global_order = W.partitionBy("node_id").orderBy("paper_id", "chunk_index", "pos")
-    firsts = (
-        ents.withColumn("g", F.row_number().over(global_order))
-        .filter(F.col("g") == 1)
-        .select("node_id", "name_normalized", F.col("token").alias("name"))
-    )
-    targets = firsts.filter(F.col("name_normalized").isin(*KG_QUERY_ENTITIES)).select(
-        "node_id", "name"
-    )
-    n2 = firsts.select(F.col("node_id").alias("n2_id"), F.col("name").alias("neighbor_name"))
-    out = (
-        F.broadcast(targets)
-        .join(edges, targets.node_id == edges.source_node_id)
-        .join(n2, edges.target_node_id == F.col("n2_id"))
-        .select(
-            F.col("name").alias("entity_name"),
-            "neighbor_name",
-            F.lit("CO_OCCURS").alias("relation_type"),
-            "weight",
-            F.lit("out").alias("direction"),
-        )
-    )
-    inc = (
-        F.broadcast(targets)
-        .join(edges, targets.node_id == edges.target_node_id)
-        .join(n2, edges.source_node_id == F.col("n2_id"))
-        .select(
-            F.col("name").alias("entity_name"),
-            "neighbor_name",
-            F.lit("CO_OCCURS").alias("relation_type"),
-            "weight",
-            F.lit("in").alias("direction"),
-        )
-    )
-    return (
-        out.unionAll(inc)
-        .withColumn("weight", F.coalesce("weight", F.lit(1.0)))
-        .orderBy(F.desc("weight"), "entity_name", "neighbor_name", "direction")
-        .limit(25)
-    )
+    return kg_neighborhood_for(spark, sf_dir, KG_QUERY_ENTITIES, limit=25)
 
 
 @query(
@@ -839,17 +933,13 @@ def kg_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture graph is dense enough that the strictly-2-hop-exclusive set is
     empty, so the query reports path strength instead). Two self-joins on
     the aggregated edge relation — one BFS frontier expansion; at scale
-    each hop is one shuffle join with the frontier broadcast when small."""
-    ents = chunk_entities_df(spark, sf_dir).select("chunk_id", "node_id")
-    a, b = ents.alias("a"), ents.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.chunk_id") == F.col("b.chunk_id"))
-            & (F.col("a.node_id") < F.col("b.node_id")),
-        )
-        .groupBy(F.col("a.node_id").alias("src"), F.col("b.node_id").alias("tgt"))
-        .agg(F.count("*").cast("double").alias("weight"))
+    each hop is one shuffle join with the frontier broadcast when small.
+    Reads the materialized kg_edges checkpoint when warm (_kg_relations)."""
+    edges, _ = _kg_relations(spark, sf_dir)
+    edges = edges.select(
+        F.col("source_node_id").alias("src"),
+        F.col("target_node_id").alias("tgt"),
+        "weight",
     )
     und = edges.unionByName(
         edges.select(

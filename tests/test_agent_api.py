@@ -7,9 +7,23 @@ from __future__ import annotations
 from cs_5542_lab_6_spark.agent_api import (
     CITATION_CAP,
     run_research_query,
+    search_knowledge_graph,
     search_papers,
     summarize_context,
 )
+from cs_5542_lab_6_spark.functions.text import normalize_entity_py
+
+
+def test_search_knowledge_graph_honors_entities(spark, sf_dir):
+    """Tool-3 contract: the passed entity list drives the target filter
+    (normalized with the ingestion rules), not a fixed set."""
+    spark_rows = search_knowledge_graph(spark, sf_dir, ["Spark!"], top_k=10).collect()
+    assert spark_rows
+    assert {normalize_entity_py(r["entity_name"]) for r in spark_rows} == {"spark"}
+    join_rows = search_knowledge_graph(spark, sf_dir, ["join"], top_k=10).collect()
+    assert {normalize_entity_py(r["entity_name"]) for r in join_rows} == {"join"}
+    # sub-min-length entities are filtered, not matched
+    assert search_knowledge_graph(spark, sf_dir, ["a"], top_k=10).count() == 0
 
 
 def test_search_papers_tool(spark, sf_dir):

@@ -58,3 +58,26 @@ def test_build_checkpoint_resume_verify(spark, sf_dir, tmp_path):
 
     # FK integrity: zero orphans everywhere
     assert set(verify_corpus(spark, out).values()) == {0}
+
+
+def test_warm_warehouse_queries_equal_cold(spark, sf_dir, tmp_path, monkeypatch):
+    """The query layer served from materialized checkpoints must be
+    row-identical to the cold raw-text derivation — the warm path is a
+    cache, never a semantic fork (reference chunk cache, agent.py:44-63)."""
+    from cs_5542_lab_6_spark.pipeline import corpus as C
+    from cs_5542_lab_6_spark.registry import all_queries
+
+    names = ["chunk_vector_topk", "kg_neighborhood", "kg_two_hop"]
+    qs = all_queries()
+
+    monkeypatch.delenv(C.WAREHOUSE_ENV, raising=False)
+    cold = {n: sorted(map(tuple, qs[n](spark, sf_dir).collect())) for n in names}
+
+    root = tmp_path / "wh"
+    out = str(root / os.path.basename(sf_dir.rstrip("/")))
+    build_corpus(spark, sf_dir, out, resume=False)
+    monkeypatch.setenv(C.WAREHOUSE_ENV, str(root))
+    assert C._warm_path(sf_dir, "chunks") is not None  # warm path engaged
+    warm = {n: sorted(map(tuple, qs[n](spark, sf_dir).collect())) for n in names}
+
+    assert warm == cold
