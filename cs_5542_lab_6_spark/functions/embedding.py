@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import os
 
 import numpy as np
 import pandas as pd
@@ -87,15 +88,71 @@ def _embed_one(text: str, cache: dict[str, int]) -> np.ndarray:
     return n / math.sqrt(norm2) if norm2 > 0 else np.zeros(EMBED_DIM)
 
 
+# ---------------------------------------------------------------------------
+# Real-model seam (M2 contract, data/ingestion.py:238-277)
+# ---------------------------------------------------------------------------
+#
+# The reference encodes with a SentenceTransformer in batches of 64; the
+# engine's default is the deterministic hash projection above so the
+# corpus stays oracle-checkable. Setting $SPARK_GRAFT_EMBED_MODEL to a
+# sentence-transformers model name swaps the real encoder into the SAME
+# pandas-UDF slot — executor-local lazy singleton (M6, tools.py:32-38),
+# batch inference, L2-normalized output. Real-model mode is intentionally
+# NOT oracle-checkable (the DuckDB twin mirrors the hash arithmetic);
+# correctness runs leave the env unset.
+
+EMBED_MODEL_ENV = "SPARK_GRAFT_EMBED_MODEL"
+
+# executor-local lazy encoder singleton: list[str] -> (n, dim) float64
+_ENCODER = None
+
+
+def _load_real_encoder():
+    """Real encoder when $SPARK_GRAFT_EMBED_MODEL names a model; None
+    otherwise (and the hash projection stays in charge)."""
+    name = os.environ.get(EMBED_MODEL_ENV)
+    if not name:
+        return None
+    from sentence_transformers import SentenceTransformer  # lazy heavy import
+
+    model = SentenceTransformer(name)
+
+    def encode(texts: list[str]) -> np.ndarray:
+        mat = np.asarray(
+            model.encode(list(texts), batch_size=64, normalize_embeddings=True),
+            dtype=np.float64,
+        )
+        assert mat.ndim == 2, "encoder must return one fixed-dim vector per text"
+        return mat
+
+    return encode
+
+
+def _hash_encode(texts: list[str]) -> np.ndarray:
+    """Default deterministic encoder: the exact-integer hash projection.
+    A per-batch token-hash cache plays the role of the model singleton."""
+    cache: dict[str, int] = {}
+    if not texts:
+        return np.zeros((0, EMBED_DIM))
+    return np.stack([_embed_one(t or "", cache) for t in texts])
+
+
+def _get_encoder():
+    """Executor-local lazy init (M6): resolved once per Python worker."""
+    global _ENCODER
+    if _ENCODER is None:
+        _ENCODER = _load_real_encoder() or _hash_encode
+    return _ENCODER
+
+
 # explicit DataType (a DDL string would need an active SparkSession at
 # import time)
 @pandas_udf(T.ArrayType(T.DoubleType()))
 def embed_text_udf(texts: pd.Series) -> pd.Series:
-    """Batch embedding (M2): one vectorized projection per Arrow batch.
-    A per-batch token-hash cache plays the role of the executor-local
-    model singleton (M6, tools.py:32-38)."""
-    cache: dict[str, int] = {}
-    return texts.map(lambda t: list(_embed_one(t or "", cache)))
+    """Batch embedding (M2): one vectorized projection (or real-model
+    batch inference — see the seam above) per Arrow batch."""
+    mat = _get_encoder()(list(texts))
+    return pd.Series([list(row) for row in mat], index=texts.index)
 
 
 def embed_text(col: Column | str) -> Column:
@@ -135,10 +192,11 @@ emb_sig AS (
 
 
 def embed_query(text: str) -> list[float]:
-    """Driver-side query embedding (M3, tools.py:63-64): identical
-    arithmetic to the executor UDF, returned as a plain list for use as a
-    broadcast literal."""
-    return [float(x) for x in _embed_one(text, {})]
+    """Driver-side query embedding (M3, tools.py:63-64): the same encoder
+    the executors use (real model when the seam is active, hash projection
+    otherwise — query and corpus must always share one model), returned as
+    a plain list for use as a broadcast literal."""
+    return [float(x) for x in _get_encoder()([text])[0]]
 
 
 def embed_query_f32(text: str) -> list[float]:

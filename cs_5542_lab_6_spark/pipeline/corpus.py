@@ -475,13 +475,25 @@ def chunk_entities_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     naming window, the paper_count agg) — one materialization instead of
     repeated chunk+explode+window recomputation, mirroring the
     reference's chunk cache idiom (agent.py:48-63). MEMORY_AND_DISK, so
-    at 100 TB it spills instead of OOMing."""
+    at 100 TB it spills instead of OOMing.
+
+    Mention extraction swaps between the Catalyst tokenizer (default,
+    oracle-checkable) and a real NER pandas UDF when
+    $SPARK_GRAFT_NER_MODEL is set (functions/ner.py) — the downstream
+    normalize → length-filter → first-seen contract is shared."""
+    from ..functions.ner import extract_mentions_udf, ner_active
+
     chunks = _chunk_documents(spark, sf_dir)
+    mentions = (
+        extract_mentions_udf("text_content")
+        if ner_active()
+        else words("text_content")
+    )
     toks = chunks.select(
         "chunk_id",
         "paper_id",
         "chunk_index",
-        F.posexplode(words("text_content")).alias("pos", "token"),
+        F.posexplode(mentions).alias("pos", "token"),
     )
     normed = toks.withColumn("name_normalized", normalize_entity("token")).filter(
         F.length("name_normalized") >= KG_MIN_NAME_LENGTH
