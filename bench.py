@@ -103,6 +103,12 @@ def main() -> None:
             }
         )
     )
+    # release the shingle/entity caches before handing the session back
+    # (no-op cost here since the session stops next, but keeps the bench
+    # path a correct example for long-lived hosts)
+    from cs_5542_lab_6_spark.session import clear_caches
+
+    clear_caches(spark)
     spark.stop()
 
 

@@ -223,7 +223,8 @@ def duck_embedding_cte(
     return f"""
 emb_toks AS (
   SELECT {id_col},
-         unnest(regexp_split_to_array(trim(lower({text_col})), '\\s+')) AS tok
+         unnest(regexp_split_to_array(
+           regexp_replace(lower({text_col}), '^\\s+|\\s+$', '', 'g'), '\\s+')) AS tok
   FROM {src}
 ),
 emb_h AS (

@@ -37,8 +37,14 @@ def clean_text(col: Column | str) -> Column:
 
 def words(col: Column | str) -> Column:
     """Whitespace tokenization matching Python's ``str.split()``
-    (empty-string → empty array, not [''])."""
-    c = F.trim(_c(col))
+    (empty-string → empty array, not ['']).
+
+    Leading/trailing whitespace is stripped with a regex, not trim():
+    trim only removes ASCII spaces, so tab/newline-edged text would emit
+    an empty-string token — diverging from the ``len(text.split())``
+    contract the reference uses (data/ingestion.py:117-120). The DuckDB
+    twins strip the same way."""
+    c = F.regexp_replace(_c(col), r"^\s+|\s+$", "")
     return F.when(F.length(c) == 0, F.array().cast("array<string>")).otherwise(
         F.split(c, r"\s+")
     )

@@ -89,8 +89,8 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DUCK_SHINGLES_CTE = f"""
 toks AS (
   SELECT doc_id,
-         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-              ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS w
+         CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+') END AS w
   FROM documents
 ),
 grams AS (
@@ -367,8 +367,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_simhash",
     oracle=f"""
     WITH toks AS (
-      SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
-      FROM documents WHERE length(trim(text)) > 0
+      SELECT doc_id, unnest(regexp_split_to_array(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+')) AS token
+      FROM documents WHERE length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) > 0
     ),
     tf AS (
       SELECT doc_id, token, COUNT(*) AS c, {DUCK_TOKEN_HASH60.format(t="token")} AS x

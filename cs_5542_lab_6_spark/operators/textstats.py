@@ -54,8 +54,8 @@ def _duck_count_in_set(toks_expr: str, wordlist: tuple[str, ...]) -> str:
     WITH toks AS (
       SELECT doc_id, lang,
              length(text) AS n_chars,
-             CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS w,
+             CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') END AS w,
              regexp_extract_all(text, '{TOKEN_RE}') AS bpe
       FROM documents
     )
@@ -111,8 +111,8 @@ _LANG_ARGMAX_DUCK = (
     oracle=f"""
     WITH toks AS (
       SELECT doc_id, lang,
-             CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-                  ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS w
+             CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+') END AS w
       FROM documents
     ),
     scored AS (
@@ -165,8 +165,8 @@ _EN_STOP_DUCK = _duck_count_in_set("w", LANG_STOPWORDS["en"])
     WITH toks AS (
       SELECT doc_id, lang, source, text,
              length(text) AS n_chars,
-             CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-                  ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS w
+             CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+') END AS w
       FROM documents
     ),
     sig AS (
@@ -253,8 +253,8 @@ _DUCK_HASHES = (
     oracle=f"""
     WITH toks AS (
       SELECT doc_id,
-             CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-                  ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS w
+             CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+') END AS w
       FROM documents
     )
     SELECT doc_id,
@@ -288,8 +288,8 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus_token_frequencies",
     oracle="""
     WITH toks AS (
-      SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
-      FROM documents WHERE length(trim(text)) > 0
+      SELECT unnest(regexp_split_to_array(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+')) AS token
+      FROM documents WHERE length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) > 0
     )
     SELECT token, COUNT(*) AS freq
     FROM toks

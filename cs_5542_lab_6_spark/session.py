@@ -69,3 +69,16 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def clear_caches(spark: SparkSession) -> None:
+    """Drop every cached relation (the shingle/entity/signature caches the
+    corpus and dedup operators build per sf_dir).
+
+    Spark's CacheManager dedupes cache() calls by logical plan, so within
+    one sf_dir repeated registry sweeps reuse a single entry — but a
+    long-lived session sweeping MANY sf_dirs accumulates one entry per
+    distinct plan. Long-running hosts (bench loops, notebook sessions)
+    should call this between corpora; storage is MEMORY_AND_DISK, so the
+    cost of a stale entry is spill space, never an OOM."""
+    spark.catalog.clearCache()

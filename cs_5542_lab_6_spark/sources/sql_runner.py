@@ -16,15 +16,63 @@ from ..registry import query
 from .tables import register_views
 
 
+def split_sql_statements(script: str) -> list[str]:
+    """Split a SQL script on statement-terminating ';' only.
+
+    The reference splits naively on every ';' (scripts/run_sql_file.py:24),
+    which shatters statements containing semicolons inside string
+    literals or comments. This splitter tracks the four SQL lexical
+    contexts where ';' is NOT a terminator: '...' string literals (with
+    '' escaping), "..." quoted identifiers, ``--`` line comments, and
+    ``/* */`` block comments."""
+    stmts: list[str] = []
+    buf: list[str] = []
+    i, n = 0, len(script)
+    mode = None  # None | "'" | '"' | "--" | "/*"
+    while i < n:
+        ch = script[i]
+        nxt = script[i + 1] if i + 1 < n else ""
+        if mode is None:
+            if ch == ";":
+                stmts.append("".join(buf))
+                buf = []
+                i += 1
+                continue
+            if ch == "'" or ch == '"':
+                mode = ch
+            elif ch == "-" and nxt == "-":
+                mode = "--"
+            elif ch == "/" and nxt == "*":
+                mode = "/*"
+        elif mode in ("'", '"'):
+            if ch == mode:
+                if ch == "'" and nxt == "'":  # '' escape inside a literal
+                    buf.append(ch)
+                    i += 1
+                else:
+                    mode = None
+        elif mode == "--":
+            if ch == "\n":
+                mode = None
+        elif mode == "/*":
+            if ch == "*" and nxt == "/":
+                buf.append(ch)
+                i += 1
+                ch = "/"
+                mode = None
+        buf.append(ch)
+        i += 1
+    stmts.append("".join(buf))
+    return [s for s in (x.strip() for x in stmts) if s]
+
+
 def run_sql_script(spark: SparkSession, script: str) -> DataFrame | None:
-    """Execute a multi-statement SQL script (';'-separated), returning the
-    result of the last statement (scripts/run_sql_file.py:19-54 shape —
-    but statements become lazy Catalyst plans, not network round trips)."""
+    """Execute a multi-statement SQL script, returning the result of the
+    last statement (scripts/run_sql_file.py:19-54 shape — but statements
+    become lazy Catalyst plans, not network round trips)."""
     result: DataFrame | None = None
-    for stmt in script.split(";"):
-        stmt = stmt.strip()
-        if stmt:
-            result = spark.sql(stmt)
+    for stmt in split_sql_statements(script):
+        result = spark.sql(stmt)
     return result
 
 

@@ -110,7 +110,7 @@ def events_sliding_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_session_windows",
     oracle=f"""
     WITH lagd AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, event_id, value,
              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p
       FROM events
     ),
@@ -120,7 +120,10 @@ def events_sliding_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lagd
     ),
     sess AS (
-      SELECT *, SUM(f) OVER (PARTITION BY user_id ORDER BY ts, f
+      -- running sum ordered by (ts, event_id): the SAME total order the
+      -- lag() above used, so a boundary row and a duplicate-(ts) row can
+      -- never be numbered across different sessions than Spark merges
+      SELECT *, SUM(f) OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS UNBOUNDED PRECEDING) AS sid
       FROM flagged
     )

@@ -162,7 +162,7 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_session_windows",
     oracle=f"""
     WITH lagd AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, event_id, value,
              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p
       FROM events
     ),
@@ -172,7 +172,9 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lagd
     ),
     sess AS (
-      SELECT *, SUM(f) OVER (PARTITION BY user_id ORDER BY ts, f
+      -- same (ts, event_id) total order as the lag() window above, so
+      -- duplicate-(user, ts) boundary rows can't split across sessions
+      SELECT *, SUM(f) OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS UNBOUNDED PRECEDING) AS sid
       FROM flagged
     )

@@ -1,0 +1,50 @@
+"""SQL script splitter: ';' terminates statements only outside string
+literals, quoted identifiers, and comments (the reference's runner splits
+naively on every ';', scripts/run_sql_file.py:24)."""
+
+from __future__ import annotations
+
+from cs_5542_lab_6_spark.sources.sql_runner import split_sql_statements
+
+
+def test_plain_split_and_whitespace():
+    assert split_sql_statements("SELECT 1; SELECT 2 ;; ") == [
+        "SELECT 1",
+        "SELECT 2",
+    ]
+
+
+def test_semicolon_inside_string_literal():
+    script = "SELECT 'a;b' AS x; SELECT 2"
+    assert split_sql_statements(script) == ["SELECT 'a;b' AS x", "SELECT 2"]
+
+
+def test_escaped_quote_inside_literal():
+    script = "SELECT 'it''s;fine'; SELECT 2"
+    assert split_sql_statements(script) == ["SELECT 'it''s;fine'", "SELECT 2"]
+
+
+def test_semicolon_inside_quoted_identifier():
+    script = 'SELECT 1 AS "a;b"; SELECT 2'
+    assert split_sql_statements(script) == ['SELECT 1 AS "a;b"', "SELECT 2"]
+
+
+def test_semicolon_inside_comments():
+    script = "SELECT 1 -- trailing; not a split\n; SELECT /* block; comment */ 2"
+    assert split_sql_statements(script) == [
+        "SELECT 1 -- trailing; not a split",
+        "SELECT /* block; comment */ 2",
+    ]
+
+
+def test_runner_executes_statements(spark, sf_dir):
+    from cs_5542_lab_6_spark.sources.sql_runner import run_sql_script
+    from cs_5542_lab_6_spark.sources import register_views
+
+    register_views(spark, sf_dir)
+    out = run_sql_script(
+        spark,
+        "CREATE OR REPLACE TEMP VIEW t_semi AS SELECT 'x;y' AS v;"
+        "SELECT COUNT(*) AS n FROM t_semi WHERE v = 'x;y'",
+    )
+    assert out.first()["n"] == 1
