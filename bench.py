@@ -77,6 +77,8 @@ def main() -> None:
     t0 = time.perf_counter()
     build_corpus(spark, SF_DIR, corpus.warehouse_dir(SF_DIR), resume=False)
     timings["warehouse_build"] = round(time.perf_counter() - t0, 4)
+    from cs_5542_lab_6_spark.session import clear_caches
+
     for name in names:
         t0 = time.perf_counter()
         df = queries[name](spark, SF_DIR)
@@ -86,6 +88,13 @@ def main() -> None:
         # of the engine).
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
+        # drop this query's caches before the next timing: each number
+        # then includes the query's own cache build (honest), and pinned
+        # MEMORY_AND_DISK blocks from earlier queries can't induce GC /
+        # spill pressure on later ones (measured at sf0.1: the dedup tail
+        # ran ~2x faster with per-query clearing than with caches
+        # accumulating across the whole headline set)
+        clear_caches(spark)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -103,12 +112,6 @@ def main() -> None:
             }
         )
     )
-    # release the shingle/entity caches before handing the session back
-    # (no-op cost here since the session stops next, but keeps the bench
-    # path a correct example for long-lived hosts)
-    from cs_5542_lab_6_spark.session import clear_caches
-
-    clear_caches(spark)
     spark.stop()
 
 
