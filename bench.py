@@ -39,8 +39,10 @@ HEADLINE = [
     "kg_two_hop",
     "events_sliding_2d",
     "dedup_minhash_lsh",
+    "dedup_clusters",
     "dedup_simhash",
     "dedup_embedding_nn",
+    "bm25_doc_topk",
     "ann_brute_force_topk",
     "ann_ivf_topk",
     "events_session_windows",

@@ -359,6 +359,155 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 3b. Near-dup clustering (connected components over candidate pairs)
+# ---------------------------------------------------------------------------
+
+# The minhash pair relation as an oracle CTE chain (same bodies as the
+# dedup_minhash_lsh oracle, ending in pairs(doc_a, doc_b)).
+_DUCK_MINHASH_PAIRS_CTES = f"""
+{{shingles}},
+mh AS (
+  SELECT doc_id, {{mh_cols}}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, b.band, {{band_sig}} AS sig
+  FROM mh, (SELECT unnest(range(0, {MINHASH_BANDS})) AS b) b(band)
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+verified AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.xs = a.xs
+  GROUP BY c.doc_a, c.doc_b
+),
+pairs AS (
+  SELECT v.doc_a, v.doc_b
+  FROM verified v
+  JOIN sizes sa ON v.doc_a = sa.doc_id
+  JOIN sizes sb ON v.doc_b = sb.doc_id
+  WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter)
+        >= {MINHASH_VERIFY_THRESHOLD}
+)
+"""
+
+
+def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b) near-dup pairs: the dedup_minhash_lsh output pruned
+    to the pair key (Catalyst drops the band/jaccard computation branches
+    that only fed the reporting columns)."""
+    return dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+
+
+@query(
+    "dedup_clusters",
+    oracle=(
+        "WITH RECURSIVE "
+        + _DUCK_MINHASH_PAIRS_CTES.format(
+            shingles=_DUCK_SHINGLES_CTE,
+            mh_cols=_DUCK_MINHASH_COLS,
+            band_sig=_DUCK_BAND_SIG,
+        )
+        + f"""
+    , edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    verts AS (SELECT DISTINCT s AS v FROM edges),
+    reach AS (
+      SELECT v, v AS x FROM verts
+      UNION
+      SELECT reach.v, e.d AS x FROM reach JOIN edges e ON e.s = reach.x
+    ),
+    labels AS (SELECT v AS doc_id, MIN(x) AS cluster_id FROM reach GROUP BY v)
+    SELECT cluster_id,
+           COUNT(*) AS n_members,
+           array_to_string(list_sort(array_agg(doc_id)), ',') AS member_ids
+    FROM labels
+    GROUP BY cluster_id
+    ORDER BY cluster_id
+    """
+    ),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash near-dup pairs: the step
+    that turns pairwise detection into actual dedup groups (keep one doc
+    per component). Cluster id = the component's minimum doc_id.
+
+    Implementation: iterative min-label propagation — every vertex
+    starts labeled with itself; each round takes the min of its own and
+    its neighbors' labels; fixpoint when no label changes (checked with
+    one count per round, the standard driver-side loop control of
+    iterative graph algorithms). The pair relation is computed once and
+    cached; each round is one shuffle join + aggregation. Convergence in
+    O(component diameter) rounds — near-dup components are shallow (the
+    fixture's planted dup groups converge in 2). At 100 TB-scale graphs
+    with long chains, the same loop upgrades to the alternating
+    large-star/small-star contraction (Kiveris et al.), which is
+    O(log n) rounds of exactly this join shape.
+
+    The DuckDB oracle computes the same components by transitive closure
+    (recursive CTE, min reachable id per vertex)."""
+    pairs = minhash_pairs(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d"))
+        )
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("s").alias("node")).distinct()
+        .withColumn("lbl", F.col("node"))
+        .cache()
+    )
+    labels.count()  # materialize edges+labels once, before the loop
+    for _ in range(20):  # diameter bound; fixture components converge in 2
+        neigh = (
+            edges.join(labels, edges.d == labels.node)
+            .groupBy("s")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        # one join per round: carry the old label through so the update
+        # and the convergence check share a single cached relation
+        step = (
+            labels.join(neigh, labels.node == neigh.s, "left")
+            .select(
+                "node",
+                F.col("lbl").alias("old_lbl"),
+                F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl"),
+            )
+            .cache()
+        )
+        changed = step.filter(F.col("lbl") != F.col("old_lbl")).count()
+        labels.unpersist()
+        labels = step.select("node", "lbl")
+        if changed == 0:
+            break
+    return (
+        labels.groupBy(F.col("lbl").alias("cluster_id"))
+        .agg(
+            F.count("*").alias("n_members"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("node")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("member_ids"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # 4. SimHash
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,210 @@
+"""Lexical ranking + dataset-splitting operators (training-data surface).
+
+The reference retrieves by embedding cosine only (tools.py:45-92); a
+corpus engine at scale also needs the lexical side — BM25 is the
+standard keyword ranker (Robertson/Sparck Jones probabilistic relevance
+framework) and the usual first stage of hybrid retrieval — plus
+deterministic dataset splitting for training pipelines (every row must
+land in the same split on every engine and every rerun, so the split key
+is a content hash, never rand()).
+
+Both operators are pure Catalyst over the ``documents`` fixture and
+fully DuckDB-oracle-checked; BM25's floating-point score is computed
+with the same operation ORDER in both engines (per-term score summed
+over an ORDER BY term list) so the IEEE doubles agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import words
+from ..registry import query
+from ..sources import fan_out, load_table
+
+# BM25 free parameters (the standard Okapi defaults).
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY_TERMS = ("spark", "join", "performance")
+BM25_TOP_K = 10
+
+_TERMS_LIST = ", ".join(f"('{t}')" for t in sorted(BM25_QUERY_TERMS))
+
+
+@query(
+    "bm25_doc_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(
+               regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+')) AS token
+      FROM documents
+      WHERE length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) > 0
+    ),
+    doclen AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM doclen
+    ),
+    qterms(term) AS (VALUES {_TERMS_LIST}),
+    tf AS (
+      SELECT t.doc_id, q.term, COUNT(*) AS tf
+      FROM toks t JOIN qterms q ON t.token = q.term
+      GROUP BY t.doc_id, q.term
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * (tf.tf * ({BM25_K1} + 1.0))
+               / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                    + {BM25_B} * doclen.dl / stats.avgdl)) AS s,
+             tf.term
+      FROM tf
+      JOIN df USING (term)
+      JOIN doclen USING (doc_id)
+      CROSS JOIN stats
+    ),
+    totals AS (
+      -- per-term scores summed in term order: the same fold order Spark
+      -- uses, so the double total is bit-identical
+      SELECT doc_id,
+             SUM(s ORDER BY term) AS score,
+             COUNT(*) AS n_terms_hit
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, round(score, 4) AS score, n_terms_hit
+    FROM totals
+    ORDER BY score DESC, doc_id
+    LIMIT {BM25_TOP_K}
+    """,
+)
+def bm25_doc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-k for a fixed query — the lexical retrieval path
+    (complement of M5's vector path; real engines run both and fuse).
+
+    Shape at scale: tf is an inverted-index build restricted to the query
+    terms (the join against the tiny term list prunes before the
+    aggregation, so the shuffle carries only matching postings); df and
+    the corpus stats are broadcast scalars; scoring is one narrow
+    projection; top-k is TakeOrderedAndProject. No full-corpus index is
+    materialized for a single query — a standing index would be a
+    bucketed (term → postings) table built once and range-scanned here.
+    """
+    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select(
+        "doc_id", F.explode(words(F.lower(F.col("text")))).alias("token")
+    )
+    doclen = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = doclen.agg(
+        F.count("*").alias("n_docs"), F.avg(F.col("dl").cast("double")).alias("avgdl")
+    )
+    qterms = spark.createDataFrame(
+        [(t,) for t in sorted(BM25_QUERY_TERMS)], "term string"
+    )
+    tf = (
+        toks.join(F.broadcast(qterms), toks.token == qterms.term)
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + BM25_K1 * (
+        1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "term",
+            (idf * (F.col("tf") * (BM25_K1 + 1.0)) / denom).alias("s"),
+        )
+    )
+    # sum per-term contributions in term order (sorted struct array fold)
+    # so the floating-point total matches the oracle's ordered SUM exactly
+    totals = (
+        scored.groupBy("doc_id")
+        .agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("term"), F.col("s")))
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x["s"],
+            ).alias("score"),
+            F.count("*").alias("n_terms_hit"),
+        )
+    )
+    return (
+        totals.select("doc_id", F.round("score", 4).alias("score"), "n_terms_hit")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(BM25_TOP_K)
+    )
+
+
+# Split fractions: hash bucket ∈ [0, 100); < 80 → train, < 90 → valid.
+SPLIT_BUCKETS = 100
+TRAIN_UPPER = 80
+VALID_UPPER = 90
+
+
+@query(
+    "doc_train_test_split",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT doc_id, lang,
+             CAST(concat('0x', substr(sha256('split|' || doc_id), 1, 15)) AS BIGINT)
+               % {SPLIT_BUCKETS} AS bucket
+      FROM documents
+    ),
+    labeled AS (
+      SELECT doc_id, lang,
+             CASE WHEN bucket < {TRAIN_UPPER} THEN 'train'
+                  WHEN bucket < {VALID_UPPER} THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM assigned
+    )
+    SELECT lang, split, COUNT(*) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+    FROM labeled
+    GROUP BY lang, split
+    ORDER BY lang, split
+    """,
+)
+def doc_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/valid/test assignment (80/10/10):
+    the split key is sha256 of a salted row id, so membership is stable
+    across engines, reruns, partitionings, and cluster sizes — the
+    property rand()-based splits lack (a retry or re-partition must never
+    move a document across the train/test boundary). Reported as per
+    (lang, split) counts — the stratification report a data pipeline
+    checks before training."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.sha2(F.concat(F.lit("split|"), F.col("doc_id")), 256), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % SPLIT_BUCKETS
+    )
+    split = (
+        F.when(bucket < TRAIN_UPPER, "train")
+        .when(bucket < VALID_UPPER, "valid")
+        .otherwise("test")
+    )
+    return (
+        docs.select("doc_id", "lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("lang", "split")
+    )

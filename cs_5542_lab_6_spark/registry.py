@@ -79,6 +79,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_clusters",
     "dedup_simhash",
     "dedup_embedding_nn",
     # Similarity search family
@@ -95,9 +96,9 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_metadata",
     "multimodal_decode_features",
     "multimodal_frame_sample",
-    # Skew / approximate aggregation
+    # Skew / approximate aggregation (orders_approx_stats sits outside
+    # the window — rows-only sketch, pinned by its unit test instead)
     "events_salted_type_stats",
-    "orders_approx_stats",
     # Semi-structured
     "events_props_map",
     "lineitem_unpivot_metrics",
@@ -161,6 +162,7 @@ def _load_all_modules() -> None:
         dedup,
         joins_ext,
         multimodal,
+        ranking,
         relational,
         retrieval,
         semistructured,

@@ -52,10 +52,10 @@ def test_reference_parity_inside_driver_window():
 
 
 def test_window_queries_are_oracle_backed():
-    """Everything inside the checked prefix should carry a DuckDB oracle
-    (hash-checkable) except the explicitly sketch/stub-based entries."""
-    rows_only_ok = {"orders_approx_stats"}
+    """Everything inside the checked prefix carries a DuckDB oracle —
+    every one of the driver's 50 slots is hash-checkable (the rows-only
+    sketch query sits outside the window, pinned by its unit test)."""
     oracles = all_oracles()
     window = list(all_queries())[:DRIVER_WINDOW]
-    missing = [n for n in window if n not in oracles and n not in rows_only_ok]
+    missing = [n for n in window if n not in oracles]
     assert not missing, f"window queries without oracles: {missing}"
