@@ -32,47 +32,54 @@ BM25_TOP_K = 10
 _TERMS_LIST = ", ".join(f"('{t}')" for t in sorted(BM25_QUERY_TERMS))
 
 
+# The BM25 scoring chain as DuckDB CTEs ending in totals(doc_id, score,
+# n_terms_hit) — shared by the bm25_doc_topk and hybrid_rrf_topk oracles.
+_DUCK_BM25_CTES = f"""
+toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(
+           regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+')) AS token
+  FROM documents
+  WHERE length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) > 0
+),
+doclen AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM doclen
+),
+qterms(term) AS (VALUES {_TERMS_LIST}),
+tf AS (
+  SELECT t.doc_id, q.term, COUNT(*) AS tf
+  FROM toks t JOIN qterms q ON t.token = q.term
+  GROUP BY t.doc_id, q.term
+),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * (tf.tf * ({BM25_K1} + 1.0))
+           / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                + {BM25_B} * doclen.dl / stats.avgdl)) AS s,
+         tf.term
+  FROM tf
+  JOIN df USING (term)
+  JOIN doclen USING (doc_id)
+  CROSS JOIN stats
+),
+totals AS (
+  -- per-term scores summed in term order: the same fold order Spark
+  -- uses, so the double total is bit-identical
+  SELECT doc_id,
+         SUM(s ORDER BY term) AS score,
+         COUNT(*) AS n_terms_hit
+  FROM scored GROUP BY doc_id
+)
+"""
+
+
 @query(
     "bm25_doc_topk",
     oracle=f"""
-    WITH toks AS (
-      SELECT doc_id,
-             unnest(regexp_split_to_array(
-               regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+')) AS token
-      FROM documents
-      WHERE length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) > 0
-    ),
-    doclen AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
-    stats AS (
-      SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM doclen
-    ),
-    qterms(term) AS (VALUES {_TERMS_LIST}),
-    tf AS (
-      SELECT t.doc_id, q.term, COUNT(*) AS tf
-      FROM toks t JOIN qterms q ON t.token = q.term
-      GROUP BY t.doc_id, q.term
-    ),
-    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
-    scored AS (
-      SELECT tf.doc_id,
-             ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
-               * (tf.tf * ({BM25_K1} + 1.0))
-               / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
-                    + {BM25_B} * doclen.dl / stats.avgdl)) AS s,
-             tf.term
-      FROM tf
-      JOIN df USING (term)
-      JOIN doclen USING (doc_id)
-      CROSS JOIN stats
-    ),
-    totals AS (
-      -- per-term scores summed in term order: the same fold order Spark
-      -- uses, so the double total is bit-identical
-      SELECT doc_id,
-             SUM(s ORDER BY term) AS score,
-             COUNT(*) AS n_terms_hit
-      FROM scored GROUP BY doc_id
-    )
+    WITH {_DUCK_BM25_CTES}
     SELECT doc_id, round(score, 4) AS score, n_terms_hit
     FROM totals
     ORDER BY score DESC, doc_id
@@ -81,7 +88,7 @@ _TERMS_LIST = ", ".join(f"('{t}')" for t in sorted(BM25_QUERY_TERMS))
 )
 def bm25_doc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-k for a fixed query — the lexical retrieval path
-    (complement of M5's vector path; real engines run both and fuse).
+    (complement of M5's vector path; hybrid_rrf_topk fuses the two).
 
     Shape at scale: tf is an inverted-index build restricted to the query
     terms (the join against the tiny term list prunes before the
@@ -91,6 +98,17 @@ def bm25_doc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized for a single query — a standing index would be a
     bucketed (term → postings) table built once and range-scanned here.
     """
+    totals = _bm25_scored(spark, sf_dir)
+    return (
+        totals.select("doc_id", F.round("score", 4).alias("score"), "n_terms_hit")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(BM25_TOP_K)
+    )
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score, n_terms_hit) — raw BM25 totals for every document
+    matching ≥1 query term (shared by bm25_doc_topk and hybrid_rrf_topk)."""
     docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
     toks = docs.select(
         "doc_id", F.explode(words(F.lower(F.col("text")))).alias("token")
@@ -126,7 +144,7 @@ def bm25_doc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # sum per-term contributions in term order (sorted struct array fold)
     # so the floating-point total matches the oracle's ordered SUM exactly
-    totals = (
+    return (
         scored.groupBy("doc_id")
         .agg(
             F.aggregate(
@@ -139,10 +157,103 @@ def bm25_doc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_terms_hit"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal rank fusion of lexical + vector rankings
+# ---------------------------------------------------------------------------
+
+RRF_K = 60  # the standard RRF damping constant (Cormack et al. 2009)
+RRF_CANDIDATES = 50  # per-retriever candidate list length
+RRF_TOP_K = 10
+_QUERY_VEC_ID = 0  # same deterministic query vector as vector_topk
+
+
+@query(
+    "hybrid_rrf_topk",
+    oracle=f"""
+    WITH {_DUCK_BM25_CTES},
+    bm AS (
+      SELECT doc_id, round(score, 4) AS s FROM totals
+      ORDER BY s DESC, doc_id LIMIT {RRF_CANDIDATES}
+    ),
+    bmr AS (
+      SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r FROM bm
+    ),
+    q AS (
+      SELECT embedding::DOUBLE[] AS qvec FROM embeddings
+      WHERE vec_id = {_QUERY_VEC_ID}
+    ),
+    vec AS (
+      SELECT e.vec_id AS doc_id,
+             round(list_dot_product(e.embedding::DOUBLE[], q.qvec), 4) AS s
+      FROM embeddings e CROSS JOIN q
+      ORDER BY s DESC, doc_id LIMIT {RRF_CANDIDATES}
+    ),
+    vr AS (
+      SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r FROM vec
+    ),
+    fused AS (
+      SELECT COALESCE(bmr.doc_id, vr.doc_id) AS doc_id,
+             COALESCE(1.0 / ({RRF_K} + bmr.r), 0.0)
+               + COALESCE(1.0 / ({RRF_K} + vr.r), 0.0) AS rrf,
+             bmr.r AS bm25_rank, vr.r AS vector_rank
+      FROM bmr FULL OUTER JOIN vr USING (doc_id)
+    )
+    SELECT doc_id, round(rrf, 6) AS rrf_score, bm25_rank, vector_rank
+    FROM fused
+    ORDER BY rrf_score DESC, doc_id
+    LIMIT {RRF_TOP_K}
+    """,
+)
+def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal rank fusion of the BM25 and cosine
+    candidate lists — score(d) = Σᵢ 1/(k + rankᵢ(d)) over the retrievers
+    that returned d. The standard way real RAG engines combine lexical
+    and semantic recall (the reference has only the vector path).
+
+    Scale shape: each retriever produces its top-{RRF_CANDIDATES} via
+    TakeOrderedAndProject (distributed top-k); ranking those candidate
+    lists is a window over ≤{RRF_CANDIDATES} rows (post-limit, driver-
+    sized — NOT a global window over the corpus), and the fusion is a
+    full-outer join of two tiny relations. Ranks are assigned on scores
+    rounded to 4 decimals with doc_id tiebreaks, so the rank lists —
+    and therefore the fused scores — are engine-independent."""
+    from .retrieval import cosine_topk
+
+    bm = (
+        _bm25_scored(spark, sf_dir)
+        .select("doc_id", F.round("score", 4).alias("s"))
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(RRF_CANDIDATES)
+    )
+    from pyspark.sql import Window as W
+
+    rank_w = W.orderBy(F.desc("s"), F.asc("doc_id"))
+    bmr = bm.select("doc_id", F.row_number().over(rank_w).alias("bm25_rank"))
+    vec = (
+        cosine_topk(spark, sf_dir, query_vec_id=_QUERY_VEC_ID, k=RRF_CANDIDATES)
+        .select("doc_id", F.col("score").alias("s"))
+    )
+    vr = vec.select("doc_id", F.row_number().over(rank_w).alias("vector_rank"))
+    fused = bmr.join(vr, "doc_id", "full_outer").select(
+        "doc_id",
+        (
+            F.coalesce(1.0 / (RRF_K + F.col("bm25_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (RRF_K + F.col("vector_rank")), F.lit(0.0))
+        ).alias("rrf"),
+        "bm25_rank",
+        "vector_rank",
+    )
     return (
-        totals.select("doc_id", F.round("score", 4).alias("score"), "n_terms_hit")
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(BM25_TOP_K)
+        fused.select(
+            "doc_id",
+            F.round("rrf", 6).alias("rrf_score"),
+            "bm25_rank",
+            "vector_rank",
+        )
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(RRF_TOP_K)
     )
 
 
