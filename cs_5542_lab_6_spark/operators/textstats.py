@@ -312,3 +312,161 @@ def corpus_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("freq"), F.asc("token"))
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-filter funnel (C4/Gopher-style rule chain with per-stage counts)
+# ---------------------------------------------------------------------------
+
+# (rule name, applied in order). Thresholds follow the published C4 /
+# Gopher-style heuristics, scaled to the fixture corpus.
+FILTER_MIN_TOKENS = 30
+FILTER_MAX_TOKENS = 50_000
+FILTER_MEAN_WORD_LEN_LO = 2.0
+FILTER_MEAN_WORD_LEN_HI = 12.0
+FILTER_MAX_SYMBOL_RATIO = 0.30
+FILTER_MIN_STOPWORD_RATIO = 0.02
+
+_FILTER_RULES = (
+    "min_tokens",
+    "max_tokens",
+    "mean_word_len",
+    "symbol_ratio",
+    "stopword_ratio",
+)
+
+_DUCK_FUNNEL_SIG = f"""
+sig AS (
+  SELECT doc_id,
+         CAST(len(w) AS INTEGER) AS n_tokens,
+         CASE WHEN len(w) > 0
+              THEN CAST(list_sum(list_transform(w, t -> length(t))) AS DOUBLE) / len(w)
+              ELSE 0.0 END AS mean_wl,
+         CASE WHEN length(text) > 0
+              THEN CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+                   / length(text)
+              ELSE 0.0 END AS sym_ratio,
+         CASE WHEN len(w) > 0
+              THEN CAST({{stop_count}} AS DOUBLE) / len(w)
+              ELSE 0.0 END AS stop_ratio
+  FROM toks
+),
+flags AS (
+  SELECT doc_id,
+         CAST(n_tokens >= {FILTER_MIN_TOKENS} AS INTEGER) AS c1,
+         CAST(n_tokens <= {FILTER_MAX_TOKENS} AS INTEGER) AS c2,
+         CAST(mean_wl >= {FILTER_MEAN_WORD_LEN_LO}
+              AND mean_wl <= {FILTER_MEAN_WORD_LEN_HI} AS INTEGER) AS c3,
+         CAST(sym_ratio <= {FILTER_MAX_SYMBOL_RATIO} AS INTEGER) AS c4,
+         CAST(stop_ratio >= {FILTER_MIN_STOPWORD_RATIO} AS INTEGER) AS c5
+  FROM sig
+),
+funnel AS (
+  SELECT COUNT(*) AS n0,
+         SUM(c1) AS s1,
+         SUM(c1 * c2) AS s2,
+         SUM(c1 * c2 * c3) AS s3,
+         SUM(c1 * c2 * c3 * c4) AS s4,
+         SUM(c1 * c2 * c3 * c4 * c5) AS s5
+  FROM flags
+)
+"""
+
+
+@query(
+    "doc_quality_filter_funnel",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, text,
+             CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+') END AS w
+      FROM documents
+    ),
+    {_DUCK_FUNNEL_SIG.format(stop_count=_duck_count_in_set("w", LANG_STOPWORDS["en"]))},
+    stages(stage, rule, n_in, n_out) AS (
+      SELECT 1, 'min_tokens',     n0, s1 FROM funnel UNION ALL
+      SELECT 2, 'max_tokens',     s1, s2 FROM funnel UNION ALL
+      SELECT 3, 'mean_word_len',  s2, s3 FROM funnel UNION ALL
+      SELECT 4, 'symbol_ratio',   s3, s4 FROM funnel UNION ALL
+      SELECT 5, 'stopword_ratio', s4, s5 FROM funnel
+    )
+    SELECT CAST(stage AS INTEGER) AS stage, rule,
+           CAST(n_in AS BIGINT) AS n_in,
+           CAST(n_out AS BIGINT) AS n_out,
+           CAST(n_in - n_out AS BIGINT) AS n_dropped
+    FROM stages
+    ORDER BY stage
+    """,
+)
+def doc_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style quality-filter funnel: five heuristic rules (token
+    count bounds, mean word length, symbol ratio, stopword ratio) applied
+    in order, reporting survivors per stage — the accounting view every
+    pretraining-data pipeline publishes with its filter chain (which rule
+    dropped how much). The P2 length filter (data/ingestion.py:117-122)
+    is rule 1; the rest generalize it.
+
+    Shape at scale: one narrow pass computes all rule booleans per
+    document, one partial-aggregated global SUM produces every stage
+    survivor count simultaneously (no per-rule scans), and the funnel
+    unpivots from a single row — the whole report costs one scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = words(F.lower(F.col("text")))
+    n_tokens = F.size(toks)
+    mean_wl = F.when(
+        n_tokens > 0,
+        F.aggregate(
+            toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
+        )
+        / n_tokens,
+    ).otherwise(0.0)
+    n_chars = F.length("text")
+    sym_ratio = F.when(
+        n_chars > 0,
+        F.length(F.regexp_replace("text", r"[a-zA-Z0-9\s]", "")).cast("double")
+        / n_chars,
+    ).otherwise(0.0)
+    stop_ratio = F.when(
+        n_tokens > 0,
+        _count_in_set(toks, LANG_STOPWORDS["en"]).cast("double") / n_tokens,
+    ).otherwise(0.0)
+    flags = docs.select(
+        (n_tokens >= FILTER_MIN_TOKENS).cast("int").alias("c1"),
+        (n_tokens <= FILTER_MAX_TOKENS).cast("int").alias("c2"),
+        (
+            (mean_wl >= FILTER_MEAN_WORD_LEN_LO)
+            & (mean_wl <= FILTER_MEAN_WORD_LEN_HI)
+        )
+        .cast("int")
+        .alias("c3"),
+        (sym_ratio <= FILTER_MAX_SYMBOL_RATIO).cast("int").alias("c4"),
+        (stop_ratio >= FILTER_MIN_STOPWORD_RATIO).cast("int").alias("c5"),
+    )
+    funnel = flags.agg(
+        F.count("*").alias("n0"),
+        F.sum("c1").alias("s1"),
+        F.sum(F.col("c1") * F.col("c2")).alias("s2"),
+        F.sum(F.col("c1") * F.col("c2") * F.col("c3")).alias("s3"),
+        F.sum(F.col("c1") * F.col("c2") * F.col("c3") * F.col("c4")).alias("s4"),
+        F.sum(
+            F.col("c1") * F.col("c2") * F.col("c3") * F.col("c4") * F.col("c5")
+        ).alias("s5"),
+    )
+    stages = funnel.select(
+        F.expr(
+            "stack(5,"
+            " 1, 'min_tokens',     n0, s1,"
+            " 2, 'max_tokens',     s1, s2,"
+            " 3, 'mean_word_len',  s2, s3,"
+            " 4, 'symbol_ratio',   s3, s4,"
+            " 5, 'stopword_ratio', s4, s5"
+            ") AS (stage, rule, n_in, n_out)"
+        )
+    )
+    return stages.select(
+        F.col("stage").cast("int").alias("stage"),
+        "rule",
+        F.col("n_in").cast("bigint").alias("n_in"),
+        F.col("n_out").cast("bigint").alias("n_out"),
+        (F.col("n_in") - F.col("n_out")).cast("bigint").alias("n_dropped"),
+    ).orderBy("stage")

@@ -59,6 +59,26 @@ def test_token_frequency_topk_plan(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2  # partial+final on token counts
 
 
+def test_bm25_plan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "bm25_doc_topk")
+    # query-term list broadcast into the postings join — the inverted
+    # index prunes to matching terms before any aggregation shuffles
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # distributed top-k
+    assert "CartesianProduct" not in plan
+
+
+def test_hybrid_rrf_windows_are_post_limit(spark, sf_dir):
+    # the rank windows are global (no partition key) but must sit ABOVE
+    # the candidate limits: a GlobalLimit feeds every Window node, so the
+    # single-partition window only ever sees <= RRF_CANDIDATES rows
+    df = all_queries()["hybrid_rrf_topk"](spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" in plan
+    for frag in plan.split("Window")[1:]:
+        assert "GlobalLimit" in frag, "rank window not fed by a limit:\n" + plan
+
+
 @pytest.mark.parametrize(
     "name",
     ["order_status_priority_cube", "status_priority_grouping_sets"],
