@@ -72,14 +72,11 @@ def main() -> None:
     # idiom, agent.py:44-63): the retrieval/KG query layer then scans the
     # parquet checkpoints instead of re-chunking + re-embedding per query.
     # Rebuilt from scratch every run (resume=False) so a stale warehouse
-    # can never leak into timings; the build cost is reported as its own
-    # line item. Cold-path build costs remain visible via the
-    # chunks_build / kg_edges_build entries, which always derive from raw.
-    # Reported as setup, not in the headline total: the build is amortized
-    # across every retrieval query (the reference's warm-cache latencies
-    # likewise exclude its one-time chunk-cache prefetch, agent.py:44-63
-    # / task1_cursor_report.md:54); the cold build cost stays visible via
-    # the chunks_build / kg_edges_build headline entries.
+    # can never leak into timings. Reported as setup, not in the headline
+    # total — the build is amortized across every retrieval query (the
+    # reference's warm-cache latencies likewise exclude its one-time
+    # prefetch, task1_cursor_report.md:54), while the cold build cost
+    # stays visible via the chunks_build / kg_edges_build entries.
     os.environ.setdefault(corpus.WAREHOUSE_ENV, "/tmp/spark_graft_warehouse")
     t0 = time.perf_counter()
     build_corpus(spark, SF_DIR, corpus.warehouse_dir(SF_DIR), resume=False)

@@ -469,7 +469,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
     labels.count()  # materialize edges+labels once, before the loop
-    for _ in range(20):  # diameter bound; fixture components converge in 2
+    max_rounds = 50  # diameter bound; fixture components converge in 2
+    prev_cached = labels
+    changed = -1
+    for _ in range(max_rounds):
         neigh = (
             edges.join(labels, edges.d == labels.node)
             .groupBy("s")
@@ -487,10 +490,18 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cache()
         )
         changed = step.filter(F.col("lbl") != F.col("old_lbl")).count()
-        labels.unpersist()
+        # unpersist the actual cached relation of the previous round (the
+        # projection we iterate on would not sameResult() the cache entry)
+        prev_cached.unpersist()
+        prev_cached = step
         labels = step.select("node", "lbl")
         if changed == 0:
             break
+    if changed != 0:  # loud failure beats a silently split component
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_rounds} rounds "
+            "(component diameter exceeds the bound; use star contraction)"
+        )
     return (
         labels.groupBy(F.col("lbl").alias("cluster_id"))
         .agg(

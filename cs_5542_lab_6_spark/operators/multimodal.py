@@ -132,11 +132,10 @@ def _fake_decode_batch(payloads: "pd.Series") -> "pd.DataFrame":
         nib = mat % FEATURE_DIM
         hist = np.stack([(nib == k).sum(axis=1) for k in range(FEATURE_DIM)], axis=1)
         feats = hist / lens[:, None].astype("float64")
+    elif n == 0:
+        feats = np.zeros((0, FEATURE_DIM))
     else:  # pragma: no cover - ragged payloads
-        feats = np.stack(
-            [np.array(_fake_decode_features(p)) for p in payloads]
-            or [np.zeros(FEATURE_DIM)] * 0
-        ).reshape(n, FEATURE_DIM)
+        feats = np.stack([np.array(_fake_decode_features(p)) for p in payloads])
     return pd.DataFrame(
         {f"f{k}": feats[:, k] for k in range(FEATURE_DIM)},
         index=payloads.index,

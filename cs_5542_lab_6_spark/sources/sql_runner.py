@@ -23,12 +23,14 @@ def split_sql_statements(script: str) -> list[str]:
     which shatters statements containing semicolons inside string
     literals or comments. This splitter tracks the four SQL lexical
     contexts where ';' is NOT a terminator: '...' string literals (with
-    '' escaping), "..." quoted identifiers, ``--`` line comments, and
-    ``/* */`` block comments."""
+    both '' and backslash escaping — Spark's default parser honors \\'),
+    "..." quoted identifiers, ``--`` line comments, and ``/* */`` block
+    comments (nested, as Spark accepts — SPARK-28880)."""
     stmts: list[str] = []
     buf: list[str] = []
     i, n = 0, len(script)
     mode = None  # None | "'" | '"' | "--" | "/*"
+    comment_depth = 0
     while i < n:
         ch = script[i]
         nxt = script[i + 1] if i + 1 < n else ""
@@ -44,8 +46,16 @@ def split_sql_statements(script: str) -> list[str]:
                 mode = "--"
             elif ch == "/" and nxt == "*":
                 mode = "/*"
+                comment_depth = 1
+                buf.append(ch)
+                i += 1
+                ch = "*"
         elif mode in ("'", '"'):
-            if ch == mode:
+            if ch == "\\":  # backslash escape (Spark default semantics)
+                buf.append(ch)
+                i += 1
+                ch = script[i] if i < n else ""
+            elif ch == mode:
                 if ch == "'" and nxt == "'":  # '' escape inside a literal
                     buf.append(ch)
                     i += 1
@@ -55,11 +65,18 @@ def split_sql_statements(script: str) -> list[str]:
             if ch == "\n":
                 mode = None
         elif mode == "/*":
-            if ch == "*" and nxt == "/":
+            if ch == "/" and nxt == "*":  # nested comment opens
+                comment_depth += 1
+                buf.append(ch)
+                i += 1
+                ch = "*"
+            elif ch == "*" and nxt == "/":
+                comment_depth -= 1
                 buf.append(ch)
                 i += 1
                 ch = "/"
-                mode = None
+                if comment_depth == 0:
+                    mode = None
         buf.append(ch)
         i += 1
     stmts.append("".join(buf))

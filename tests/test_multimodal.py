@@ -48,6 +48,12 @@ def test_fake_decode_batch_matches_reference():
         assert list(batch.iloc[i]) == _fake_decode_features(p)
 
 
+def test_fake_decode_batch_empty():
+    out = _fake_decode_batch(pd.Series([], dtype=object))
+    assert len(out) == 0
+    assert list(out.columns) == FCOLS
+
+
 def test_decode_features_contract(spark, sf_dir):
     feats = multimodal_decode_features(spark, sf_dir)
     rows = feats.limit(20).collect()

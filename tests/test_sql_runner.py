@@ -37,6 +37,22 @@ def test_semicolon_inside_comments():
     ]
 
 
+def test_backslash_escaped_quote_inside_literal():
+    # Spark's default parser (escapedStringLiterals=false) honors \' as an
+    # escaped quote INSIDE the literal — the splitter must not close there
+    script = "SELECT 'don\\'t; stop' AS v; SELECT 2"
+    assert split_sql_statements(script) == ["SELECT 'don\\'t; stop' AS v", "SELECT 2"]
+
+
+def test_nested_block_comments():
+    # Spark supports nested bracketed comments (SPARK-28880)
+    script = "SELECT /* outer /* inner */ ; still comment */ 1; SELECT 2"
+    assert split_sql_statements(script) == [
+        "SELECT /* outer /* inner */ ; still comment */ 1",
+        "SELECT 2",
+    ]
+
+
 def test_runner_executes_statements(spark, sf_dir):
     from cs_5542_lab_6_spark.sources.sql_runner import run_sql_script
     from cs_5542_lab_6_spark.sources import register_views
