@@ -8,14 +8,12 @@ from __future__ import annotations
 
 import pytest
 
+from cs_5542_lab_6_spark.plans.inspect import formatted_plan, optimized_plan, scan_pushdown
 from cs_5542_lab_6_spark.registry import all_queries
 
 
 def plan_of(spark, sf_dir, name: str) -> str:
-    df = all_queries()[name](spark, sf_dir)
-    return df._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-    )
+    return formatted_plan(all_queries()[name](spark, sf_dir))
 
 
 def test_vector_topk_plan(spark, sf_dir):
@@ -30,6 +28,11 @@ def test_vector_topk_plan(spark, sf_dir):
 def test_point_lookup_pushdown(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "doc_lookup")
     assert "EqualTo(doc_id,42)" in plan
+    # structured harvest: the point predicate reaches the reader and the
+    # scan reads only the projected columns
+    info = scan_pushdown(all_queries()["doc_lookup"](spark, sf_dir))
+    assert any("EqualTo(doc_id,42)" in f for f in info["pushed_filters"])
+    assert all("text" in rs for rs in info["read_schema"])
 
 
 def test_pricing_summary_partial_agg_and_pruning(spark, sf_dir):
@@ -73,7 +76,7 @@ def test_hybrid_rrf_windows_are_post_limit(spark, sf_dir):
     # the candidate limits: a GlobalLimit feeds every Window node, so the
     # single-partition window only ever sees <= RRF_CANDIDATES rows
     df = all_queries()["hybrid_rrf_topk"](spark, sf_dir)
-    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    plan = optimized_plan(df)
     assert "Window" in plan
     for frag in plan.split("Window")[1:]:
         assert "GlobalLimit" in frag, "rank window not fed by a limit:\n" + plan
