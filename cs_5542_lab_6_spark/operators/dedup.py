@@ -717,3 +717,119 @@ def dedup_embedding_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# 6. Train/test contamination scan (split ⨝ shingle overlap)
+# ---------------------------------------------------------------------------
+
+CONTAMINATION_MIN_SHARED = 5  # shared distinct shingles to flag a pair
+
+# Split assignment identical to ranking.doc_train_test_split (same salted
+# sha bucket), re-declared here as SQL so the oracle chains compose.
+_DUCK_SPLIT_BUCKET = (
+    "CAST(concat('0x', substr(sha256('split|' || doc_id), 1, 15)) AS BIGINT) % 100"
+)
+
+
+@query(
+    "contamination_scan",
+    oracle=f"""
+    WITH {_DUCK_SHINGLES_CTE},
+    split AS (
+      SELECT doc_id,
+             CASE WHEN {_DUCK_SPLIT_BUCKET} < 80 THEN 'train'
+                  WHEN {_DUCK_SPLIT_BUCKET} < 90 THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM documents
+    ),
+    test_sh AS (
+      SELECT sh.doc_id, sh.xs FROM sh JOIN split USING (doc_id)
+      WHERE split = 'test'
+    ),
+    train_sh AS (
+      SELECT sh.doc_id, sh.xs FROM sh JOIN split USING (doc_id)
+      WHERE split = 'train'
+    ),
+    overlap AS (
+      SELECT t.doc_id AS test_doc_id, tr.doc_id AS train_doc_id,
+             COUNT(*) AS n_shared
+      FROM test_sh t JOIN train_sh tr ON t.xs = tr.xs
+      GROUP BY t.doc_id, tr.doc_id
+    ),
+    ranked AS (
+      SELECT o.*, s.n AS n_test_shingles,
+             round(CAST(n_shared AS DOUBLE) / s.n, 4) AS shared_frac,
+             row_number() OVER (PARTITION BY test_doc_id
+                                ORDER BY n_shared DESC, train_doc_id) AS rn
+      FROM overlap o JOIN sizes s ON o.test_doc_id = s.doc_id
+    )
+    SELECT test_doc_id, train_doc_id, n_shared, n_test_shingles, shared_frac
+    FROM ranked
+    WHERE rn = 1 AND n_shared >= {CONTAMINATION_MIN_SHARED}
+    ORDER BY test_doc_id
+    """,
+)
+def contamination_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set contamination scan: for every held-out document (the
+    deterministic hash split of ranking.doc_train_test_split), its most-
+    overlapping training document by shared distinct shingles, flagged
+    when ≥ {5} shingles collide — the leakage check a training pipeline
+    runs before publishing an eval split.
+
+    Scale shape: the same inverted-index equi-join as the Jaccard dedup
+    (8-byte shingle keys, never pairwise text), with the split predicate
+    pruning each side BEFORE the join — the test side is ~10% of the
+    corpus, so the shuffle is test-sized, not corpus-sized. The per-test-
+    doc argmax is one window pass."""
+    sh = _doc_shingles(spark, sf_dir)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.sha2(F.concat(F.lit("split|"), F.col("doc_id")), 256), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    split = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.when(bucket < 80, "train")
+            .when(bucket < 90, "valid")
+            .otherwise("test")
+            .alias("split"),
+        )
+    )
+    sized = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    test_sh = sh.join(
+        split.filter(F.col("split") == "test").select("doc_id"), "doc_id"
+    ).select(F.col("doc_id").alias("test_doc_id"), "xs")
+    train_sh = sh.join(
+        split.filter(F.col("split") == "train").select("doc_id"), "doc_id"
+    ).select(F.col("doc_id").alias("train_doc_id"), "xs")
+    overlap = (
+        test_sh.join(train_sh, "xs")
+        .groupBy("test_doc_id", "train_doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(
+        W.partitionBy("test_doc_id").orderBy(
+            F.desc("n_shared"), F.asc("train_doc_id")
+        )
+    )
+    return (
+        overlap.join(
+            sized.select(F.col("doc_id").alias("test_doc_id"), F.col("n").alias("n_test_shingles")),
+            "test_doc_id",
+        )
+        .withColumn("shared_frac", F.round(F.col("n_shared") / F.col("n_test_shingles"), 4))
+        .withColumn("rn", rn)
+        .filter((F.col("rn") == 1) & (F.col("n_shared") >= CONTAMINATION_MIN_SHARED))
+        .select("test_doc_id", "train_doc_id", "n_shared", "n_test_shingles", "shared_frac")
+        .orderBy("test_doc_id")
+    )
