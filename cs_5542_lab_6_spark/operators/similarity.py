@@ -318,3 +318,88 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "rank", "vec_id", "label", "cosine")
         .orderBy("qid", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar int8 quantization (embedding storage compression)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS e,
+             list_aggregate(embedding::DOUBLE[], 'min') AS mn,
+             list_aggregate(embedding::DOUBLE[], 'max') AS mx
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id, label, e, mn, mx,
+             list_transform(e, x ->
+               CASE WHEN mx = mn THEN 0
+                    ELSE least(255, CAST(floor((x - mn) * 255.0 / (mx - mn)) AS INTEGER))
+               END) AS qv
+      FROM v
+    ),
+    r AS (
+      SELECT vec_id, label, mn, mx, qv,
+             list_transform(qv, qi -> mn + qi * (mx - mn) / 255.0) AS rec,
+             e
+      FROM q
+    )
+    SELECT vec_id, label,
+           round(mn, 6) AS q_min, round(mx, 6) AS q_max,
+           array_to_string(list_transform(qv, x -> CAST(x AS VARCHAR)), ',') AS q_sig,
+           round(list_sum(list_transform(range(1, len(e) + 1),
+                 i -> (e[i] - rec[i]) * (e[i] - rec[i]))) / len(e), 8) AS mse
+    FROM r
+    ORDER BY vec_id
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector scalar int8 quantization of the embedding column — the
+    4x storage compression step an ANN index applies before sharding
+    vectors at scale (float32 → uint8 with per-vector min/max range),
+    reported with the reconstruction MSE per vector.
+
+    Everything is basic IEEE double arithmetic (subtract/multiply/divide/
+    floor) in array order, so the quantized codes AND the error metric
+    are bit-identical cross-engine; the code vector is emitted as a
+    comma-joined string (integer formatting is engine-independent, and
+    the driver's canonicalizer can't hash array cells). Narrow per-row
+    transform — scales exactly like the scan, no shuffle."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    mn, mx = F.array_min("e"), F.array_max("e")
+    v = e.select("vec_id", "label", "e", mn.alias("mn"), mx.alias("mx"))
+    qv = F.when(F.col("mx") == F.col("mn"), F.transform("e", lambda x: F.lit(0))).otherwise(
+        F.transform(
+            "e",
+            lambda x: F.least(
+                F.lit(255),
+                F.floor((x - F.col("mn")) * 255.0 / (F.col("mx") - F.col("mn"))).cast(
+                    "int"
+                ),
+            ),
+        )
+    )
+    q = v.withColumn("qv", qv)
+    rec = F.transform(
+        "qv", lambda qi: F.col("mn") + qi * (F.col("mx") - F.col("mn")) / 255.0
+    )
+    r = q.withColumn("rec", rec)
+    sq_err_sum = F.aggregate(
+        F.zip_with("e", "rec", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return r.select(
+        "vec_id",
+        "label",
+        F.round("mn", 6).alias("q_min"),
+        F.round("mx", 6).alias("q_max"),
+        F.array_join(F.transform("qv", lambda x: x.cast("string")), ",").alias("q_sig"),
+        F.round(sq_err_sum / F.size("e"), 8).alias("mse"),
+    ).orderBy("vec_id")

@@ -470,3 +470,88 @@ def doc_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_out").cast("bigint").alias("n_out"),
         (F.col("n_in") - F.col("n_out")).cast("bigint").alias("n_dropped"),
     ).orderBy("stage")
+
+
+# ---------------------------------------------------------------------------
+# Within-document repetition (Gopher-style duplicate n-gram signal)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_repetition_stats",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+') END AS w
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+      FROM toks, unnest(range(1, len(w) - 1)) AS t(i)
+      WHERE len(w) >= 3
+    ),
+    counts AS (
+      SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_grams,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_in_dupes,
+             CAST(MAX(c) AS BIGINT) AS max_gram_count
+      FROM counts GROUP BY doc_id
+    )
+    SELECT doc_id, n_grams, n_distinct, n_in_dupes, max_gram_count,
+           round(CAST(n_in_dupes AS DOUBLE) / n_grams, 4) AS dup_gram_frac
+    FROM per_doc
+    WHERE CAST(n_in_dupes AS DOUBLE) / n_grams >= 0.05
+    ORDER BY doc_id
+    """,
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signal (the Gopher "fraction of tokens
+    in duplicated n-grams" family): per document, total vs distinct word
+    3-grams and the fraction of gram occurrences belonging to a repeated
+    gram, reporting documents above a 5% repetition floor — boilerplate /
+    template / degenerate-generation text scores high and gets filtered
+    before training.
+
+    Scale shape: narrow gram explode (no shuffle), one (doc, gram)
+    partial-aggregated count, one per-doc rollup; the final predicate is
+    the pipeline's drop rule."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = words(F.lower(F.col("text")))
+    grams3 = F.when(
+        F.size(w) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(w, i), F.element_at(w, i + 1), F.element_at(w, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (
+        docs.select("doc_id", F.explode(grams3).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+    )
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_grams"),
+        F.count("*").alias("n_distinct"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("n_in_dupes"),
+        F.max("c").alias("max_gram_count"),
+    )
+    frac = F.col("n_in_dupes").cast("double") / F.col("n_grams")
+    return (
+        per_doc.filter(frac >= 0.05)
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_distinct",
+            "n_in_dupes",
+            "max_gram_count",
+            F.round(frac, 4).alias("dup_gram_frac"),
+        )
+        .orderBy("doc_id")
+    )
