@@ -555,3 +555,70 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# PII pattern scan + deterministic redaction
+# ---------------------------------------------------------------------------
+
+# Simple character-class patterns only — identical semantics in Java
+# regex (Spark) and RE2 (DuckDB); no lookarounds, no \b.
+PII_EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]{2,}"
+PII_URL_RE = "https?://[^ ]+"
+PII_LONGNUM_RE = "[0-9]{9,}"  # SSN/phone/account-shaped digit runs
+
+
+@query(
+    "doc_pii_scrub",
+    oracle=f"""
+    WITH hits AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS n_emails,
+             len(regexp_extract_all(text, '{PII_URL_RE}')) AS n_urls,
+             len(regexp_extract_all(text, '{PII_LONGNUM_RE}')) AS n_long_numbers,
+             sha256(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{PII_URL_RE}', '<URL>', 'g'),
+                 '{PII_LONGNUM_RE}', '<NUM>', 'g')) AS scrubbed_sha
+      FROM documents
+    )
+    SELECT doc_id, n_emails, n_urls, n_long_numbers,
+           CAST(n_emails + n_urls + n_long_numbers AS BIGINT) AS n_redactions,
+           scrubbed_sha
+    FROM hits
+    ORDER BY doc_id
+    """,
+)
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-pattern scan + deterministic redaction: per document, counts of
+    email / URL / long-digit-run matches and the sha256 of the text after
+    replacing each class with a typed placeholder — the scrub step a
+    pretraining pipeline runs before releasing data, with the hash
+    proving both engines redact to the identical byte stream. Patterns
+    are plain character classes so Java regex and RE2 agree.
+
+    Narrow per-row regex work inside whole-stage codegen; scales exactly
+    like the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_emails = F.size(F.regexp_extract_all("text", F.lit(PII_EMAIL_RE), 0))
+    n_urls = F.size(F.regexp_extract_all("text", F.lit(PII_URL_RE), 0))
+    n_nums = F.size(F.regexp_extract_all("text", F.lit(PII_LONGNUM_RE), 0))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text", PII_EMAIL_RE, "<EMAIL>"),
+            PII_URL_RE,
+            "<URL>",
+        ),
+        PII_LONGNUM_RE,
+        "<NUM>",
+    )
+    return docs.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_urls.alias("n_urls"),
+        n_nums.alias("n_long_numbers"),
+        (n_emails + n_urls + n_nums).cast("bigint").alias("n_redactions"),
+        F.sha2(scrubbed, 256).alias("scrubbed_sha"),
+    ).orderBy("doc_id")
