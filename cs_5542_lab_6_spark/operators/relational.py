@@ -504,3 +504,92 @@ def part_catalog_slugs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # JSON props handling (F7/P7) lives in operators/semistructured.py:
 # events_props_map parses the props column once into a real MapType and
 # aggregates every key — subsuming the former single-key events_json_props.
+
+
+# ---------------------------------------------------------------------------
+# Warehouse lifecycle: MERGE-style upsert (beyond the reference's
+# truncate-and-reload S8 — the incremental pattern that survives scale)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_merge_upsert",
+    oracle="""
+    WITH batch AS (
+      -- CDC-style source batch, derived deterministically: every 100th
+      -- order arrives re-priced (+10%), and a shifted copy of every
+      -- 500th key arrives as a brand-new order
+      SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 1.10 AS DOUBLE) AS o_totalprice
+      FROM orders WHERE o_orderkey % 100 = 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_totalprice
+      FROM orders WHERE o_orderkey % 500 = 0
+    ),
+    merged AS (
+      SELECT COALESCE(b.o_orderkey, t.o_orderkey) AS o_orderkey,
+             t.o_totalprice AS old_price,
+             b.o_totalprice AS new_price,
+             CASE WHEN t.o_orderkey IS NULL THEN 'insert'
+                  WHEN b.o_orderkey IS NULL THEN 'keep'
+                  ELSE 'update' END AS action
+      FROM orders t FULL OUTER JOIN batch b USING (o_orderkey)
+    )
+    SELECT action, COUNT(*) AS n_rows,
+           -- scale-4 decimal: the re-priced values are exact 4-decimal
+           -- products (2dp price x 2dp factor); re-rounding to 2dp would
+           -- hit engine-specific double->decimal tie-breaking
+           CAST(SUM(CAST(COALESCE(new_price, old_price) AS DECIMAL(18,4))) AS DOUBLE)
+             AS total_price_after
+    FROM merged
+    GROUP BY action
+    ORDER BY action
+    """,
+)
+def orders_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-style upsert accounting: a deterministic CDC batch (re-priced
+    updates + genuinely new keys) full-outer-joined against the target,
+    classified into insert / update / keep, with post-merge totals per
+    action — the incremental-load pattern that replaces the reference's
+    truncate-and-reload (S8, data/ingestion.py:407-427) once reloads stop
+    being affordable.
+
+    Scale shape: MERGE is exactly this join — target ⋈ source on the key;
+    with a bucketed/partitioned target the join co-locates, and only
+    changed partitions rewrite (the copy-on-write layout Delta/Iceberg
+    formalize). The classification and totals are one partial-aggregated
+    pass over the join output."""
+    t = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    updates = (
+        t.filter(F.col("o_orderkey") % 100 == 0)
+        .select(
+            "o_orderkey",
+            (_dec("o_totalprice") * F.lit("1.10").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("o_totalprice"),
+        )
+    )
+    inserts = t.filter(F.col("o_orderkey") % 500 == 0).select(
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"), "o_totalprice"
+    )
+    batch = updates.unionByName(inserts)
+    tt = t.select(F.col("o_orderkey"), F.col("o_totalprice").alias("old_price"))
+    bb = batch.select(F.col("o_orderkey"), F.col("o_totalprice").alias("new_price"))
+    merged = tt.join(bb, "o_orderkey", "full_outer").select(
+        "o_orderkey",
+        "old_price",
+        "new_price",
+        F.when(F.col("old_price").isNull(), "insert")
+        .when(F.col("new_price").isNull(), "keep")
+        .otherwise("update")
+        .alias("action"),
+    )
+    return (
+        merged.groupBy("action")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.coalesce("new_price", "old_price").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_price_after"),
+        )
+        .orderBy("action")
+    )

@@ -971,3 +971,103 @@ def kg_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max(F.col("h1.weight") * F.col("u2.weight")).alias("path_weight"))
     )
     return hop2.orderBy(F.desc("path_weight"), F.asc("node_id")).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Delete cascade (right-to-erasure accounting over the corpus FK graph)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corpus_delete_cascade",
+    oracle=f"""
+    WITH {_CORPUS_CTES},
+    pairs AS (
+      SELECT a.node_id AS source_node_id, b.node_id AS target_node_id, a.paper_id
+      FROM ents a JOIN ents b
+        ON a.chunk_id = b.chunk_id AND a.node_id < b.node_id
+    ),
+    edges AS (
+      SELECT DISTINCT source_node_id, target_node_id, paper_id FROM pairs
+    ),
+    del AS (SELECT paper_id FROM sized WHERE doc_id % 50 = 0),
+    node_total AS (SELECT COUNT(DISTINCT node_id) AS n FROM ents),
+    node_kept AS (
+      SELECT COUNT(DISTINCT node_id) AS n FROM ents
+      WHERE paper_id NOT IN (SELECT paper_id FROM del)
+    )
+    SELECT * FROM (
+      SELECT 'papers' AS table_name,
+             (SELECT COUNT(*) FROM sized WHERE doc_id % 50 = 0) AS n_deleted,
+             (SELECT COUNT(*) FROM sized WHERE doc_id % 50 <> 0) AS n_remaining
+      UNION ALL
+      SELECT 'chunks',
+             (SELECT COUNT(*) FROM chunks WHERE paper_id IN (SELECT paper_id FROM del)),
+             (SELECT COUNT(*) FROM chunks WHERE paper_id NOT IN (SELECT paper_id FROM del))
+      UNION ALL
+      SELECT 'chunk_entity_map',
+             (SELECT COUNT(*) FROM ents WHERE paper_id IN (SELECT paper_id FROM del)),
+             (SELECT COUNT(*) FROM ents WHERE paper_id NOT IN (SELECT paper_id FROM del))
+      UNION ALL
+      SELECT 'knowledge_edges',
+             (SELECT COUNT(*) FROM edges WHERE paper_id IN (SELECT paper_id FROM del)),
+             (SELECT COUNT(*) FROM edges WHERE paper_id NOT IN (SELECT paper_id FROM del))
+      UNION ALL
+      SELECT 'knowledge_nodes',
+             (SELECT node_total.n - node_kept.n FROM node_total, node_kept),
+             (SELECT n FROM node_kept)
+    )
+    ORDER BY table_name
+    """,
+)
+def corpus_delete_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure accounting: deleting a deterministic paper set
+    (every 50th document) cascades through the corpus FK graph — chunks
+    and entity mappings by paper_id, per-paper co-occurrence edges by
+    provenance, and knowledge nodes that lose their LAST remaining
+    mention (the anti-join orphan rule: a node survives while any
+    non-deleted paper still mentions it). Reports deleted/remaining per
+    table — the audit a warehouse produces for a deletion request.
+
+    Scale shape: every per-table count is a semi/anti-join against the
+    (tiny, broadcastable) delete set; the node-orphan rule is one
+    distinct-count over the anti-joined mention relation. With
+    partitioned storage the same predicate prunes whole files, so the
+    physical delete is a partition rewrite, not a table rewrite."""
+    del_papers = (
+        cleaned_documents(spark, sf_dir)
+        .filter(F.col("doc_id") % 50 == 0)
+        .select("paper_id")
+    )
+    papers = papers_build(spark, sf_dir).select("paper_id")
+    chunks = _chunk_documents(spark, sf_dir).select("paper_id")
+    ents = chunk_entities_df(spark, sf_dir).select("paper_id", "node_id")
+    edges = kg_edges_build(spark, sf_dir).select("paper_id")
+
+    b_del = F.broadcast(del_papers)
+
+    def split_counts(df: DataFrame, name: str) -> DataFrame:
+        deleted = df.join(b_del, "paper_id", "left_semi").count()
+        remaining = df.join(b_del, "paper_id", "left_anti").count()
+        return spark.createDataFrame(
+            [(name, deleted, remaining)],
+            "table_name string, n_deleted long, n_remaining long",
+        )
+
+    node_total = ents.select("node_id").distinct().count()
+    node_kept = (
+        ents.join(b_del, "paper_id", "left_anti").select("node_id").distinct().count()
+    )
+    rows = (
+        split_counts(papers, "papers")
+        .unionByName(split_counts(chunks, "chunks"))
+        .unionByName(split_counts(ents, "chunk_entity_map"))
+        .unionByName(split_counts(edges, "knowledge_edges"))
+        .unionByName(
+            spark.createDataFrame(
+                [("knowledge_nodes", node_total - node_kept, node_kept)],
+                "table_name string, n_deleted long, n_remaining long",
+            )
+        )
+    )
+    return rows.orderBy("table_name")

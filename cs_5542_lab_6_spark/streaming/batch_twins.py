@@ -207,3 +207,148 @@ def eval_metrics_log(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("log_date", "retrieval_mode")
     )
+
+
+@query(
+    "events_conversion_funnel",
+    oracle=f"""
+    WITH lagd AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p
+      FROM events
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN p IS NULL OR ts - p >= INTERVAL '{SESSION_GAP}'
+                     THEN 1 ELSE 0 END AS f
+      FROM lagd
+    ),
+    sess AS (
+      SELECT *, SUM(f) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ),
+    v AS (
+      SELECT user_id, sid, MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view
+      FROM sess GROUP BY user_id, sid
+    ),
+    c AS (
+      SELECT s.user_id, s.sid,
+             MIN(CASE WHEN s.event_type = 'click' AND s.ts > v.first_view
+                      THEN s.ts END) AS first_click
+      FROM sess s JOIN v USING (user_id, sid)
+      GROUP BY s.user_id, s.sid
+    ),
+    p AS (
+      SELECT s.user_id, s.sid,
+             MIN(CASE WHEN s.event_type = 'purchase' AND s.ts > c.first_click
+                      THEN s.ts END) AS first_purchase
+      FROM sess s JOIN c USING (user_id, sid)
+      GROUP BY s.user_id, s.sid
+    ),
+    per_session AS (
+      SELECT v.user_id, v.sid, v.first_view, c.first_click, p.first_purchase
+      FROM v JOIN c USING (user_id, sid) JOIN p USING (user_id, sid)
+    ),
+    agg AS (
+      SELECT COUNT(*) AS n_sessions,
+             SUM(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END) AS s1,
+             SUM(CASE WHEN first_click IS NOT NULL THEN 1 ELSE 0 END) AS s2,
+             SUM(CASE WHEN first_purchase IS NOT NULL THEN 1 ELSE 0 END) AS s3
+      FROM per_session
+    )
+    SELECT stage, CAST(n AS BIGINT) AS n_sessions,
+           round(CAST(n AS DOUBLE) / n_sessions, 4) AS frac_of_sessions
+    FROM agg, (
+      SELECT 'a_view' AS stage, s1 AS n FROM agg UNION ALL
+      SELECT 'b_click_after_view', s2 FROM agg UNION ALL
+      SELECT 'c_purchase_after_click', s3 FROM agg
+    )
+    ORDER BY stage
+    """,
+)
+def events_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionized conversion funnel: within each user session (gap
+    {SESSION_GAP}), count sessions that saw a view, a click strictly
+    after the first view, and a purchase strictly after that click — the
+    ordered-stage event-analytics query (stricter than per-type presence:
+    order matters, so a click preceding every view does not convert).
+
+    Shape at scale: one sessionization shuffle on user_id (the
+    gaps-and-islands form, identical to the session-window oracle), then
+    three partial-aggregated per-session reductions; the funnel report
+    collapses to three rows. The same sessionization drives
+    events_session_windows, so in a real deployment the session relation
+    is computed once and shared."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(order)
+    flagged = ev.withColumn(
+        "f",
+        F.when(
+            F.lag("ts").over(order).isNull()
+            | (gap >= F.lit(6 * 3600)),  # SESSION_GAP = 6 hours
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "sid", F.sum("f").over(order.rowsBetween(W.unboundedPreceding, W.currentRow))
+    )
+    v = sess.groupBy("user_id", "sid").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view")
+    )
+    c = (
+        sess.join(v, ["user_id", "sid"])
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("first_view")),
+                    F.col("ts"),
+                )
+            ).alias("first_click")
+        )
+    )
+    p = (
+        sess.join(c, ["user_id", "sid"])
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("first_click")),
+                    F.col("ts"),
+                )
+            ).alias("first_purchase")
+        )
+    )
+    per_session = v.join(c, ["user_id", "sid"]).join(p, ["user_id", "sid"])
+    agg = per_session.agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.col("first_view").isNotNull().cast("int")).alias("s1"),
+        F.sum(F.col("first_click").isNotNull().cast("int")).alias("s2"),
+        F.sum(F.col("first_purchase").isNotNull().cast("int")).alias("s3"),
+    )
+    stages = agg.select(
+        F.expr(
+            "stack(3,"
+            " 'a_view', s1,"
+            " 'b_click_after_view', s2,"
+            " 'c_purchase_after_click', s3"
+            ") AS (stage, n)"
+        ),
+        "n_total",
+    )
+    return (
+        stages.select(
+            "stage",
+            F.col("n").cast("bigint").alias("n_sessions"),
+            F.round(F.col("n").cast("double") / F.col("n_total"), 4).alias(
+                "frac_of_sessions"
+            ),
+        )
+        .orderBy("stage")
+    )
