@@ -166,3 +166,65 @@ def customer_balance_distribution(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("c_custkey")
     )
+
+
+@query(
+    "supplier_weekly_moving_avg",
+    oracle="""
+    WITH daily AS (
+      SELECT l_suppkey, CAST(date_trunc('day', l_shipdate) AS TIMESTAMP) AS ship_day,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS day_rev
+      FROM lineitem
+      WHERE l_suppkey <= 5
+      GROUP BY 1, 2
+    )
+    SELECT l_suppkey, ship_day,
+           CAST(day_rev AS DOUBLE) AS day_revenue,
+           CAST(SUM(day_rev) OVER (
+             PARTITION BY l_suppkey ORDER BY ship_day
+             RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS trailing_7d_revenue,
+           CAST(COUNT(*) OVER (
+             PARTITION BY l_suppkey ORDER BY ship_day
+             RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS days_in_window
+    FROM daily
+    ORDER BY l_suppkey, ship_day
+    """,
+)
+def supplier_weekly_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame (§2.5's missing frame kind: rangeBetween
+    over event time, not row counts): per supplier, trailing-7-day
+    revenue over the daily rollup — the moving-aggregate shape of every
+    monitoring dashboard. The frame is defined by the ORDER BY *value*
+    (days with no sales genuinely fall out of the window), which rows-
+    frames cannot express.
+
+    Exactness: the windowed sum accumulates DECIMAL (order-independent),
+    surfaced as double. One shuffle on the partition key; the range frame
+    evaluates with a sliding two-pointer over each sorted partition."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 5)
+    daily = (
+        li.groupBy(
+            "l_suppkey", F.date_trunc("day", "l_shipdate").alias("ship_day")
+        )
+        .agg(F.sum(F.col("l_extendedprice").cast(DEC)).cast("decimal(18,2)").alias("day_rev"))
+    )
+    # rangeBetween needs a numeric ordering key: order by epoch days so
+    # "6 days preceding" is the exact integer range [-6, 0]
+    day_num = (F.unix_micros("ship_day") / F.lit(86_400_000_000)).cast("long")
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy(day_num)
+        .rangeBetween(-6, W.currentRow)
+    )
+    return (
+        daily.select(
+            "l_suppkey",
+            "ship_day",
+            F.col("day_rev").cast("double").alias("day_revenue"),
+            F.sum("day_rev").over(w).cast("double").alias("trailing_7d_revenue"),
+            F.count("*").over(w).cast("bigint").alias("days_in_window"),
+        )
+        .orderBy("l_suppkey", "ship_day")
+    )
