@@ -97,3 +97,47 @@ def orders_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "nation_price_medians",
+    oracle="""
+    SELECT n_name,
+           COUNT(*) AS n_orders,
+           CAST(median(o_totalprice) AS DOUBLE) AS median_price,
+           CAST(percentile_cont(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS DOUBLE) AS p25,
+           CAST(percentile_cont(0.75) WITHIN GROUP (ORDER BY o_totalprice) AS DOUBLE) AS p75
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def nation_price_medians(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group percentiles (median/p25/p75 of order price per
+    nation) — the precise counterpart of orders_approx_stats' sketches.
+    percentile_cont interpolates between the two neighboring order
+    statistics ((a+b)*fraction arithmetic — identical IEEE in both
+    engines), so unlike the KLL sketch this IS oracle-checkable.
+
+    Scale note: exact percentiles need the group's values together —
+    one shuffle on the group key with per-group sort. Fine for bounded
+    groups (25 nations); for high-cardinality keys or global percentiles
+    at 100 TB, the approx sketch (orders_approx_stats) is the right tool
+    — this pair of queries IS that trade-off, made explicit."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.median("o_totalprice").alias("median_price"),
+            F.percentile("o_totalprice", F.lit(0.25)).alias("p25"),
+            F.percentile("o_totalprice", F.lit(0.75)).alias("p75"),
+        )
+        .orderBy("n_name")
+    )
