@@ -49,7 +49,6 @@ _PRIORITY: tuple[str, ...] = (
     # Reference-parity corpus pipeline (SURVEY §3.3 stages 1-4 + queries)
     "papers_build",
     "chunks_build",
-    "chunk_windows_demo",
     "chunks_with_embeddings",
     "chunk_vector_topk",
     "kg_map_build",
@@ -60,9 +59,9 @@ _PRIORITY: tuple[str, ...] = (
     "kg_two_hop",
     "corpus_verify",
     "corpus_chunk_ratio",
-    # Agent tool surface (M8-M9)
+    # Agent tool surface (M8-M9; agent_paper_details sits outside the
+    # window — it exercises the same S6/P4 point lookup as doc_lookup)
     "agent_search_papers",
-    "agent_paper_details",
     "agent_chunk_context",
     # SQL script runner (S12)
     "sql_script_segment_revenue",
@@ -75,6 +74,7 @@ _PRIORITY: tuple[str, ...] = (
     "vector_topk",
     "vector_topk_filtered",
     "doc_lookup",
+    "hybrid_rrf_topk",
     # Deduplication family
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -82,6 +82,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_clusters",
     "dedup_simhash",
     "dedup_embedding_nn",
+    "contamination_scan",
     # Similarity search family
     "ann_brute_force_topk",
     "ann_lsh_topk",

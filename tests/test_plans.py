@@ -62,6 +62,16 @@ def test_token_frequency_topk_plan(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2  # partial+final on token counts
 
 
+def test_rank_filter_uses_window_group_limit(spark, sf_dir):
+    """Per-group top-k via row_number + rk<=N filter must plan with
+    WindowGroupLimit (Spark 3.5+ rank-limit pushdown): each partition
+    keeps only N rows BEFORE the full window sort/materialization — the
+    difference between sorting k rows and sorting the whole group at
+    scale."""
+    plan = plan_of(spark, sf_dir, "top3_orders_per_customer")
+    assert "WindowGroupLimit" in plan
+
+
 def test_bm25_plan(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "bm25_doc_topk")
     # query-term list broadcast into the postings join — the inverted
