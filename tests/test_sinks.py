@@ -37,3 +37,30 @@ def test_parquet_checkpoint_preserves_schema(spark, sf_dir, tmp_path):
         (f.name, f.dataType) for f in log.schema
     ]
     assert back.orderBy("log_id").collect() == log.orderBy("log_id").collect()
+
+
+def test_schema_evolution_merge_read(spark, sf_dir, tmp_path):
+    """Schema evolution on a checkpointed table: a later batch adds a
+    column; mergeSchema reads both generations as one relation with the
+    old rows null-filled — how a 100 TB warehouse absorbs additive schema
+    change without rewriting history."""
+    out = str(tmp_path / "evolving")
+    log = eval_metrics_log(spark, sf_dir)
+    gen1 = log.select("log_id", "retrieval_mode", "n_queries")
+    gen1.write.mode("append").parquet(out)
+    gen2 = log.select(
+        "log_id", "retrieval_mode", "n_queries", "avg_latency_ms"
+    ).withColumn("log_id", F.concat(F.lit("g2_"), "log_id"))
+    gen2.write.mode("append").parquet(out)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert set(merged.columns) == {
+        "log_id", "retrieval_mode", "n_queries", "avg_latency_ms"
+    }
+    n = log.count()
+    assert merged.count() == 2 * n
+    # old-generation rows surface with the new column null-filled
+    old_rows = merged.filter(~F.col("log_id").startswith("g2_"))
+    assert old_rows.filter(F.col("avg_latency_ms").isNull()).count() == n
+    new_rows = merged.filter(F.col("log_id").startswith("g2_"))
+    assert new_rows.filter(F.col("avg_latency_ms").isNotNull()).count() == n
