@@ -593,3 +593,69 @@ def orders_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("action")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-replica consistency: order-independent key-set checksums
+# ---------------------------------------------------------------------------
+
+# (table, key expression) — composite keys joined with '|'.
+_CHECKSUM_KEYS: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("region", ("r_regionkey",)),
+    ("nation", ("n_nationkey",)),
+    ("customer", ("c_custkey",)),
+    ("supplier", ("s_suppkey",)),
+    ("part", ("p_partkey",)),
+    ("orders", ("o_orderkey",)),
+    ("lineitem", ("l_orderkey", "l_linenumber")),
+    ("events", ("event_id",)),
+    ("documents", ("doc_id",)),
+    ("embeddings", ("vec_id",)),
+)
+
+
+@query(
+    "table_keyset_checksums",
+    oracle="""
+    SELECT * FROM (
+    """
+    + "\n    UNION ALL\n    ".join(
+        f"""SELECT '{t}' AS table_name, COUNT(*) AS n_rows,
+           CAST(CAST(SUM(CAST(concat('0x', substr(sha256('{t}|' || {" || '|' || ".join(k)}), 1, 15)) AS BIGINT) % 2147483647) AS DECIMAL(38,0)) AS VARCHAR) AS key_checksum
+        FROM {t}"""
+        for t, k in _CHECKSUM_KEYS
+    )
+    + """
+    )
+    ORDER BY table_name
+    """,
+)
+def table_keyset_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent key-set checksum per table: the sum of salted
+    sha-derived key hashes plus the row count — equal checksums mean
+    equal key sets regardless of row order, partitioning, or engine. The
+    anti-entropy check a replicated warehouse runs to verify a copy (or
+    a migration, or THIS engine against the reference's warehouse)
+    without comparing rows.
+
+    Scale shape: one narrow hash per row and one partial-aggregated SUM
+    per table — each checksum costs a key-column scan. Sums accumulate
+    as DECIMAL(38,0): commutative and exact, so 10^12-row tables can't
+    overflow (a raw BIGINT sum of 31-bit hashes would, and ANSI Spark
+    would raise), and the digit-string form hashes identically on both
+    engines."""
+    from ..functions.text import token_hash
+
+    out = None
+    for t, keys in _CHECKSUM_KEYS:
+        df = load_table(spark, sf_dir, t)
+        key = F.concat_ws("|", F.lit(t), *[F.col(k).cast("string") for k in keys])
+        part = df.agg(
+            F.count("*").alias("n_rows"),
+            F.sum(token_hash(key).cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .cast("string")
+            .alias("key_checksum"),
+        ).select(F.lit(t).alias("table_name"), "n_rows", "key_checksum")
+        out = part if out is None else out.unionByName(part)
+    return out.orderBy("table_name")
