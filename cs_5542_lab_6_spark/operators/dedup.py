@@ -725,11 +725,9 @@ def dedup_embedding_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CONTAMINATION_MIN_SHARED = 5  # shared distinct shingles to flag a pair
 
-# Split assignment identical to ranking.doc_train_test_split (same salted
-# sha bucket), re-declared here as SQL so the oracle chains compose.
-_DUCK_SPLIT_BUCKET = (
-    "CAST(concat('0x', substr(sha256('split|' || doc_id), 1, 15)) AS BIGINT) % 100"
-)
+# THE split definition is ranking.py's — imported, never re-declared, so
+# a threshold change there can never fork the split this scan audits.
+from .ranking import DUCK_SPLIT_CASE  # noqa: E402
 
 
 @query(
@@ -738,9 +736,7 @@ _DUCK_SPLIT_BUCKET = (
     WITH {_DUCK_SHINGLES_CTE},
     split AS (
       SELECT doc_id,
-             CASE WHEN {_DUCK_SPLIT_BUCKET} < 80 THEN 'train'
-                  WHEN {_DUCK_SPLIT_BUCKET} < 90 THEN 'valid'
-                  ELSE 'test' END AS split
+             {DUCK_SPLIT_CASE.format(id="doc_id")} AS split
       FROM documents
     ),
     test_sh AS (
@@ -782,26 +778,11 @@ def contamination_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruning each side BEFORE the join — the test side is ~10% of the
     corpus, so the shuffle is test-sized, not corpus-sized. The per-test-
     doc argmax is one window pass."""
+    from .ranking import split_assignment
+
     sh = _doc_shingles(spark, sf_dir)
-    bucket = (
-        F.conv(
-            F.substring(
-                F.sha2(F.concat(F.lit("split|"), F.col("doc_id")), 256), 1, 15
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 100
-    )
-    split = (
-        load_table(spark, sf_dir, "documents")
-        .select(
-            "doc_id",
-            F.when(bucket < 80, "train")
-            .when(bucket < 90, "valid")
-            .otherwise("test")
-            .alias("split"),
-        )
+    split = load_table(spark, sf_dir, "documents").select(
+        "doc_id", split_assignment("doc_id").alias("split")
     )
     sized = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     test_sh = sh.join(

@@ -263,21 +263,36 @@ TRAIN_UPPER = 80
 VALID_UPPER = 90
 
 
+def split_assignment(doc_id_col: str = "doc_id"):
+    """The deterministic split label as a Column — THE split definition;
+    every consumer (doc_train_test_split, contamination_scan) must use
+    this so threshold changes can never fork the audited split."""
+    from ..functions.text import token_hash60
+
+    bucket = token_hash60(F.concat(F.lit("split|"), F.col(doc_id_col))) % SPLIT_BUCKETS
+    return (
+        F.when(bucket < TRAIN_UPPER, "train")
+        .when(bucket < VALID_UPPER, "valid")
+        .otherwise("test")
+    )
+
+
+# DuckDB twin of split_assignment (format with {id} = the id expression).
+DUCK_SPLIT_CASE = (
+    f"CASE WHEN CAST(concat('0x', substr(sha256('split|' || {{id}}), 1, 15)) AS BIGINT)"
+    f" % {SPLIT_BUCKETS} < {TRAIN_UPPER} THEN 'train'"
+    f" WHEN CAST(concat('0x', substr(sha256('split|' || {{id}}), 1, 15)) AS BIGINT)"
+    f" % {SPLIT_BUCKETS} < {VALID_UPPER} THEN 'valid'"
+    f" ELSE 'test' END"
+)
+
+
 @query(
     "doc_train_test_split",
     oracle=f"""
-    WITH assigned AS (
-      SELECT doc_id, lang,
-             CAST(concat('0x', substr(sha256('split|' || doc_id), 1, 15)) AS BIGINT)
-               % {SPLIT_BUCKETS} AS bucket
+    WITH labeled AS (
+      SELECT doc_id, lang, {DUCK_SPLIT_CASE.format(id="doc_id")} AS split
       FROM documents
-    ),
-    labeled AS (
-      SELECT doc_id, lang,
-             CASE WHEN bucket < {TRAIN_UPPER} THEN 'train'
-                  WHEN bucket < {VALID_UPPER} THEN 'valid'
-                  ELSE 'test' END AS split
-      FROM assigned
     )
     SELECT lang, split, COUNT(*) AS n_docs,
            CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
@@ -296,21 +311,8 @@ def doc_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lang, split) counts — the stratification report a data pipeline
     checks before training."""
     docs = load_table(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(
-            F.substring(F.sha2(F.concat(F.lit("split|"), F.col("doc_id")), 256), 1, 15),
-            16,
-            10,
-        ).cast("long")
-        % SPLIT_BUCKETS
-    )
-    split = (
-        F.when(bucket < TRAIN_UPPER, "train")
-        .when(bucket < VALID_UPPER, "valid")
-        .otherwise("test")
-    )
     return (
-        docs.select("doc_id", "lang", split.alias("split"))
+        docs.select("doc_id", "lang", split_assignment("doc_id").alias("split"))
         .groupBy("lang", "split")
         .agg(
             F.count("*").alias("n_docs"),

@@ -572,14 +572,24 @@ def orders_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderkey") + 10000000).alias("o_orderkey"), "o_totalprice"
     )
     batch = updates.unionByName(inserts)
-    tt = t.select(F.col("o_orderkey"), F.col("o_totalprice").alias("old_price"))
-    bb = batch.select(F.col("o_orderkey"), F.col("o_totalprice").alias("new_price"))
+    tt = t.select(
+        F.col("o_orderkey"),
+        F.col("o_orderkey").alias("t_key"),
+        F.col("o_totalprice").alias("old_price"),
+    )
+    bb = batch.select(
+        F.col("o_orderkey"),
+        F.col("o_orderkey").alias("b_key"),
+        F.col("o_totalprice").alias("new_price"),
+    )
+    # classify on key presence from each join side — the same predicate
+    # the oracle tests — never on a (potentially nullable) payload column
     merged = tt.join(bb, "o_orderkey", "full_outer").select(
         "o_orderkey",
         "old_price",
         "new_price",
-        F.when(F.col("old_price").isNull(), "insert")
-        .when(F.col("new_price").isNull(), "keep")
+        F.when(F.col("t_key").isNull(), "insert")
+        .when(F.col("b_key").isNull(), "keep")
         .otherwise("update")
         .alias("action"),
     )
@@ -621,7 +631,7 @@ _CHECKSUM_KEYS: tuple[tuple[str, tuple[str, ...]], ...] = (
     """
     + "\n    UNION ALL\n    ".join(
         f"""SELECT '{t}' AS table_name, COUNT(*) AS n_rows,
-           CAST(CAST(SUM(CAST(concat('0x', substr(sha256('{t}|' || {" || '|' || ".join(k)}), 1, 15)) AS BIGINT) % 2147483647) AS DECIMAL(38,0)) AS VARCHAR) AS key_checksum
+           CAST(CAST(SUM(CAST(concat('0x', substr(sha256('{t}|' || {" || '|' || ".join(f"COALESCE(CAST({c} AS VARCHAR), '<null>')" for c in k)}), 1, 15)) AS BIGINT) % 2147483647) AS DECIMAL(38,0)) AS VARCHAR) AS key_checksum
         FROM {t}"""
         for t, k in _CHECKSUM_KEYS
     )
@@ -649,7 +659,14 @@ def table_keyset_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = None
     for t, keys in _CHECKSUM_KEYS:
         df = load_table(spark, sf_dir, t)
-        key = F.concat_ws("|", F.lit(t), *[F.col(k).cast("string") for k in keys])
+        # NULL-preserving serialization: concat_ws would silently DROP a
+        # null component (and DuckDB's || would null the whole key), so
+        # both engines coalesce each part to an explicit sentinel first
+        key = F.concat_ws(
+            "|",
+            F.lit(t),
+            *[F.coalesce(F.col(k).cast("string"), F.lit("<null>")) for k in keys],
+        )
         part = df.agg(
             F.count("*").alias("n_rows"),
             F.sum(token_hash(key).cast("decimal(38,0)"))

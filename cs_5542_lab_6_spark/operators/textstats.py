@@ -571,18 +571,24 @@ PII_LONGNUM_RE = "[0-9]{9,}"  # SSN/phone/account-shaped digit runs
 @query(
     "doc_pii_scrub",
     oracle=f"""
-    WITH hits AS (
-      SELECT doc_id,
-             len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS n_emails,
-             len(regexp_extract_all(text, '{PII_URL_RE}')) AS n_urls,
-             len(regexp_extract_all(text, '{PII_LONGNUM_RE}')) AS n_long_numbers,
-             sha256(
-               regexp_replace(
-                 regexp_replace(
-                   regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
-                   '{PII_URL_RE}', '<URL>', 'g'),
-                 '{PII_LONGNUM_RE}', '<NUM>', 'g')) AS scrubbed_sha
+    WITH staged AS (
+      -- counts run on the PROGRESSIVELY scrubbed text, mirroring the
+      -- replace chain, so n_redactions equals the substitutions actually
+      -- made (a digit run inside a URL is redacted once, as <URL>)
+      SELECT doc_id, text AS t0,
+             regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>', 'g') AS t1
       FROM documents
+    ),
+    staged2 AS (
+      SELECT *, regexp_replace(t1, '{PII_URL_RE}', '<URL>', 'g') AS t2 FROM staged
+    ),
+    hits AS (
+      SELECT doc_id,
+             len(regexp_extract_all(t0, '{PII_EMAIL_RE}')) AS n_emails,
+             len(regexp_extract_all(t1, '{PII_URL_RE}')) AS n_urls,
+             len(regexp_extract_all(t2, '{PII_LONGNUM_RE}')) AS n_long_numbers,
+             sha256(regexp_replace(t2, '{PII_LONGNUM_RE}', '<NUM>', 'g')) AS scrubbed_sha
+      FROM staged2
     )
     SELECT doc_id, n_emails, n_urls, n_long_numbers,
            CAST(n_emails + n_urls + n_long_numbers AS BIGINT) AS n_redactions,
@@ -602,23 +608,24 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     Narrow per-row regex work inside whole-stage codegen; scales exactly
     like the scan."""
     docs = load_table(spark, sf_dir, "documents")
-    n_emails = F.size(F.regexp_extract_all("text", F.lit(PII_EMAIL_RE), 0))
-    n_urls = F.size(F.regexp_extract_all("text", F.lit(PII_URL_RE), 0))
-    n_nums = F.size(F.regexp_extract_all("text", F.lit(PII_LONGNUM_RE), 0))
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace("text", PII_EMAIL_RE, "<EMAIL>"),
-            PII_URL_RE,
-            "<URL>",
-        ),
-        PII_LONGNUM_RE,
-        "<NUM>",
-    )
-    return docs.select(
+    # each class counted on the output of the PREVIOUS replace, so
+    # overlapping matches (a digit run inside a URL) are never counted
+    # twice and n_redactions reconciles with scrubbed_sha
+    staged = docs.select(
+        "doc_id",
+        F.col("text").alias("t0"),
+        F.regexp_replace("text", PII_EMAIL_RE, "<EMAIL>").alias("t1"),
+    ).withColumn("t2", F.regexp_replace("t1", PII_URL_RE, "<URL>"))
+    n_emails = F.size(F.regexp_extract_all("t0", F.lit(PII_EMAIL_RE), 0))
+    n_urls = F.size(F.regexp_extract_all("t1", F.lit(PII_URL_RE), 0))
+    n_nums = F.size(F.regexp_extract_all("t2", F.lit(PII_LONGNUM_RE), 0))
+    return staged.select(
         "doc_id",
         n_emails.alias("n_emails"),
         n_urls.alias("n_urls"),
         n_nums.alias("n_long_numbers"),
         (n_emails + n_urls + n_nums).cast("bigint").alias("n_redactions"),
-        F.sha2(scrubbed, 256).alias("scrubbed_sha"),
+        F.sha2(F.regexp_replace("t2", PII_LONGNUM_RE, "<NUM>"), 256).alias(
+            "scrubbed_sha"
+        ),
     ).orderBy("doc_id")

@@ -1037,37 +1037,44 @@ def corpus_delete_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     del_papers = (
         cleaned_documents(spark, sf_dir)
         .filter(F.col("doc_id") % 50 == 0)
-        .select("paper_id")
+        .select("paper_id", F.lit(1).alias("is_del"))
     )
+    b_del = F.broadcast(del_papers)
+
+    def split_counts(df: DataFrame, name: str) -> DataFrame:
+        # one lazy conditional aggregation per relation (never a driver-
+        # side count(): every other registry query is lazy, and the
+        # left-join marker form computes deleted+remaining in one pass)
+        marked = df.join(b_del, "paper_id", "left")
+        return marked.agg(
+            F.lit(name).alias("table_name"),
+            F.sum(F.col("is_del").isNotNull().cast("long")).alias("n_deleted"),
+            F.sum(F.col("is_del").isNull().cast("long")).alias("n_remaining"),
+        )
+
     papers = papers_build(spark, sf_dir).select("paper_id")
     chunks = _chunk_documents(spark, sf_dir).select("paper_id")
     ents = chunk_entities_df(spark, sf_dir).select("paper_id", "node_id")
     edges = kg_edges_build(spark, sf_dir).select("paper_id")
 
-    b_del = F.broadcast(del_papers)
-
-    def split_counts(df: DataFrame, name: str) -> DataFrame:
-        deleted = df.join(b_del, "paper_id", "left_semi").count()
-        remaining = df.join(b_del, "paper_id", "left_anti").count()
-        return spark.createDataFrame(
-            [(name, deleted, remaining)],
-            "table_name string, n_deleted long, n_remaining long",
+    nodes = (
+        ents.join(b_del, "paper_id", "left")
+        .agg(
+            F.lit("knowledge_nodes").alias("table_name"),
+            (
+                F.countDistinct("node_id")
+                - F.countDistinct(F.when(F.col("is_del").isNull(), F.col("node_id")))
+            ).alias("n_deleted"),
+            F.countDistinct(
+                F.when(F.col("is_del").isNull(), F.col("node_id"))
+            ).alias("n_remaining"),
         )
-
-    node_total = ents.select("node_id").distinct().count()
-    node_kept = (
-        ents.join(b_del, "paper_id", "left_anti").select("node_id").distinct().count()
     )
     rows = (
         split_counts(papers, "papers")
         .unionByName(split_counts(chunks, "chunks"))
         .unionByName(split_counts(ents, "chunk_entity_map"))
         .unionByName(split_counts(edges, "knowledge_edges"))
-        .unionByName(
-            spark.createDataFrame(
-                [("knowledge_nodes", node_total - node_kept, node_kept)],
-                "table_name string, n_deleted long, n_remaining long",
-            )
-        )
+        .unionByName(nodes)
     )
     return rows.orderBy("table_name")

@@ -22,7 +22,12 @@ from pyspark.sql import functions as F
 from ..registry import query
 from ..sources import load_table
 
-SESSION_GAP = "6 hours"  # ~median inter-event gap is 7.7h ⇒ real merges
+# ~median inter-event gap is 7.7h ⇒ real merges. The interval string and
+# the integer form derive from ONE constant so every consumer (session
+# windows, funnel, oracles) sessionizes with the same gap.
+SESSION_GAP_HOURS = 6
+SESSION_GAP = f"{SESSION_GAP_HOURS} hours"
+SESSION_GAP_MICROS = SESSION_GAP_HOURS * 3600 * 1_000_000
 
 _DEC = "decimal(18,6)"
 
@@ -285,12 +290,15 @@ def events_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", "event_id", "event_type"
     )
     order = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(order)
+    # exact integer-microsecond gap (repo convention: never per-operand
+    # second truncation — a sub-second-straddling gap near the threshold
+    # would otherwise sessionize differently than the exact-timestamp
+    # oracle comparison)
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(order)
     flagged = ev.withColumn(
         "f",
         F.when(
-            F.lag("ts").over(order).isNull()
-            | (gap >= F.lit(6 * 3600)),  # SESSION_GAP = 6 hours
+            F.lag("ts").over(order).isNull() | (gap >= F.lit(SESSION_GAP_MICROS)),
             1,
         ).otherwise(0),
     )

@@ -31,6 +31,7 @@ def test_point_lookup_pushdown(spark, sf_dir):
     # structured harvest: the point predicate reaches the reader and the
     # scan reads only the projected columns
     info = scan_pushdown(all_queries()["doc_lookup"](spark, sf_dir))
+    assert info["pushed_filters"] and info["read_schema"]  # harvest is live
     assert any("EqualTo(doc_id,42)" in f for f in info["pushed_filters"])
     assert all("text" in rs for rs in info["read_schema"])
 
