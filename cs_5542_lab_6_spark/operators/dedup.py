@@ -64,6 +64,20 @@ def shingle_array(w: Column, k: int = SHINGLE_K) -> Column:
     )
 
 
+def doc_shingles_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cold (doc_id, xs) derivation — one row per distinct shingle *hash*
+    per document, straight from raw text. This is the warehouse-stage
+    builder (``ingest.STAGES``); query-side consumers go through
+    ``_doc_shingles`` which prefers the materialized checkpoint."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    w = words(F.lower(F.col("text")))
+    return (
+        docs.select("doc_id", F.explode(shingle_array(w)).alias("s"))
+        .select("doc_id", token_hash("s").alias("xs"))
+        .distinct()
+    )
+
+
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, xs) — one row per distinct shingle *hash* per document.
 
@@ -71,18 +85,18 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate-join shuffle to 8-byte keys; any hash collision affects both
     engines identically (same hash function in the oracle).
 
-    Cached: every consumer (sizes, signatures, both sides of the verify
-    join) reuses one materialization instead of re-shingling — the Spark
-    analogue of the reference's chunk cache (agent.py:48-63). cache() is
+    Warm: the ``doc_shingles`` warehouse checkpoint — at 100 TB a
+    pipeline materializes signatures once and every dedup query scans the
+    compact (doc_id, hash) parquet instead of re-shingling raw text.
+    Cold: derived and cached — every consumer (sizes, signatures, both
+    sides of the verify join) reuses one materialization; cache() is
     MEMORY_AND_DISK, so at scale it spills rather than OOMs."""
-    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
-    w = words(F.lower(F.col("text")))
-    return (
-        docs.select("doc_id", F.explode(shingle_array(w)).alias("s"))
-        .select("doc_id", token_hash("s").alias("xs"))
-        .distinct()
-        .cache()
-    )
+    from ..pipeline.corpus import _warm_path
+
+    p = _warm_path(sf_dir, "doc_shingles", spark)
+    if p:
+        return spark.read.parquet(p)
+    return doc_shingles_build(spark, sf_dir).cache()
 
 
 # DuckDB twin of _doc_shingles (distinct doc_id, xs).
@@ -103,6 +117,35 @@ sh AS (
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
 """
+
+
+def doc_minhash_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cold MinHash signature stage: all MINHASH_PERMS permutation minima
+    in ONE hash-agg pass over the shingle relation (map-side partials; the
+    earlier perm-table crossJoin version shuffled MINHASH_PERMS-times the
+    rows). 8 bytes per permutation per doc regardless of document size —
+    the relation a 100 TB pipeline materializes once and every
+    LSH/clustering query reads."""
+    sh = _doc_shingles(spark, sf_dir)
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(_MH_A[i]) * F.col("xs") + F.lit(_MH_B[i])) % HASH_P).alias(
+                f"h{i}"
+            )
+            for i in range(MINHASH_PERMS)
+        ]
+    )
+
+
+def _doc_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, h0..h{n}) MinHash signatures: the ``doc_minhash``
+    warehouse checkpoint when warm, the one-pass aggregation otherwise."""
+    from ..pipeline.corpus import _warm_path
+
+    p = _warm_path(sf_dir, "doc_minhash", spark)
+    if p:
+        return spark.read.parquet(p)
+    return doc_minhash_build(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -189,7 +232,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact {3}-gram Jaccard near-dup pairs via the inverted-index
+    """Exact SHINGLE_K-gram Jaccard near-dup pairs via the inverted-index
     pattern: explode shingle hashes, self equi-join on the hash (only
     documents sharing ≥1 shingle become candidates — never a cross join),
     count intersections, |A∪B| = |A|+|B|−|A∩B|.
@@ -282,10 +325,11 @@ _DUCK_BAND_SIG = (
     """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH near-dup detection: {16} universal-hash permutations
-    min-folded per document, banded {4}×{4}; documents sharing a full band
-    signature become candidates; candidates are verified with exact
-    Jaccard ≥ {0.5}.
+    """MinHash + LSH near-dup detection: MINHASH_PERMS universal-hash
+    permutations min-folded per document, banded MINHASH_BANDS ×
+    rows-per-band; documents sharing a full band signature become
+    candidates; candidates are verified with exact Jaccard ≥
+    MINHASH_VERIFY_THRESHOLD.
 
     This is the shape that survives 100 TB: signatures are 128 bytes/doc
     regardless of document size, the bucket join is an equi-join on
@@ -294,16 +338,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     .04 at j=.3 — high-similarity recall with a small candidate set."""
     sh = _doc_shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    # all 16 permutation minima in ONE hash-agg pass (map-side partials);
-    # the earlier perm-table crossJoin version shuffled 16x the rows.
-    mh = sh.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(_MH_A[i]) * F.col("xs") + F.lit(_MH_B[i])) % HASH_P).alias(
-                f"h{i}"
-            )
-            for i in range(MINHASH_PERMS)
-        ]
-    )
+    mh = _doc_minhash(spark, sf_dir)
     band_structs = F.array(
         *[
             F.struct(
@@ -468,59 +503,116 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("lbl", F.col("node"))
         .cache()
     )
-    labels.count()  # materialize edges+labels once, before the loop
     max_rounds = 50  # diameter bound; fixture components converge in 2
     prev_cached = labels
     changed = -1
-    for _ in range(max_rounds):
-        neigh = (
-            edges.join(labels, edges.d == labels.node)
-            .groupBy("s")
-            .agg(F.min("lbl").alias("nlbl"))
-        )
-        # one join per round: carry the old label through so the update
-        # and the convergence check share a single cached relation
-        step = (
-            labels.join(neigh, labels.node == neigh.s, "left")
-            .select(
-                "node",
-                F.col("lbl").alias("old_lbl"),
-                F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl"),
+    # try/finally: every loop cache is dropped before return — the result
+    # is eagerly materialized (localCheckpoint) first, so repeated calls
+    # in a long-lived session can't accumulate pinned blocks, and the
+    # non-convergence raise doesn't leak them either.
+    try:
+        labels.count()  # materialize edges+labels once, before the loop
+        for _ in range(max_rounds):
+            neigh = (
+                edges.join(labels, edges.d == labels.node)
+                .groupBy("s")
+                .agg(F.min("lbl").alias("nlbl"))
             )
-            .cache()
+            # one join per round: carry the old label through so the update
+            # and the convergence check share a single cached relation
+            step = (
+                labels.join(neigh, labels.node == neigh.s, "left")
+                .select(
+                    "node",
+                    F.col("lbl").alias("old_lbl"),
+                    F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl"),
+                )
+                .cache()
+            )
+            changed = step.filter(F.col("lbl") != F.col("old_lbl")).count()
+            # unpersist the actual cached relation of the previous round (the
+            # projection we iterate on would not sameResult() the cache entry)
+            if prev_cached is not step:
+                prev_cached.unpersist()
+            prev_cached = step
+            labels = step.select("node", "lbl")
+            if changed == 0:
+                break
+        if changed != 0:  # loud failure beats a silently split component
+            raise RuntimeError(
+                f"dedup_clusters did not converge in {max_rounds} rounds "
+                "(component diameter exceeds the bound; use star contraction)"
+            )
+        result = (
+            labels.groupBy(F.col("lbl").alias("cluster_id"))
+            .agg(
+                F.count("*").alias("n_members"),
+                F.array_join(
+                    F.transform(
+                        F.sort_array(F.collect_list("node")),
+                        lambda x: x.cast("string"),
+                    ),
+                    ",",
+                ).alias("member_ids"),
+            )
+            .orderBy("cluster_id")
         )
-        changed = step.filter(F.col("lbl") != F.col("old_lbl")).count()
-        # unpersist the actual cached relation of the previous round (the
-        # projection we iterate on would not sameResult() the cache entry)
+        # eager cut: the aggregate is small (one row per cluster), so
+        # materializing it frees the O(rounds) join lineage AND lets the
+        # finally-block drop the last round's cache safely.
+        return result.localCheckpoint(eager=True)
+    finally:
+        edges.unpersist()
         prev_cached.unpersist()
-        prev_cached = step
-        labels = step.select("node", "lbl")
-        if changed == 0:
-            break
-    if changed != 0:  # loud failure beats a silently split component
-        raise RuntimeError(
-            f"dedup_clusters did not converge in {max_rounds} rounds "
-            "(component diameter exceeds the bound; use star contraction)"
-        )
-    return (
-        labels.groupBy(F.col("lbl").alias("cluster_id"))
-        .agg(
-            F.count("*").alias("n_members"),
-            F.array_join(
-                F.transform(
-                    F.sort_array(F.collect_list("node")),
-                    lambda x: x.cast("string"),
-                ),
-                ",",
-            ).alias("member_ids"),
-        )
-        .orderBy("cluster_id")
-    )
 
 
 # ---------------------------------------------------------------------------
 # 4. SimHash
 # ---------------------------------------------------------------------------
+
+
+def doc_simhash_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cold SimHash signature stage (doc_id, simhash): one narrow explode
+    + ONE groupBy with SIMHASH_BITS bit-sums (map-side partial aggregation
+    collapses each partition to SIMHASH_BITS longs per doc — no per-bit
+    row blowup). Summing per token *occurrence* folds the tf weighting
+    in: sum_occ(2*bit-1) == sum_distinct c * (2*bit-1)."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    occ = (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", F.explode(words(F.lower(F.col("text")))).alias("token"))
+        .withColumn("x", token_hash60("token"))
+    )
+    bit_sums = occ.groupBy("doc_id").agg(
+        *[
+            F.sum(2 * F.expr(f"(x >> {b}) & 1") - 1).alias(f"s{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    return bit_sums.select(
+        "doc_id",
+        sum(
+            [
+                F.when(
+                    F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")
+                ).otherwise(F.lit(0).cast("long"))
+                for b in range(SIMHASH_BITS)
+            ],
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+
+
+def _doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash) signatures: the ``doc_simhash`` warehouse
+    checkpoint when warm (a 16-byte-row parquet scan), the cold
+    derivation cached otherwise (both sides of the band join reuse it)."""
+    from ..pipeline.corpus import _warm_path
+
+    p = _warm_path(sf_dir, "doc_simhash", spark)
+    if p:
+        return spark.read.parquet(p)
+    return doc_simhash_build(spark, sf_dir).cache()
 
 
 @query(
@@ -565,39 +657,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup detection: 60-bit Charikar signature from
     term-frequency-weighted token-hash bits, candidates via 4 15-bit
     bands (pigeonhole: Hamming ≤ 3 ⇒ at least one band identical), then
-    exact Hamming ≤ {3} verification with bit_count(xor).
+    exact Hamming ≤ SIMHASH_MAX_HAMMING verification with bit_count(xor).
 
     At scale: signatures are 8 bytes/doc; the band join shuffles 4 rows
     per doc on a 1-byte-entropy key — skew-prone, so AQE skew splitting
     stays on; verification is a bitop, not a text compare."""
-    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
-    # one narrow explode + ONE groupBy with 60 bit-sums (map-side partial
-    # aggregation collapses each partition to 60 longs per doc — no 60x
-    # row blowup). Summing per token *occurrence* folds the tf weighting
-    # in: sum_occ(2*bit-1) == sum_distinct c * (2*bit-1).
-    occ = (
-        docs.filter(F.length(F.trim("text")) > 0)
-        .select("doc_id", F.explode(words(F.lower(F.col("text")))).alias("token"))
-        .withColumn("x", token_hash60("token"))
-    )
-    bit_sums = occ.groupBy("doc_id").agg(
-        *[
-            F.sum(2 * F.expr(f"(x >> {b}) & 1") - 1).alias(f"s{b}")
-            for b in range(SIMHASH_BITS)
-        ]
-    )
-    sig = bit_sums.select(
-        "doc_id",
-        sum(
-            [
-                F.when(
-                    F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")
-                ).otherwise(F.lit(0).cast("long"))
-                for b in range(SIMHASH_BITS)
-            ],
-            F.lit(0).cast("long"),
-        ).alias("simhash"),
-    ).cache()  # 8 bytes/doc; both sides of the band join reuse it
+    sig = _doc_simhash(spark, sf_dir)
     band_idx = F.broadcast(
         spark.createDataFrame([(k,) for k in range(SIMHASH_BANDS)], "k int")
     )
@@ -770,8 +835,8 @@ def contamination_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Test-set contamination scan: for every held-out document (the
     deterministic hash split of ranking.doc_train_test_split), its most-
     overlapping training document by shared distinct shingles, flagged
-    when ≥ {5} shingles collide — the leakage check a training pipeline
-    runs before publishing an eval split.
+    when ≥ CONTAMINATION_MIN_SHARED shingles collide — the leakage check
+    a training pipeline runs before publishing an eval split.
 
     Scale shape: the same inverted-index equi-join as the Jaccard dedup
     (8-byte shingle keys, never pairwise text), with the split predicate

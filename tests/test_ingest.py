@@ -31,7 +31,16 @@ def test_build_checkpoint_resume_verify(spark, sf_dir, tmp_path):
     out = str(tmp_path / "corpus")
 
     report = build_corpus(spark, sf_dir, out, resume=True)
-    assert set(report) == {"papers", "chunks", "kg_nodes", "kg_edges", "kg_map"}
+    assert set(report) == {
+        "papers",
+        "chunks",
+        "kg_nodes",
+        "kg_edges",
+        "kg_map",
+        "doc_shingles",
+        "doc_minhash",
+        "doc_simhash",
+    }
     assert all(v["status"] == "OK" for v in report.values())
     assert not any(v["skipped"] for v in report.values())
 
@@ -67,7 +76,21 @@ def test_warm_warehouse_queries_equal_cold(spark, sf_dir, tmp_path, monkeypatch)
     from cs_5542_lab_6_spark.pipeline import corpus as C
     from cs_5542_lab_6_spark.registry import all_queries
 
-    names = ["chunk_vector_topk", "kg_neighborhood", "kg_two_hop"]
+    names = [
+        "chunk_vector_topk",
+        "kg_neighborhood",
+        "kg_two_hop",
+        # dedup family: served from the materialized signature stages
+        # (doc_shingles/doc_minhash/doc_simhash) when warm
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh",
+        "dedup_clusters",
+        "dedup_simhash",
+        "contamination_scan",
+        # verification/audit queries count the checkpoints when warm
+        "corpus_verify",
+        "corpus_delete_cascade",
+    ]
     qs = all_queries()
 
     monkeypatch.delenv(C.WAREHOUSE_ENV, raising=False)
