@@ -86,13 +86,13 @@ _SCHEMAS: dict[str, T.StructType] = {
             T.StructField("l_shipdate", T.TimestampType()),
         ]
     ),
-    # events.ts is parquet TIMESTAMP(NANOS), which Spark's parquet reader
-    # rejects outright — read the physical INT64 and convert with exact
-    # integer math in load_table (data has no sub-microsecond values).
+    # events.ts unit varies across fixture generations (TIMESTAMP(MICROS)
+    # today, TIMESTAMP(NANOS) historically) — load_table sniffs the parquet
+    # footer and picks the right read path; this is the MICROS-era schema.
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -119,6 +119,50 @@ _SCHEMAS: dict[str, T.StructType] = {
 
 TABLE_NAMES: tuple[str, ...] = tuple(_SCHEMAS)
 
+# The NANOS-era fixture needs the physical INT64 read (Spark's parquet
+# reader rejects TIMESTAMP(NANOS) outright) plus exact integer division.
+_EVENTS_NANOS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+_TS_UNIT_CACHE: dict[str, str] = {}
+
+
+def events_ts_unit(sf_dir: str) -> str:
+    """Sniff the logical timestamp unit of ``events.ts`` from the parquet
+    footer (driver-side metadata read, cached per directory).
+
+    Fixture regenerations have flipped the physical type between
+    TIMESTAMP(NANOS) and TIMESTAMP(MICROS); hardcoding either assumption
+    silently corrupts every time-windowed query, so the loader asks the
+    file. ``pyarrow.dataset`` handles both single-file and directory
+    parquet layouts.
+    """
+    if sf_dir not in _TS_UNIT_CACHE:
+        import pyarrow as pa
+        import pyarrow.dataset as ds
+
+        t = ds.dataset(f"{sf_dir}/events.parquet", format="parquet").schema.field("ts").type
+        if pa.types.is_timestamp(t):
+            _TS_UNIT_CACHE[sf_dir] = t.unit
+        elif pa.types.is_integer(t):
+            # Raw epoch INT64 with no logical annotation: the only fixture
+            # generation that shipped this stored nanoseconds.
+            _TS_UNIT_CACHE[sf_dir] = "ns"
+        else:
+            raise TypeError(
+                f"events.ts in {sf_dir} has unsupported parquet type {t}; "
+                "expected a timestamp or int64 epoch column"
+            )
+    return _TS_UNIT_CACHE[sf_dir]
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan with declared schema (columnar, pushdown-eligible).
@@ -129,12 +173,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in _SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
-    df = spark.read.schema(_SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
+    if name == "events" and events_ts_unit(sf_dir) == "ns":
+        df = spark.read.schema(_EVENTS_NANOS_SCHEMA).parquet(f"{sf_dir}/{name}.parquet")
         # nanos → micros is integer division (exact); matches DuckDB's
         # TIMESTAMP (µs) coercion of the same column.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.schema(_SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
 
 
 def fan_out(df: DataFrame, *cols: str) -> DataFrame:

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..sources.tables import _SCHEMAS
+from ..sources.tables import _EVENTS_NANOS_SCHEMA, _SCHEMAS, events_ts_unit
 from .batch_twins import SESSION_GAP, _dsum
 
 WATERMARK_DELAY = "1 hour"
@@ -40,15 +40,22 @@ _RUN_IDS = itertools.count()
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream of the events fixture (S1's streaming-iterator
     analogue, data/ingestion.py:101-110 — but an actual unbounded-ready
-    source). Schema is declared (streams cannot infer), and the
-    TIMESTAMP(NANOS) physical column is read as INT64 then converted,
-    like the batch loader."""
-    raw = (
+    source). Schema is declared (streams cannot infer); the physical
+    timestamp unit is sniffed from the parquet footer exactly like the
+    batch loader — TIMESTAMP(NANOS) fixtures are read as INT64 and
+    converted, TIMESTAMP(MICROS) fixtures read directly."""
+    if events_ts_unit(sf_dir) == "ns":
+        raw = (
+            spark.readStream.schema(_EVENTS_NANOS_SCHEMA)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return (
         spark.readStream.schema(_SCHEMAS["events"])
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def _run_to_memory(sdf: DataFrame, base: str, mode: str) -> DataFrame:
