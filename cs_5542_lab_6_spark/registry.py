@@ -35,64 +35,66 @@ class Q:
 _REGISTRY: dict[str, Q] = {}
 
 # Driver-facing registration order. The correctness harness evaluates a
-# bounded prefix of ``queries()`` (50 entries in round 1), so ordering IS
-# the verification budget: reference-parity queries (corpus pipeline, KG,
-# agent tools, SQL runner, streaming batch twins — the operators a user
-# of the reference actually runs) come first, then the LLM-data-pipeline
-# families (dedup/ANN/text/multimodal/sketches), then one representative
-# of each beyond-reference operator family. Everything not listed keeps
-# module registration order after the listed prefix — those are the
-# beyond-reference extras whose operator shapes are already represented
-# inside the prefix, plus the streaming queries whose semantics are
-# asserted stream≡batch≡oracle in tests/test_streaming.py.
+# bounded prefix of ``queries()`` (50 entries), so ordering IS the
+# verification budget. The window ROTATES across rounds (VERDICT r4
+# item 4): rounds 1-4 checked the reference-parity corpus/agent/SQL
+# surface plus one representative per extended family; round 5 rotates
+# in every family that has never had a driver CORRECTNESS row — the
+# ranking/split/quality/maintenance queries and the real Structured
+# Streaming (`stream_*`) variants — and rotates out queries that were
+# driver-green in multiple prior rounds. Rotated-out queries stay
+# verified every session by tests/test_oracle_parity.py (same
+# rows+schema+value-hash check over all registered oracles). Everything
+# not listed keeps module registration order after the listed prefix.
 _PRIORITY: tuple[str, ...] = (
-    # Reference-parity corpus pipeline (SURVEY §3.3 stages 1-4 + queries)
-    "papers_build",
+    # Corpus pipeline core (kept: the multi-stage derivations; the pure
+    # scans/views that were green rounds 1-4 rotated out)
     "chunks_build",
-    "chunks_with_embeddings",
     "chunk_vector_topk",
     "kg_map_build",
     "kg_nodes_build",
     "kg_edges_build",
-    "chunks_view",
     "kg_neighborhood",
     "kg_two_hop",
-    "corpus_verify",
-    "corpus_chunk_ratio",
-    # Agent tool surface (M8-M9; agent_paper_details sits outside the
-    # window — it exercises the same S6/P4 point lookup as doc_lookup)
+    "corpus_delete_cascade",  # rotated in: MERGE-style cascade delete
     "agent_search_papers",
-    "agent_chunk_context",
-    # SQL script runner (S12)
-    "sql_script_segment_revenue",
-    # Streaming window semantics, batch-twin form (§2.10)
+    # Streaming window semantics, batch-twin form (§2.10) — all six kept:
+    # red in r4 on the fixture-drift bug, the driver file must show the
+    # fix green
     "events_tumbling_daily",
     "events_sliding_2d",
     "events_session_windows",
     "eval_metrics_log",
-    # Flagship retrieval (M5/S6)
+    "events_asof_last_click",
+    "events_range_pairs",
+    # Real Structured Streaming variants (§2.10) — rotated in: never had
+    # a driver row; each runs readStream → windowed agg / stateful op /
+    # stream-stream join to completion under availableNow
+    "stream_tumbling_daily",
+    "stream_tumbling_daily_append",
+    "stream_dedup_events",
+    "stream_session_windows",
+    "stream_user_stats_stateful",
+    "stream_click_purchase_join",
+    # Flagship retrieval + ranking (M5/S6; BM25/split rotated in)
     "vector_topk",
-    "vector_topk_filtered",
-    "doc_lookup",
     "hybrid_rrf_topk",
-    # Deduplication family
+    "bm25_doc_topk",
+    "doc_train_test_split",
+    # Deduplication family representatives
     "dedup_exact",
-    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_clusters",
-    "dedup_simhash",
-    "dedup_embedding_nn",
     "contamination_scan",
     # Similarity search family
     "ann_brute_force_topk",
-    "ann_lsh_topk",
     "ann_ivf_topk",
-    # Text analysis family
-    "doc_token_stats",
-    "doc_language_id",
+    "embedding_quantize_int8",  # rotated in
+    # Text analysis / quality pipeline (funnel/PII/repetition rotated in)
     "doc_quality_scores",
-    "doc_fingerprints",
-    "corpus_token_frequencies",
+    "doc_quality_filter_funnel",
+    "doc_pii_scrub",
+    "doc_repetition_stats",
     # Multimodal family
     "multimodal_metadata",
     "multimodal_decode_features",
@@ -103,9 +105,12 @@ _PRIORITY: tuple[str, ...] = (
     # Semi-structured
     "events_props_map",
     "lineitem_unpivot_metrics",
+    # Relational maintenance (rotated in: upsert + checksum audit)
+    "orders_merge_upsert",
+    "table_keyset_checksums",
     # Extended joins / sets / windows representatives
-    "events_asof_last_click",
-    "events_range_pairs",
+    "events_conversion_funnel",  # rotated in
+    "supplier_weekly_moving_avg",  # rotated in
     "segment_nation_setops",
     "top3_orders_per_customer",
     "customer_balance_distribution",
