@@ -1,0 +1,169 @@
+"""HTTP API serving layer (reference backend/app.py:16-139).
+
+The reference serves its agent over FastAPI: ``GET /`` welcome,
+``POST /query`` running the agent loop and mapping the result to the
+frontend's JSON shape (backend/app.py:79-110), ``POST /reset`` clearing
+conversation history (backend/app.py:112-119), ``GET /papers`` dumping
+the papers table (backend/app.py:122-136), ``GET /health``
+(backend/app.py:138-139), and an append-only ``history.json`` log of
+every query (backend/app.py:42-71).
+
+FastAPI is not available in this environment, so the app is a plain
+WSGI callable (stdlib ``wsgiref`` serves it; any WSGI server would).
+The route surface, request/response JSON shapes, status codes, and the
+confidence = round(top citation score, 3) rule (backend/app.py:96) are
+the reference's. The global agent instantiation at server build time
+mirrors backend/app.py:24 — one agent, shared history across requests.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from datetime import datetime
+from typing import Any, Callable
+
+from pyspark.sql import SparkSession
+
+from .agent_loop import ResearchAgent
+from .pipeline.corpus import papers_build
+
+WSGIApp = Callable[[dict, Callable], list[bytes]]
+
+
+def save_to_history(
+    history_path: str, query_text: str, answer: str, citations: list
+) -> None:
+    """Append-only JSON history log (backend/app.py:42-71): load existing
+    (tolerating a corrupt file), append the new entry, rewrite."""
+    os.makedirs(os.path.dirname(history_path) or ".", exist_ok=True)
+    entries: list = []
+    if os.path.exists(history_path):
+        try:
+            with open(history_path, encoding="utf-8") as f:
+                entries = json.load(f)
+        except json.JSONDecodeError:
+            entries = []
+    entries.append(
+        {
+            "timestamp": datetime.now().isoformat(),
+            "query": query_text,
+            "answer": answer,
+            "chunks": citations,
+        }
+    )
+    with open(history_path, "w", encoding="utf-8") as f:
+        json.dump(entries, f, indent=4, ensure_ascii=False, default=str)
+
+
+def create_app(
+    spark: SparkSession,
+    sf_dir: str,
+    agent: ResearchAgent | None = None,
+    history_path: str | None = None,
+) -> WSGIApp:
+    """Build the WSGI app. ``agent`` is injectable for tests (policy
+    substitution); default is the reference's global-agent idiom."""
+    agent = agent or ResearchAgent(spark, sf_dir)
+    history_path = history_path or os.path.join(
+        tempfile.gettempdir(), "cs5542_history.json"
+    )
+
+    def _json(start_response, status: str, payload: Any) -> list[bytes]:
+        body = json.dumps(payload, default=str).encode("utf-8")
+        start_response(
+            status,
+            [
+                ("Content-Type", "application/json"),
+                ("Content-Length", str(len(body))),
+            ],
+        )
+        return [body]
+
+    def _read_body(environ: dict) -> dict:
+        try:
+            n = int(environ.get("CONTENT_LENGTH") or 0)
+        except ValueError:
+            n = 0
+        raw = environ["wsgi.input"].read(n) if n else b""
+        if not raw:
+            return {}
+        try:
+            return json.loads(raw)
+        except json.JSONDecodeError:
+            return {}
+
+    def app(environ: dict, start_response: Callable) -> list[bytes]:
+        method = environ.get("REQUEST_METHOD", "GET")
+        path = environ.get("PATH_INFO", "/")
+
+        if method == "GET" and path == "/":
+            # backend/app.py:37-39
+            return _json(
+                start_response,
+                "200 OK",
+                {"message": "Welcome to the Research Assistant API"},
+            )
+
+        if method == "GET" and path == "/health":
+            # backend/app.py:138-139
+            return _json(start_response, "200 OK", {"status": "ok"})
+
+        if method == "POST" and path == "/query":
+            # backend/app.py:79-110
+            body = _read_body(environ)
+            question = body.get("question", "")
+            if not question:
+                return _json(
+                    start_response, "400 Bad Request", {"error": "question required"}
+                )
+            result = agent.run(question)
+            answer = result.get("answer", "No answer generated.")
+            citations = result.get("citations", [])
+            confidence = (
+                round(float(citations[0].get("score", 0.0)), 3) if citations else 0.0
+            )  # backend/app.py:96
+            save_to_history(history_path, question, answer, citations)
+            return _json(
+                start_response,
+                "200 OK",
+                {
+                    "answer": answer,
+                    "citations": citations,
+                    "confidence": confidence,
+                    "retrieval_mode": "agentic",
+                    "latency_ms": result.get("latency_ms", 0),
+                    "tools_used": result.get("tools_used", []),
+                    "steps_taken": result.get("steps", 0),
+                },
+            )
+
+        if method == "POST" and path == "/reset":
+            # backend/app.py:112-119
+            agent.reset_history()
+            return _json(
+                start_response,
+                "200 OK",
+                {"status": "success", "message": "Agent history cleared."},
+            )
+
+        if method == "GET" and path == "/papers":
+            # backend/app.py:122-136: SELECT * FROM RAW.PAPERS, all rows
+            rows = [r.asDict() for r in papers_build(spark, sf_dir).collect()]
+            return _json(start_response, "200 OK", rows)
+
+        return _json(start_response, "404 Not Found", {"error": f"no route {path}"})
+
+    return app
+
+
+def serve(
+    spark: SparkSession, sf_dir: str, host: str = "127.0.0.1", port: int = 8000
+) -> None:
+    """Run the app under the stdlib WSGI reference server (dev-grade,
+    like the reference's uvicorn invocation for a classroom deploy)."""
+    from wsgiref.simple_server import make_server
+
+    with make_server(host, port, create_app(spark, sf_dir)) as httpd:
+        httpd.serve_forever()
