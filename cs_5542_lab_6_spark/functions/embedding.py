@@ -94,25 +94,66 @@ def _embed_one(text: str, cache: dict[str, int]) -> np.ndarray:
 #
 # The reference encodes with a SentenceTransformer in batches of 64; the
 # engine's default is the deterministic hash projection above so the
-# corpus stays oracle-checkable. Setting $SPARK_GRAFT_EMBED_MODEL to a
-# sentence-transformers model name swaps the real encoder into the SAME
-# pandas-UDF slot — executor-local lazy singleton (M6, tools.py:32-38),
-# batch inference, L2-normalized output. Real-model mode is intentionally
-# NOT oracle-checkable (the DuckDB twin mirrors the hash arithmetic);
-# correctness runs leave the env unset.
+# corpus stays oracle-checkable. Setting $SPARK_GRAFT_EMBED_MODEL swaps a
+# real encoder into the SAME pandas-UDF slot — executor-local lazy
+# singleton (M6, tools.py:32-38), batch inference, L2-normalized output:
+#
+# - a sentence-transformers model name loads through that library;
+# - a local ``.npz`` artifact path loads a linear hash-bucket projection
+#   from disk (``weights`` matrix of shape (n_buckets, dim)) — a real
+#   from-file model load exercising the exact non-fake branch (file I/O,
+#   per-worker lazy init, batch matmul) with zero network dependency.
+#
+# Real-model mode is intentionally NOT oracle-checkable (the DuckDB twin
+# mirrors the hash arithmetic); correctness runs leave the env unset.
 
 EMBED_MODEL_ENV = "SPARK_GRAFT_EMBED_MODEL"
 
-# executor-local lazy encoder singleton: list[str] -> (n, dim) float64
+# executor-local lazy encoder singleton, keyed by the env value so a
+# config change re-resolves (matters under spark.python.worker.reuse,
+# where a worker may outlive the configuration that initialized it)
 _ENCODER = None
+_ENCODER_KEY: str | None = None
+
+
+def _load_artifact_encoder(path: str):
+    """Encoder loaded from a local .npz artifact: tokens hash into
+    ``n_buckets`` rows of a projection matrix, summed per text, then
+    L2-normalized — the SentenceTransformer contract (fixed dim, unit
+    norm, batch in / matrix out) with a deterministic on-disk model."""
+    data = np.load(path)
+    weights = np.asarray(data["weights"], dtype=np.float64)
+    n_buckets, dim = weights.shape
+
+    def encode(texts: list[str]) -> np.ndarray:
+        out = np.zeros((len(texts), dim))
+        for i, t in enumerate(texts):
+            toks = (t or "").lower().split()
+            if not toks:
+                continue
+            rows = np.fromiter(
+                (_token_h(tok) % n_buckets for tok in toks),
+                dtype=np.int64,
+                count=len(toks),
+            )
+            vec = weights[rows].sum(axis=0)
+            nrm = np.linalg.norm(vec)
+            out[i] = vec / nrm if nrm > 0 else vec
+        return out
+
+    return encode
 
 
 def _load_real_encoder():
-    """Real encoder when $SPARK_GRAFT_EMBED_MODEL names a model; None
-    otherwise (and the hash projection stays in charge)."""
+    """Real encoder when $SPARK_GRAFT_EMBED_MODEL is set; None otherwise
+    (and the hash projection stays in charge). A path to an existing
+    ``.npz`` file loads the from-disk artifact encoder; any other value
+    is treated as a sentence-transformers model name."""
     name = os.environ.get(EMBED_MODEL_ENV)
     if not name:
         return None
+    if name.endswith(".npz") and os.path.exists(name):
+        return _load_artifact_encoder(name)
     from sentence_transformers import SentenceTransformer  # lazy heavy import
 
     model = SentenceTransformer(name)
@@ -138,10 +179,13 @@ def _hash_encode(texts: list[str]) -> np.ndarray:
 
 
 def _get_encoder():
-    """Executor-local lazy init (M6): resolved once per Python worker."""
-    global _ENCODER
-    if _ENCODER is None:
+    """Executor-local lazy init (M6): resolved once per Python worker
+    per configuration — re-resolved only if the env key changes."""
+    global _ENCODER, _ENCODER_KEY
+    key = os.environ.get(EMBED_MODEL_ENV, "")
+    if _ENCODER is None or key != _ENCODER_KEY:
         _ENCODER = _load_real_encoder() or _hash_encode
+        _ENCODER_KEY = key
     return _ENCODER
 
 

@@ -15,6 +15,7 @@ oracle-checkable; correctness runs leave the env unset.
 
 from __future__ import annotations
 
+import json
 import os
 
 import pandas as pd
@@ -24,8 +25,10 @@ from pyspark.sql.functions import pandas_udf
 
 NER_MODEL_ENV = "SPARK_GRAFT_NER_MODEL"
 
-# executor-local lazy extractor singleton: str -> list[str] mentions
+# executor-local lazy extractor singleton, keyed by the env value so a
+# config change re-resolves (matters under spark.python.worker.reuse)
 _EXTRACTOR = None
+_EXTRACTOR_KEY: str | None = None
 
 
 def ner_active() -> bool:
@@ -33,12 +36,31 @@ def ner_active() -> bool:
     return bool(os.environ.get(NER_MODEL_ENV))
 
 
+def _load_gazetteer_extractor(path: str):
+    """Extractor loaded from a local .json gazetteer artifact (a list of
+    entity surface forms): mentions are the text's whitespace tokens whose
+    lowercase form is in the gazetteer. A real from-disk model load — file
+    I/O, per-worker lazy init — standing in the exact slot a spaCy
+    pipeline occupies, with zero network dependency."""
+    with open(path, encoding="utf-8") as f:
+        vocab = {str(w).lower() for w in json.load(f)}
+
+    def extract(text: str) -> list[str]:
+        return [tok for tok in (text or "").split() if tok.lower() in vocab]
+
+    return extract
+
+
 def _load_real_extractor():
-    """Real spaCy pipeline when $SPARK_GRAFT_NER_MODEL names a model;
-    None otherwise (the Catalyst tokenizer substitute stays in charge)."""
+    """Real extractor when $SPARK_GRAFT_NER_MODEL is set; None otherwise
+    (the Catalyst tokenizer substitute stays in charge). A path to an
+    existing ``.json`` file loads the gazetteer artifact; any other value
+    is treated as a spaCy model name."""
     name = os.environ.get(NER_MODEL_ENV)
     if not name:
         return None
+    if name.endswith(".json") and os.path.exists(name):
+        return _load_gazetteer_extractor(name)
     import spacy  # lazy heavy import, resolved once per Python worker
 
     nlp = spacy.load(name)
@@ -57,10 +79,13 @@ def _token_mentions(text: str) -> list[str]:
 
 
 def _get_extractor():
-    """Executor-local lazy init (M6): resolved once per Python worker."""
-    global _EXTRACTOR
-    if _EXTRACTOR is None:
+    """Executor-local lazy init (M6): resolved once per Python worker
+    per configuration — re-resolved only if the env key changes."""
+    global _EXTRACTOR, _EXTRACTOR_KEY
+    key = os.environ.get(NER_MODEL_ENV, "")
+    if _EXTRACTOR is None or key != _EXTRACTOR_KEY:
         _EXTRACTOR = _load_real_extractor() or _token_mentions
+        _EXTRACTOR_KEY = key
     return _EXTRACTOR
 
 

@@ -142,12 +142,26 @@ def _fake_decode_batch(payloads: "pd.Series") -> "pd.DataFrame":
     )
 
 
-def _decode_real(payload: bytes) -> list[float]:  # pragma: no cover
-    """Real decode path (PIL): resize + channel-mean features. Unreachable
-    in this container — kept so the UDF shows the intended seam."""
-    if _PIL_IMAGE is None:
+def _decode_real(payload: bytes, image_module=None) -> list[float]:
+    """Real decode path (PIL-if-present): decode the bytes, grayscale,
+    resize to 16x16, and emit the same FEATURE_DIM-bin normalized pixel
+    histogram contract as the fake — so warehouse schemas and downstream
+    consumers are identical whichever branch ran. ``image_module`` is
+    injectable for tests (the container ships no PIL)."""
+    import io
+
+    import numpy as np
+
+    image = image_module if image_module is not None else _PIL_IMAGE
+    if image is None:
         raise NotImplementedError("media libraries not available")
-    raise NotImplementedError("real decode wiring pending media libs")
+    img = image.open(io.BytesIO(payload)).convert("L").resize((16, 16))
+    arr = np.asarray(img, dtype=np.uint8).ravel()
+    hist = np.bincount(arr // (256 // FEATURE_DIM), minlength=FEATURE_DIM).astype(
+        "float64"
+    )
+    total = hist.sum()
+    return list(hist / total if total else hist)
 
 
 # DuckDB twin of the fake decode: payload byte k mod 16 is the *low hex

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 import pandas as pd
@@ -73,3 +74,50 @@ def test_decode_features_contract(spark, sf_dir):
         for r in multimodal_decode_features(spark, sf_dir).collect()
     }
     assert by_id == again
+
+
+def test_decode_real_via_injected_image_module():
+    """The real-decode seam (PIL-if-present): with an image module
+    injected, _decode_real decodes -> grayscale -> 16x16 resize ->
+    normalized FEATURE_DIM-bin histogram, honoring the same output
+    contract as the fake (fixed dim, non-negative, sums to 1)."""
+    import numpy as np
+
+    from cs_5542_lab_6_spark.operators import multimodal
+
+    seen: dict = {}
+
+    class FakeImg:
+        def convert(self, mode):
+            seen["mode"] = mode
+            return self
+
+        def resize(self, size):
+            seen["size"] = size
+            return self
+
+        def __array__(self, dtype=None, copy=None):
+            arr = (np.arange(256) % 256).reshape(16, 16)
+            return arr.astype(dtype or np.uint8)
+
+    class FakeImageModule:
+        @staticmethod
+        def open(fp):
+            seen["n_bytes"] = len(fp.read())
+            return FakeImg()
+
+    payload = b"\x89PNG-fake-bytes" * 8
+    feats = multimodal._decode_real(payload, image_module=FakeImageModule)
+    assert seen == {"n_bytes": len(payload), "mode": "L", "size": (16, 16)}
+    assert len(feats) == FEATURE_DIM
+    assert math.isclose(sum(feats), 1.0, rel_tol=1e-9)
+    # 0..255 ramp -> exactly uniform 16-bin histogram
+    assert all(math.isclose(x, 1.0 / FEATURE_DIM, rel_tol=1e-9) for x in feats)
+
+
+def test_decode_real_raises_without_media_libs():
+    from cs_5542_lab_6_spark.operators import multimodal
+
+    if multimodal._PIL_IMAGE is None:
+        with pytest.raises(NotImplementedError):
+            multimodal._decode_real(b"xx")
