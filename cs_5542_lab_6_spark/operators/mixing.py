@@ -1,0 +1,369 @@
+"""Data-mixing / sampling / packing operators for LLM training pipelines.
+
+The reference pipeline ingests one corpus wholesale (data/ingestion.py:
+380-420 loads every fetched paper); a 100 TB pretraining pipeline instead
+*composes* its corpus: per-domain mixture weights, hash-stable stratified
+sampling, sequence packing into fixed context windows, and unigram
+familiarity scoring for quality triage. These are first-class operators
+here (north-star extras, SURVEY §4.3-3), each a pure Catalyst plan with a
+DuckDB oracle.
+
+Scale notes (100 TB):
+- Sampling and split membership are sha256-hash-threshold decisions, never
+  ``rand()`` — membership is stable across engines, retries, partitionings,
+  and cluster sizes, and needs zero shuffle (narrow map + partial agg).
+- Sequence packing uses a window cumsum PARTITIONED by a shard key (here
+  ``lang``): each shard packs independently and in parallel, which is how
+  packing is actually run at scale (per input shard), instead of a global
+  single-partition cumsum that would serialize 100 TB through one task.
+- Token familiarity joins the exploded token stream against the corpus
+  unigram table. The unigram table after aggregation is vocabulary-sized
+  (millions of rows, not corpus-sized) and hash-partitions evenly; the hot
+  stopword keys that would skew a row-level join are exactly the keys with
+  the highest familiarity, and AQE skew-join splitting handles them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import DUCK_TOKEN_HASH60, token_hash60, words
+from ..registry import query
+from ..sources import load_table
+
+# ---------------------------------------------------------------------------
+# Stratified sampling
+# ---------------------------------------------------------------------------
+
+# Per-language sampling rates in permille — the "downsample the over-
+# represented language, keep all of the rare one" shape of real mixture
+# tuning. One spec, shared by the Spark plan and the DuckDB oracle.
+SAMPLE_RATES_PERMILLE: tuple[tuple[str, int], ...] = (
+    ("de", 300),
+    ("en", 100),
+    ("es", 500),
+    ("fr", 700),
+    ("zh", 1000),
+)
+SAMPLE_SALT = "sample|"
+SAMPLE_BUCKETS = 1000
+
+_DUCK_SAMPLE_BUCKET = (
+    DUCK_TOKEN_HASH60.format(t=f"'{SAMPLE_SALT}' || doc_id") + f" % {SAMPLE_BUCKETS}"
+)
+_DUCK_SAMPLE_SPEC = ", ".join(f"('{lang}', {rate})" for lang, rate in SAMPLE_RATES_PERMILLE)
+
+
+@query(
+    "corpus_stratified_sample",
+    oracle=f"""
+    WITH labeled AS (
+      SELECT doc_id, lang, {_DUCK_SAMPLE_BUCKET} AS bucket
+      FROM documents
+    ),
+    spec(lang, rate_permille) AS (VALUES {_DUCK_SAMPLE_SPEC})
+    SELECT l.lang,
+           CAST(s.rate_permille AS INTEGER) AS rate_permille,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN l.bucket < s.rate_permille THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sampled,
+           CAST(MIN(CASE WHEN l.bucket < s.rate_permille THEN l.doc_id END) AS BIGINT)
+             AS min_sampled_doc_id,
+           CAST(MAX(CASE WHEN l.bucket < s.rate_permille THEN l.doc_id END) AS BIGINT)
+             AS max_sampled_doc_id
+    FROM labeled l JOIN spec s USING (lang)
+    GROUP BY l.lang, s.rate_permille
+    ORDER BY l.lang
+    """,
+)
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-threshold stratified sampling: each language stratum keeps
+    ``rate_permille`` of its documents, membership decided by
+    ``sha256('sample|' || doc_id) % 1000 < rate`` — deterministic across
+    engines/retries/partitionings (same discipline as
+    ``doc_train_test_split``'s split key; a rand()-based sample would move
+    documents between runs). Narrow map + one partial agg; no shuffle of
+    document text. Reported as the per-stratum audit a pipeline checks
+    before materializing the sampled corpus."""
+    spec = spark.createDataFrame(
+        list(SAMPLE_RATES_PERMILLE), schema="lang string, rate_permille int"
+    )
+    bucket = (
+        token_hash60(F.concat(F.lit(SAMPLE_SALT), F.col("doc_id"))) % SAMPLE_BUCKETS
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = docs.select("doc_id", "lang", bucket.alias("bucket"))
+    keep = F.col("bucket") < F.col("rate_permille")
+    return (
+        labeled.join(F.broadcast(spec), "lang")
+        .groupBy("lang", "rate_permille")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(keep.cast("long")).alias("n_sampled"),
+            F.min(F.when(keep, F.col("doc_id"))).alias("min_sampled_doc_id"),
+            F.max(F.when(keep, F.col("doc_id"))).alias("max_sampled_doc_id"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mixture plan
+# ---------------------------------------------------------------------------
+
+# Target mixture in basis points (sums to 10_000). Integer weights keep
+# every downstream quantity exact-integer (no float rounding to diverge
+# between engines).
+MIXTURE_WEIGHTS_BP: tuple[tuple[str, int], ...] = (
+    ("de", 1500),
+    ("en", 4000),
+    ("es", 1500),
+    ("fr", 1500),
+    ("zh", 1500),
+)
+# Training budget as a multiple of the corpus size: 2 epochs' worth of
+# tokens, the common "we need more data than we have" regime.
+BUDGET_EPOCHS = 2
+
+_DUCK_MIXTURE_SPEC = ", ".join(f"('{lang}', {bp})" for lang, bp in MIXTURE_WEIGHTS_BP)
+
+
+@query(
+    "corpus_mixture_plan",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang,
+             CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(
+                         regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END
+               AS n_tokens
+      FROM documents
+    ),
+    avail AS (
+      SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS available_tokens
+      FROM toks GROUP BY lang
+    ),
+    spec(lang, weight_bp) AS (VALUES {_DUCK_MIXTURE_SPEC}),
+    total AS (SELECT SUM(available_tokens) AS corpus_tokens FROM avail),
+    plan AS (
+      SELECT a.lang, s.weight_bp, a.available_tokens,
+             (t.corpus_tokens * {BUDGET_EPOCHS} * s.weight_bp) // 10000
+               AS allocated_tokens
+      FROM avail a JOIN spec s USING (lang) CROSS JOIN total t
+    )
+    SELECT lang,
+           CAST(weight_bp AS INTEGER) AS weight_bp,
+           available_tokens,
+           CAST(allocated_tokens AS BIGINT) AS allocated_tokens,
+           CAST((allocated_tokens * 10000) // available_tokens AS BIGINT)
+             AS epochs_bp,
+           CAST(allocated_tokens > available_tokens AS BOOLEAN) AS oversampled
+    FROM plan
+    ORDER BY lang
+    """,
+)
+def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-weight allocation plan: given per-language target weights
+    (basis points) and a token budget of ``BUDGET_EPOCHS`` x the corpus,
+    compute each language's allocated tokens and its oversampling factor
+    (``epochs_bp``, basis points — >10000 means that stratum must repeat
+    data). All arithmetic is exact-integer (bp weights, floor division) so
+    the plan is bit-identical across engines. The plan itself is one
+    partial agg over token counts + a 5-row broadcast spec join — the
+    audit artifact a pipeline produces before sampling, at any scale."""
+    from ..functions.text import word_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    avail = (
+        docs.select("lang", word_count(F.col("text")).alias("n_tokens"))
+        .groupBy("lang")
+        .agg(F.sum("n_tokens").cast("long").alias("available_tokens"))
+    )
+    spec = spark.createDataFrame(
+        list(MIXTURE_WEIGHTS_BP), schema="lang string, weight_bp int"
+    )
+    total = avail.agg(F.sum("available_tokens").alias("corpus_tokens"))
+    plan = (
+        avail.join(F.broadcast(spec), "lang")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "allocated_tokens",
+            F.expr(f"(corpus_tokens * {BUDGET_EPOCHS} * weight_bp) div 10000").cast(
+                "long"
+            ),
+        )
+    )
+    return plan.select(
+        "lang",
+        "weight_bp",
+        "available_tokens",
+        "allocated_tokens",
+        F.expr("(allocated_tokens * 10000) div available_tokens")
+        .cast("long")
+        .alias("epochs_bp"),
+        (F.col("allocated_tokens") > F.col("available_tokens")).alias("oversampled"),
+    ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing
+# ---------------------------------------------------------------------------
+
+CTX_TOKENS = 256
+
+
+@query(
+    "doc_sequence_packing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(
+                         regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END
+               AS n_tokens
+      FROM documents
+    ),
+    nonempty AS (SELECT * FROM toks WHERE n_tokens > 0),
+    cum AS (
+      SELECT doc_id, lang, n_tokens,
+             SUM(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - n_tokens AS cum_before
+      FROM nonempty
+    ),
+    binned AS (
+      SELECT lang, doc_id, n_tokens,
+             cum_before // {CTX_TOKENS} AS bin_id,
+             (cum_before + n_tokens - 1) // {CTX_TOKENS} AS end_bin
+      FROM cum
+    )
+    SELECT lang,
+           CAST(bin_id AS BIGINT) AS bin_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_started,
+           CAST(SUM(CASE WHEN end_bin > bin_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_boundary_crossers
+    FROM binned
+    GROUP BY lang, bin_id
+    ORDER BY lang, bin_id
+    """,
+)
+def doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing audit: concatenate documents in doc_id
+    order within each ``lang`` shard and split the token stream into
+    fixed ``CTX_TOKENS`` context windows; report, per window, how many
+    documents start there, their token mass, and how many cross a window
+    boundary (the attention-masking cases). The cumsum window is
+    PARTITIONED by the shard key — each shard packs independently in
+    parallel, the way packing runs at 100 TB (per input shard), never a
+    global single-task cumsum. Empty documents are excluded (they cannot
+    occupy a window)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.size(words(F.col("text"))).alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = toks.withColumn(
+        "cum_before", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    binned = cum.select(
+        "lang",
+        "doc_id",
+        "n_tokens",
+        F.expr(f"cum_before div {CTX_TOKENS}").alias("bin_id"),
+        F.expr(f"(cum_before + n_tokens - 1) div {CTX_TOKENS}").alias("end_bin"),
+    )
+    return (
+        binned.groupBy("lang", "bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("tokens_started"),
+            F.sum((F.col("end_bin") > F.col("bin_id")).cast("long")).alias(
+                "n_boundary_crossers"
+            ),
+        )
+        .orderBy("lang", "bin_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token familiarity (unigram-LM quality proxy)
+# ---------------------------------------------------------------------------
+
+RARE_FREQ_MAX = 2
+FAMILIARITY_TOPK = 100
+
+
+@query(
+    "doc_token_familiarity",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(
+               regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+')) AS token
+      FROM documents
+      WHERE length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) > 0
+    ),
+    freq AS (SELECT token, COUNT(*) AS freq FROM toks GROUP BY token),
+    scored AS (
+      SELECT t.doc_id,
+             COUNT(*) AS n_tokens,
+             SUM(f.freq) AS freq_sum,
+             SUM(CASE WHEN f.freq <= {RARE_FREQ_MAX} THEN 1 ELSE 0 END) AS n_rare
+      FROM toks t JOIN freq f USING (token)
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND(CAST(freq_sum AS DOUBLE) / n_tokens, 4) AS familiarity,
+           ROUND(CAST(n_rare AS DOUBLE) / n_tokens, 4) AS rare_token_ratio
+    FROM scored
+    ORDER BY familiarity ASC, doc_id
+    LIMIT {FAMILIARITY_TOPK}
+    """,
+)
+def doc_token_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality proxy: score each document by the mean corpus
+    frequency of its tokens (low familiarity = out-of-distribution /
+    noisy text, the KenLM-perplexity-filter shape without the external
+    model) plus the fraction of rare tokens (corpus freq <= 2). Returns
+    the ``FAMILIARITY_TOPK`` least-familiar documents — the triage list a
+    data pipeline sends to review. Exactness: familiarity is a single
+    IEEE division of two exact integers rounded to 4 decimals, identical
+    across engines. Two hash-aggs + one vocab-sized equi-join; AQE splits
+    the stopword-skewed keys at scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.filter(F.length(F.regexp_replace("text", r"^\s+|\s+$", "")) > 0)
+        .select("doc_id", F.explode(words(F.lower(F.col("text")))).alias("token"))
+    )
+    freq = toks.groupBy("token").agg(F.count("*").alias("freq"))
+    scored = (
+        toks.join(freq, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("freq").alias("freq_sum"),
+            F.sum((F.col("freq") <= RARE_FREQ_MAX).cast("long")).alias("n_rare"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round(F.col("freq_sum").cast("double") / F.col("n_tokens"), 4).alias(
+                "familiarity"
+            ),
+            F.round(F.col("n_rare").cast("double") / F.col("n_tokens"), 4).alias(
+                "rare_token_ratio"
+            ),
+        )
+        .orderBy(F.asc("familiarity"), F.asc("doc_id"))
+        .limit(FAMILIARITY_TOPK)
+    )

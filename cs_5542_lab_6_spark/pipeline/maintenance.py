@@ -1,0 +1,69 @@
+"""Table-maintenance operators: small-file compaction.
+
+The reference never manages physical layout (its warehouse is a managed
+service; the pandas writer emits one file per upload,
+data/ingestion.py:430-504). A self-managed 100 TB lakehouse accumulates
+small files from streaming micro-batches and incremental ingests until
+scan planning (file listing + footer reads) dominates query time;
+periodic compaction is the standard fix (the OPTIMIZE idiom).
+
+Design:
+- Sizing is decided from the *actual on-disk bytes* (driver-side file
+  listing — metadata only, no data read), not row counts, because row
+  width varies wildly across tables.
+- The rewrite uses ``coalesce`` (narrow, shuffle-free): reducing N small
+  files to K big ones needs no redistribution, so the job is a pure
+  scan→write at input-read speed. ``repartition`` would add a full
+  shuffle of every byte — only worth it when skew between output files
+  matters more than the shuffle (exposed via ``shuffle=True``).
+- At 100 TB compaction runs per partition directory (each is an
+  independent coalesce job, trivially parallel across a cluster), never
+  as one global job; ``compact_table`` takes the directory to compact, so
+  callers map it over partitions.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024
+
+
+def _parquet_files(path: str) -> list[str]:
+    out: list[str] = []
+    for root, _dirs, files in os.walk(path):
+        out.extend(
+            os.path.join(root, f)
+            for f in files
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+    return out
+
+
+def compact_table(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+    shuffle: bool = False,
+) -> dict[str, int]:
+    """Rewrite ``in_path``'s parquet files into ``out_path`` with file
+    count sized so each output file approaches ``target_file_bytes``.
+    Returns an audit dict (files/bytes before, files after). Content is
+    preserved row-for-row — callers verify with the engine's
+    order-independent key-set checksums (``table_keyset_checksums``
+    idiom), not by ordering, which a compaction never guarantees."""
+    files = _parquet_files(in_path)
+    bytes_in = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(bytes_in / target_file_bytes))
+    df = spark.read.parquet(in_path)
+    sized = df.repartition(n_out) if shuffle else df.coalesce(n_out)
+    sized.write.mode("overwrite").parquet(out_path)
+    return {
+        "files_in": len(files),
+        "bytes_in": bytes_in,
+        "files_out": len(_parquet_files(out_path)),
+    }

@@ -167,6 +167,7 @@ def _load_all_modules() -> None:
     from .operators import (  # noqa: F401
         dedup,
         joins_ext,
+        mixing,
         multimodal,
         ranking,
         relational,

@@ -1,0 +1,112 @@
+"""Invariants for the data-mixing/packing operators and the small-file
+compaction maintenance op (oracle parity for the mixing queries is covered
+by test_oracle_parity.py; these tests assert the *semantic* contracts an
+oracle row-hash can't express)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cs_5542_lab_6_spark.operators.mixing import (
+    CTX_TOKENS,
+    MIXTURE_WEIGHTS_BP,
+    SAMPLE_RATES_PERMILLE,
+    corpus_mixture_plan,
+    corpus_stratified_sample,
+    doc_sequence_packing,
+)
+from cs_5542_lab_6_spark.pipeline.maintenance import compact_table
+
+
+def test_stratified_sample_rates_and_determinism(spark, sf_dir):
+    rows = {r["lang"]: r for r in corpus_stratified_sample(spark, sf_dir).collect()}
+    assert set(rows) == {lang for lang, _ in SAMPLE_RATES_PERMILLE}
+    for lang, rate in SAMPLE_RATES_PERMILLE:
+        r = rows[lang]
+        assert 0 <= r["n_sampled"] <= r["n_total"]
+        if rate == 1000:
+            assert r["n_sampled"] == r["n_total"]  # keep-everything stratum
+    # hash-threshold sampling is rerun-stable (rand() would not be)
+    again = {r["lang"]: r for r in corpus_stratified_sample(spark, sf_dir).collect()}
+    assert {k: v["n_sampled"] for k, v in rows.items()} == {
+        k: v["n_sampled"] for k, v in again.items()
+    }
+
+
+def test_mixture_plan_allocates_full_budget(spark, sf_dir):
+    rows = corpus_mixture_plan(spark, sf_dir).collect()
+    assert {r["lang"] for r in rows} == {lang for lang, _ in MIXTURE_WEIGHTS_BP}
+    total_avail = sum(r["available_tokens"] for r in rows)
+    total_alloc = sum(r["allocated_tokens"] for r in rows)
+    # floor division loses < 1 token per stratum off the 2-epoch budget
+    assert 0 <= 2 * total_avail - total_alloc < len(rows)
+    for r in rows:
+        assert r["oversampled"] == (r["epochs_bp"] > 10_000)
+
+
+def test_sequence_packing_bins_are_dense_and_conserve_tokens(spark, sf_dir):
+    rows = doc_sequence_packing(spark, sf_dir).collect()
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_tokens = F.size(F.split(F.regexp_replace("text", r"^\s+|\s+$", ""), r"\s+"))
+    expected = {
+        r["lang"]: r["toks"]
+        for r in docs.filter(F.length(F.regexp_replace("text", r"^\s+|\s+$", "")) > 0)
+        .groupBy("lang")
+        .agg(F.sum(n_tokens).alias("toks"))
+        .collect()
+    }
+    for lang, bins in by_lang.items():
+        ids = sorted(b["bin_id"] for b in bins)
+        # every context window between first and last has at least one doc
+        # *starting* in it only if docs are shorter than the window; what
+        # must always hold: ids strictly increase and start at 0
+        assert ids[0] == 0 and len(set(ids)) == len(ids)
+        assert sum(b["tokens_started"] for b in bins) == expected[lang]
+        for b in bins:
+            assert 0 <= b["n_boundary_crossers"] <= b["n_docs"]
+
+
+def test_compact_table_reduces_files_and_preserves_rows(spark, sf_dir, tmp_path):
+    frag = str(tmp_path / "frag")
+    compacted = str(tmp_path / "compacted")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.repartition(64).write.mode("overwrite").parquet(frag)
+
+    audit = compact_table(spark, frag, compacted, target_file_bytes=1 << 30)
+    assert audit["files_in"] == 64
+    assert audit["files_out"] == 1  # everything fits one target-size file
+
+    a = spark.read.parquet(frag)
+    b = spark.read.parquet(compacted)
+    assert b.count() == a.count()
+    # order-independent content equality: checksum over every column
+    def keyset(df):
+        joined = F.concat_ws("|", *[F.coalesce(F.col(c).cast("string"), F.lit("∅")) for c in sorted(df.columns)])
+        return df.select(
+            F.sum(F.conv(F.substring(F.sha2(joined, 256), 1, 15), 16, 10).cast("decimal(38,0)")).alias("sum")
+        ).collect()[0]["sum"]
+
+    assert keyset(a) == keyset(b)
+
+
+def test_compact_table_shuffle_mode_splits_evenly(spark, sf_dir, tmp_path):
+    frag = str(tmp_path / "frag2")
+    out = str(tmp_path / "out2")
+    spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(16).write.mode(
+        "overwrite"
+    ).parquet(frag)
+    audit = compact_table(spark, frag, out, target_file_bytes=16 * 1024, shuffle=True)
+    assert audit["files_out"] >= 2  # tiny target forces multiple outputs
+    assert audit["files_out"] < audit["files_in"] or audit["files_in"] <= 2
+
+
+def test_packing_window_is_partitioned_not_global(spark, sf_dir):
+    """The packing plan must not serialize through a single global window
+    partition — the Exchange feeding the Window must be a hash
+    partitioning on lang, not SinglePartition."""
+    plan = doc_sequence_packing(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
