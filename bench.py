@@ -72,33 +72,41 @@ def _noop_materialize(df) -> None:
 
 
 def _scale_stress(spark, queries) -> dict[str, float]:
-    """Single-run kg_edges_build on SCALE_FACTOR x documents (distinct
-    shifted doc_ids, identical text) — the judge's 25M-edge analogue.
-    Uses a /tmp corpus dir so the warehouse stays cold and the full
-    chunk -> NER -> co-occurrence derivation is what's timed."""
+    """kg_edges_build on 1x and SCALE_FACTOR x documents (distinct shifted
+    doc_ids, identical text) — the judge's 25M-edge analogue. Both runs
+    use a /tmp corpus dir so the warehouse stays COLD and the full
+    chunk -> NER -> co-occurrence derivation is what's timed; the 1x row
+    exists precisely so the reported ratio compares cold-to-cold (the
+    headline kg_edges_build number reads the warm warehouse checkpoint
+    and would understate the denominator ~2x)."""
     from pyspark.sql import functions as F
 
     from cs_5542_lab_6_spark.session import clear_caches
     from cs_5542_lab_6_spark.sources.tables import load_table
 
-    scaled_dir = f"/tmp/spark_graft_scale{SCALE_FACTOR}"
-    shutil.rmtree(scaled_dir, ignore_errors=True)
-    docs = load_table(spark, SF_DIR, "documents")
-    n_docs = docs.count()
-    replicas = spark.range(SCALE_FACTOR).select(F.col("id").alias("replica"))
-    scaled = (
-        docs.crossJoin(F.broadcast(replicas))
-        .withColumn("doc_id", F.col("doc_id") + F.col("replica") * F.lit(n_docs))
-        .drop("replica")
-    )
-    scaled.write.mode("overwrite").parquet(f"{scaled_dir}/documents.parquet")
+    out: dict[str, float] = {"scale_factor": SCALE_FACTOR}
+    for factor in (1, SCALE_FACTOR):
+        scaled_dir = f"/tmp/spark_graft_scale{factor}"
+        shutil.rmtree(scaled_dir, ignore_errors=True)
+        docs = load_table(spark, SF_DIR, "documents")
+        n_docs = docs.count()
+        replicas = spark.range(factor).select(F.col("id").alias("replica"))
+        scaled = (
+            docs.crossJoin(F.broadcast(replicas))
+            .withColumn("doc_id", F.col("doc_id") + F.col("replica") * F.lit(n_docs))
+            .drop("replica")
+        )
+        scaled.write.mode("overwrite").parquet(f"{scaled_dir}/documents.parquet")
 
-    t0 = time.perf_counter()
-    _noop_materialize(queries["kg_edges_build"](spark, scaled_dir))
-    elapsed = round(time.perf_counter() - t0, 4)
-    clear_caches(spark)
-    shutil.rmtree(scaled_dir, ignore_errors=True)
-    return {"kg_edges_build_scaled": elapsed, "scale_factor": SCALE_FACTOR}
+        t0 = time.perf_counter()
+        _noop_materialize(queries["kg_edges_build"](spark, scaled_dir))
+        out[f"kg_edges_build_cold_{factor}x"] = round(time.perf_counter() - t0, 4)
+        clear_caches(spark)
+        shutil.rmtree(scaled_dir, ignore_errors=True)
+    out["ratio"] = round(
+        out[f"kg_edges_build_cold_{SCALE_FACTOR}x"] / out["kg_edges_build_cold_1x"], 2
+    )
+    return out
 
 
 def main() -> None:
