@@ -879,3 +879,101 @@ def contamination_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("test_doc_id", "train_doc_id", "n_shared", "n_test_shingles", "shared_frac")
         .orderBy("test_doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new ingest batch vs the standing corpus index
+# ---------------------------------------------------------------------------
+
+NEW_BATCH_MOD = 10  # doc_id % 10 == 0 models "today's ingest batch"
+
+
+@query(
+    "dedup_incremental",
+    oracle=f"""
+    WITH {_DUCK_SHINGLES_CTE},
+    inter AS (
+      SELECT a.doc_id AS new_doc_id, b.doc_id AS match_doc_id, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.xs = b.xs
+      WHERE a.doc_id % {NEW_BATCH_MOD} = 0 AND b.doc_id % {NEW_BATCH_MOD} != 0
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    scored AS (
+      SELECT new_doc_id, match_doc_id, n_inter,
+             CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jac
+      FROM inter
+      JOIN sizes sa ON new_doc_id = sa.doc_id
+      JOIN sizes sb ON match_doc_id = sb.doc_id
+      WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= {JACCARD_THRESHOLD}
+    ),
+    best AS (
+      SELECT new_doc_id, match_doc_id, jac FROM (
+        SELECT new_doc_id, match_doc_id, jac,
+               row_number() OVER (
+                 PARTITION BY new_doc_id ORDER BY jac DESC, match_doc_id
+               ) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    )
+    SELECT d.doc_id AS new_doc_id,
+           CAST(b.match_doc_id AS BIGINT) AS match_doc_id,
+           round(b.jac, 4) AS jaccard,
+           CASE WHEN b.match_doc_id IS NULL THEN 'unique' ELSE 'duplicate' END
+             AS verdict
+    FROM documents d LEFT JOIN best b ON d.doc_id = b.new_doc_id
+    WHERE d.doc_id % {NEW_BATCH_MOD} = 0
+    ORDER BY new_doc_id
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (batch-vs-index) near-dedup: screen 'today's ingest'
+    (doc_id % NEW_BATCH_MOD == 0) against the standing corpus WITHOUT
+    re-comparing the corpus to itself — the operational shape of dedup at
+    100 TB, where the index side is the materialized shingle warehouse
+    (``doc_shingles`` checkpoint) and each arriving batch costs only
+    |batch| x avg-postings join work, never |corpus|^2. Every new doc
+    gets a verdict: its best-matching index doc by exact n-gram Jaccard
+    (ties broken by doc_id) or 'unique' — including shingle-less short
+    docs, which trivially pass."""
+    from pyspark.sql import Window as W
+
+    sh = _doc_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    is_new = F.col("doc_id") % NEW_BATCH_MOD == 0
+    new_sh, idx_sh = sh.filter(is_new), sh.filter(~is_new)
+    inter = (
+        new_sh.alias("a")
+        .join(idx_sh.alias("b"), F.col("a.xs") == F.col("b.xs"))
+        .groupBy(
+            F.col("a.doc_id").alias("new_doc_id"),
+            F.col("b.doc_id").alias("match_doc_id"),
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    jac = F.col("n_inter") / (F.col("sa.n") + F.col("sb.n") - F.col("n_inter"))
+    scored = (
+        inter.join(sizes.alias("sa"), F.col("new_doc_id") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("match_doc_id") == F.col("sb.doc_id"))
+        .withColumn("jac", jac)
+        .filter(F.col("jac") >= JACCARD_THRESHOLD)
+        .select("new_doc_id", "match_doc_id", "jac")
+    )
+    rn = F.row_number().over(
+        W.partitionBy("new_doc_id").orderBy(F.desc("jac"), F.asc("match_doc_id"))
+    )
+    best = scored.withColumn("rn", rn).filter(F.col("rn") == 1).drop("rn")
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(is_new)
+        .select(F.col("doc_id").alias("new_doc_id"))
+        .join(best, "new_doc_id", "left")
+        .select(
+            "new_doc_id",
+            F.col("match_doc_id").cast("long").alias("match_doc_id"),
+            F.round("jac", 4).alias("jaccard"),
+            F.when(F.col("match_doc_id").isNull(), "unique")
+            .otherwise("duplicate")
+            .alias("verdict"),
+        )
+        .orderBy("new_doc_id")
+    )

@@ -403,3 +403,127 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.transform("qv", lambda x: x.cast("string")), ",").alias("q_sig"),
         F.round(sq_err_sum / F.size("e"), 8).alias("mse"),
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# K-means clustering (semantic grouping / domain discovery)
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 2
+KMEANS_SCALE = 1000  # fixed-point factor: exact-integer distance arithmetic
+
+_DUCK_KMEANS_POINTS = f"""
+pts AS (
+  SELECT vec_id, t.i - 1 AS dim,
+         CAST(round(embedding[t.i]::DOUBLE * {KMEANS_SCALE}) AS BIGINT) AS val
+  FROM embeddings, unnest(range(1, {EMBED_DIM} + 1)) AS t(i)
+)
+"""
+
+
+def _duck_kmeans_assign(cent: str, out: str) -> str:
+    """One Lloyd assignment round in DuckDB SQL: integer squared distance
+    in long form, argmin by (dist, cluster)."""
+    return f"""
+{out}_d AS (
+  SELECT p.vec_id, c.cluster, SUM((p.val - c.cval) * (p.val - c.cval)) AS dist
+  FROM pts p JOIN {cent} c ON p.dim = c.dim
+  GROUP BY p.vec_id, c.cluster
+),
+{out} AS (
+  SELECT vec_id, cluster, dist FROM (
+    SELECT vec_id, cluster, dist,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+    FROM {out}_d
+  ) WHERE rn = 1
+)
+"""
+
+
+@query(
+    "embedding_kmeans",
+    oracle=f"""
+    WITH {_DUCK_KMEANS_POINTS},
+    cent0 AS (
+      SELECT CAST(vec_id AS INTEGER) AS cluster, dim, val AS cval
+      FROM pts WHERE vec_id < {KMEANS_K}
+    ),
+    {_duck_kmeans_assign("cent0", "asg1")},
+    cent1 AS (
+      SELECT a.cluster, p.dim, SUM(p.val) // COUNT(*) AS cval
+      FROM asg1 a JOIN pts p USING (vec_id)
+      GROUP BY a.cluster, p.dim
+    ),
+    {_duck_kmeans_assign("cent1", "asg2")}
+    SELECT CAST(cluster AS INTEGER) AS cluster,
+           COUNT(*) AS n_points,
+           CAST(SUM(dist) AS BIGINT) AS inertia,
+           CAST(MIN(vec_id) AS BIGINT) AS min_vec_id,
+           CAST(MAX(vec_id) AS BIGINT) AS max_vec_id
+    FROM asg2
+    GROUP BY cluster
+    ORDER BY cluster
+    """,
+)
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means over the embedding corpus (KMEANS_K clusters, KMEANS_ITERS
+    fixed Lloyd iterations) — the semantic-clustering primitive behind
+    domain discovery and cluster-balanced sampling in training-data
+    pipelines. Deterministic and engine-exact by construction: seeds are
+    the first K vec_ids, coordinates are fixed-point integers
+    (round(x*1000)), distances are exact integer sums, argmin tie-breaks
+    on cluster id, and centroid updates use integer floor division — no
+    float accumulation order anywhere, so the DuckDB twin matches
+    bit-for-bit.
+
+    Scale shape: points live in long form (vec_id, dim, val) — the
+    assign step is an equi-join on ``dim`` (a broadcast of K*DIM centroid
+    rows) + one partial agg per (vec, cluster); the update is one partial
+    agg per (cluster, dim). Both are map-side-combinable shuffles; no
+    step is quadratic in corpus size, and K iterations are K linear
+    passes (at 100 TB you cache the long-form points once and reuse)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x"),
+    ).select(
+        "vec_id", "dim", F.round(F.col("x") * KMEANS_SCALE).cast("long").alias("val")
+    )
+    pts = pts.cache()
+
+    def assign(cent: DataFrame) -> DataFrame:
+        d = (
+            pts.join(F.broadcast(cent), "dim")
+            .withColumn("sq", (F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval")))
+            .groupBy("vec_id", "cluster")
+            .agg(F.sum("sq").alias("dist"))
+        )
+        best = d.groupBy("vec_id").agg(
+            F.min(F.struct("dist", "cluster")).alias("b")
+        )
+        return best.select("vec_id", F.col("b.cluster").alias("cluster"), F.col("b.dist").alias("dist"))
+
+    cent = pts.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").cast("int").alias("cluster"), "dim", F.col("val").alias("cval")
+    )
+    asg = assign(cent)
+    for _ in range(KMEANS_ITERS - 1):
+        cent = (
+            asg.join(pts, "vec_id")
+            .groupBy("cluster", "dim")
+            .agg(F.expr("sum(val) div count(*)").alias("cval"))
+        )
+        asg = assign(cent)
+
+    out = (
+        asg.groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.sum("dist").cast("long").alias("inertia"),
+            F.min("vec_id").cast("long").alias("min_vec_id"),
+            F.max("vec_id").cast("long").alias("max_vec_id"),
+        )
+        .orderBy("cluster")
+    )
+    return out
