@@ -184,10 +184,17 @@ def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     spec = spark.createDataFrame(
         list(MIXTURE_WEIGHTS_BP), schema="lang string, weight_bp int"
     )
-    total = avail.agg(F.sum("available_tokens").alias("corpus_tokens"))
+    # corpus total via an unpartitioned window over the 5-row per-lang
+    # aggregate — already tiny post-agg, so no BroadcastNestedLoopJoin
+    # scalar-subquery shape in the plan
     plan = (
         avail.join(F.broadcast(spec), "lang")
-        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "corpus_tokens",
+            F.sum("available_tokens").over(
+                Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+            ),
+        )
         .withColumn(
             "allocated_tokens",
             F.expr(f"(corpus_tokens * {BUDGET_EPOCHS} * weight_bp) div 10000").cast(
