@@ -60,6 +60,10 @@ HEADLINE = [
     "stream_tumbling_daily",
     "doc_fingerprints",
     "doc_quality_scores",
+    "embedding_kmeans",
+    "dedup_incremental",
+    "doc_token_familiarity",
+    "doc_sequence_packing",
 ]
 
 

@@ -151,3 +151,23 @@ def test_narrow_builders_have_no_join_or_extra_exchange(spark, sf_dir, name):
     # (count node headers; the formatted output repeats each node in the
     # detail section)
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1
+
+
+def test_mixing_and_clustering_plans(spark, sf_dir):
+    """New-family plan discipline: no nested-loop/cartesian anywhere; the
+    centroid join in k-means broadcasts (K*DIM rows, never a shuffle of
+    the points against centroids); stratified sampling broadcasts its
+    5-row spec."""
+    for name in [
+        "corpus_stratified_sample",
+        "corpus_mixture_plan",
+        "doc_sequence_packing",
+        "doc_token_familiarity",
+        "embedding_kmeans",
+        "dedup_incremental",
+    ]:
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    assert "BroadcastHashJoin" in plan_of(spark, sf_dir, "embedding_kmeans")
+    assert "BroadcastHashJoin" in plan_of(spark, sf_dir, "corpus_stratified_sample")
