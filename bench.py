@@ -141,14 +141,19 @@ def main() -> None:
     build_corpus(spark, SF_DIR, corpus.warehouse_dir(SF_DIR), resume=False)
     setup = {"warehouse_build": round(time.perf_counter() - t0, 4)}
 
-    timings: dict[str, float] = {}
-    detail: dict[str, dict] = {}
-    for name in names:
-        runs: list[float] = []
-        for _ in range(RUNS):
+    # Passes are INTERLEAVED (full query set, repeated RUNS times) rather
+    # than back-to-back per query: this VM's noise arrives in multi-minute
+    # windows (observed: identical queries swinging 0.4 s -> 22 s within
+    # one bench), so consecutive runs of one query all land inside a bad
+    # window and the median is polluted. Interleaving separates a query's
+    # runs by the full set's span, so a noise window skews one pass and
+    # the cross-pass median survives.
+    all_runs: dict[str, list[float]] = {n: [] for n in names}
+    for _ in range(RUNS):
+        for name in names:
             t0 = time.perf_counter()
             _noop_materialize(queries[name](spark, SF_DIR))
-            runs.append(round(time.perf_counter() - t0, 4))
+            all_runs[name].append(round(time.perf_counter() - t0, 4))
             # drop this query's caches before the next timing: each number
             # then includes the query's own cache build (honest), and
             # pinned MEMORY_AND_DISK blocks can't induce GC / spill
@@ -156,6 +161,10 @@ def main() -> None:
             # ran ~2x faster with per-query clearing than with caches
             # accumulating across the whole headline set)
             clear_caches(spark)
+    timings: dict[str, float] = {}
+    detail: dict[str, dict] = {}
+    for name in names:
+        runs = all_runs[name]
         timings[name] = round(statistics.median(runs), 4)
         detail[name] = {
             "median": timings[name],
