@@ -676,3 +676,87 @@ def table_keyset_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(t).alias("table_name"), "n_rows", "key_checksum")
         out = part if out is None else out.unionByName(part)
     return out.orderBy("table_name")
+
+
+# ---------------------------------------------------------------------------
+# Decision-support shapes: EXISTS semi-join agg (Q4), agg-of-agg histogram
+# (Q13) — the two classic TPC-H forms not yet in the registry
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "order_priority_exists_counts",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1995-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def order_priority_exists_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (adapted to the fixture's columns: the EXISTS
+    predicate is 'has a returned line' instead of commit<receipt): date
+    range scan over orders, EXISTS decorrelated to a LEFT SEMI join, then
+    priority counts. At scale the semi join build side is pre-filtered
+    (only 'R' lines ship their 8-byte orderkey into the shuffle) and the
+    probe side's date filter pushes to the parquet scan — the planner
+    never materializes the full orders x lineitem pairing a naive
+    correlated evaluation would."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    returned = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp"))
+        )
+        .join(returned, o["o_orderkey"] == returned["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "customer_order_count_histogram",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def customer_order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: per-customer order counts (LEFT join with a
+    residual predicate so zero-order customers stay, counting the
+    non-null side) re-aggregated into a distribution histogram. The
+    double aggregation is the scale story: the first agg collapses the
+    join output to |customers| rows map-side; the second shuffles only
+    distinct counts — at 100 TB the histogram shuffle moves hundreds of
+    rows, not hundreds of millions."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy(c["c_custkey"])
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
