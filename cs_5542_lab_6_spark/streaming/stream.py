@@ -381,3 +381,53 @@ def write_metrics_stream(spark: SparkSession, sf_dir: str, out_dir: str) -> int:
     )
     q.awaitTermination()
     return len(batches)
+
+
+HEAVY_USER_MIN_EVENTS = 66  # fixture median — both tiers well-populated
+
+
+@query(
+    "stream_user_enriched_counts",
+    oracle=f"""
+    WITH prof AS (
+      SELECT user_id,
+             CASE WHEN COUNT(*) >= {HEAVY_USER_MIN_EVENTS} THEN 'heavy'
+                  ELSE 'light' END AS user_tier
+      FROM events GROUP BY user_id
+    )
+    SELECT e.event_type, p.user_tier,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events e JOIN prof p USING (user_id)
+    GROUP BY e.event_type, p.user_tier
+    ORDER BY e.event_type, p.user_tier
+    """,
+)
+def stream_user_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC join — the enrichment pattern (stream ⋈ dimension
+    table) that, alongside stream-stream joins and stateful ops,
+    completes the §2.10 join surface. The static side is a batch-computed
+    per-user profile (lifetime event count → heavy/light tier) broadcast
+    to every micro-batch; the stream side re-plans the join per batch, so
+    a dimension refresh between batches is picked up automatically (the
+    standard slowly-changing-dimension idiom). Aggregation runs in
+    complete mode (no watermark needed for a global rollup); the decimal
+    sum keeps the oracle exact."""
+    from ..sources.tables import load_table
+
+    profile = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.when(F.count("*") >= HEAVY_USER_MIN_EVENTS, "heavy")
+            .otherwise("light")
+            .alias("user_tier")
+        )
+    )
+    enriched = stream_events(spark, sf_dir).join(F.broadcast(profile), "user_id")
+    agg = enriched.groupBy("event_type", "user_tier").agg(
+        F.count("*").alias("n_events"),
+        _dsum("value", "total_value"),
+    )
+    out = _run_to_memory(agg, "user_enriched", "complete")
+    return out.orderBy("event_type", "user_tier")
