@@ -1151,3 +1151,110 @@ def corpus_delete_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(nodes)
     )
     return rows.orderBy("table_name")
+
+
+# ---------------------------------------------------------------------------
+# Graph analytics: fixed-point PageRank over the co-occurrence KG
+# ---------------------------------------------------------------------------
+
+PR_SCALE = 1_000_000  # fixed-point rank unit
+PR_ITERS = 2
+PR_TOPK = 20
+_PR_BASE = (PR_SCALE * 15) // 100  # (1-d) * SCALE with d = 0.85, exact
+
+
+def _duck_pr_iter(prev: str, contrib: str, out: str) -> str:
+    """One PageRank round in DuckDB SQL: integer contribution sum with
+    truncating division, dangling/isolated nodes kept at base rank."""
+    return f"""
+{contrib} AS (
+  SELECT a.dst AS node_id, SUM(r.rank // d.deg) AS s
+  FROM adj a JOIN {prev} r ON a.src = r.node_id JOIN deg d ON a.src = d.src
+  GROUP BY a.dst
+),
+{out} AS (
+  SELECT n.node_id,
+         {_PR_BASE} + (85 * COALESCE(c.s, 0)) // 100 AS rank
+  FROM nodes n LEFT JOIN {contrib} c USING (node_id)
+)
+"""
+
+
+@query(
+    "kg_pagerank",
+    oracle=f"""
+    WITH {_CORPUS_CTES},
+    adj AS (
+      SELECT DISTINCT a.node_id AS src, b.node_id AS dst
+      FROM ents a JOIN ents b
+        ON a.chunk_id = b.chunk_id AND a.node_id <> b.node_id
+    ),
+    deg AS (SELECT src, COUNT(*) AS deg FROM adj GROUP BY src),
+    nodes AS (SELECT DISTINCT node_id FROM ents),
+    r0 AS (SELECT node_id, CAST({PR_SCALE} AS BIGINT) AS rank FROM nodes),
+    {_duck_pr_iter("r0", "c1", "r1")},
+    {_duck_pr_iter("r1", "c2", "r2")}
+    SELECT r2.node_id,
+           CAST(COALESCE(d.deg, 0) AS BIGINT) AS degree,
+           CAST(r2.rank AS BIGINT) AS rank
+    FROM r2 LEFT JOIN deg d ON r2.node_id = d.src
+    ORDER BY rank DESC, node_id
+    LIMIT {PR_TOPK}
+    """,
+)
+def kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the undirected co-occurrence graph (PR_ITERS rounds,
+    d=0.85, top-PR_TOPK hubs) — the graph-centrality primitive behind
+    entity-importance ranking. Exact across engines by the same
+    fixed-point discipline as ``embedding_kmeans``: ranks are integers
+    (PR_SCALE units), per-neighbor contributions use truncating integer
+    division (Spark ``div`` == DuckDB ``//`` on non-negatives), and the
+    damping multiply-then-floor is exact — no float accumulation order
+    anywhere.
+
+    Scale shape: adjacency is the distinct chunk-co-occurrence pair set
+    (both directions from one <> self-join); each round is one equi-join
+    shuffle on src + one partial agg on dst — K rounds = K linear passes
+    over edges, the standard distributed PageRank plan. Isolated and
+    dangling nodes hold the base rank via the left join."""
+    ents = chunk_entities_df(spark, sf_dir).select("chunk_id", "node_id")
+    a, b = ents.alias("a"), ents.alias("b")
+    adj = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.node_id") != F.col("b.node_id")),
+        )
+        .select(F.col("a.node_id").alias("src"), F.col("b.node_id").alias("dst"))
+        .distinct()
+        .cache()
+    )
+    deg = adj.groupBy("src").agg(F.count("*").alias("deg"))
+    nodes = ents.select("node_id").distinct()
+    ranks = nodes.withColumn("rank", F.lit(PR_SCALE).cast("long"))
+    for _ in range(PR_ITERS):
+        contrib = (
+            adj.join(ranks.withColumnRenamed("node_id", "src"), "src")
+            .join(deg, "src")
+            .select("dst", F.expr("rank div deg").alias("part"))
+            .groupBy("dst")
+            .agg(F.sum("part").alias("s"))
+            .withColumnRenamed("dst", "node_id")
+        )
+        ranks = nodes.join(contrib, "node_id", "left").select(
+            "node_id",
+            (
+                F.lit(_PR_BASE)
+                + F.expr(f"(85 * coalesce(s, 0L)) div 100")
+            ).cast("long").alias("rank"),
+        )
+    return (
+        ranks.join(deg.withColumnRenamed("src", "node_id"), "node_id", "left")
+        .select(
+            "node_id",
+            F.coalesce("deg", F.lit(0)).cast("long").alias("degree"),
+            "rank",
+        )
+        .orderBy(F.desc("rank"), F.asc("node_id"))
+        .limit(PR_TOPK)
+    )
