@@ -249,3 +249,52 @@ def status_priority_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("o_orderpriority").asc_nulls_first(),
         )
     )
+
+
+@query(
+    "events_retention_cohorts",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS act_week
+      FROM events
+    )
+    SELECT f.cohort_week,
+           CAST(datediff('day', f.cohort_week, a.act_week) // 7 AS INTEGER)
+             AS week_offset,
+           COUNT(*) AS n_active_users
+    FROM activity a JOIN first_seen f USING (user_id)
+    GROUP BY f.cohort_week, week_offset
+    ORDER BY f.cohort_week, week_offset
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users grouped by first-seen week,
+    counted once per subsequent active week — the canonical product-
+    analytics triangle. Integer-exact everywhere (ISO-Monday date_trunc
+    in both engines, day-diff floor-divided by 7). Two hash-aggs and one
+    equi-join on user_id; at 100 TB the distinct-week activity set is the
+    compact relation (|users| x |weeks|), and first_seen broadcasts when
+    the user dimension allows."""
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("act_week")
+    ).distinct()
+    return (
+        activity.join(first_seen, "user_id")
+        .select(
+            "cohort_week",
+            (F.datediff("act_week", "cohort_week") / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("n_active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
