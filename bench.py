@@ -61,6 +61,7 @@ HEADLINE = [
     "doc_fingerprints",
     "doc_quality_scores",
     "embedding_kmeans",
+    "kg_pagerank",
     "dedup_incremental",
     "doc_token_familiarity",
     "doc_sequence_packing",

@@ -110,3 +110,42 @@ def test_packing_window_is_partitioned_not_global(spark, sf_dir):
     plan = doc_sequence_packing(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "Window" in plan
     assert "SinglePartition" not in plan
+
+
+def test_pagerank_invariants(spark, sf_dir):
+    from cs_5542_lab_6_spark.pipeline.corpus import (
+        PR_SCALE,
+        PR_TOPK,
+        _PR_BASE,
+        kg_pagerank,
+    )
+
+    rows = kg_pagerank(spark, sf_dir).collect()
+    assert len(rows) == PR_TOPK
+    ranks = [r["rank"] for r in rows]
+    assert ranks == sorted(ranks, reverse=True)  # ordered output
+    for r in rows:
+        assert r["rank"] >= _PR_BASE  # damping floor
+        if r["degree"] == 0:
+            assert r["rank"] == _PR_BASE  # isolated nodes hold base rank
+    # the top node must have collected real contributions above the
+    # damping floor, which requires incoming edges
+    assert ranks[0] > _PR_BASE
+    assert rows[0]["degree"] > 0
+
+
+def test_retention_cohort_triangle(spark, sf_dir):
+    from cs_5542_lab_6_spark.operators.joins_ext import events_retention_cohorts
+
+    rows = events_retention_cohorts(spark, sf_dir).collect()
+    assert rows, "retention matrix must not be empty"
+    by_cohort: dict = {}
+    for r in rows:
+        assert r["week_offset"] >= 0  # activity never precedes the cohort
+        by_cohort.setdefault(r["cohort_week"], []).append(r)
+    for cohort, entries in by_cohort.items():
+        offsets = [e["week_offset"] for e in entries]
+        assert 0 in offsets  # every cohort is active in its own week
+        week0 = next(e for e in entries if e["week_offset"] == 0)
+        # retention never exceeds the cohort's own size
+        assert all(e["n_active_users"] <= week0["n_active_users"] for e in entries)
