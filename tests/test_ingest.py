@@ -80,6 +80,8 @@ def test_warm_warehouse_queries_equal_cold(spark, sf_dir, tmp_path, monkeypatch)
         "chunk_vector_topk",
         "kg_neighborhood",
         "kg_two_hop",
+        # adjacency + node universe from kg_edges/kg_nodes when warm
+        "kg_pagerank",
         # dedup family: served from the materialized signature stages
         # (doc_shingles/doc_minhash/doc_simhash) when warm
         "dedup_ngram_jaccard",
