@@ -298,3 +298,65 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_active_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+ANOMALY_Z = 2.0
+
+
+@query(
+    "events_daily_anomaly",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type,
+             COUNT(*) AS n_days, SUM(n) AS sx, SUM(n * n) AS sxx
+      FROM daily GROUP BY event_type
+    )
+    SELECT d.event_type, d.day, CAST(d.n AS BIGINT) AS n_events,
+           round(CAST(d.n * s.n_days - s.sx AS DOUBLE)
+                 / sqrt(CAST(s.n_days * s.sxx - s.sx * s.sx AS DOUBLE)), 4) AS z,
+           abs(CAST(d.n * s.n_days - s.sx AS DOUBLE)
+               / sqrt(CAST(s.n_days * s.sxx - s.sx * s.sx AS DOUBLE)))
+             >= {ANOMALY_Z} AS is_anomaly
+    FROM daily d JOIN stats s USING (event_type)
+    ORDER BY d.event_type, d.day
+    """,
+)
+def events_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-rate anomaly detection: per-type daily counts z-scored
+    against that type's own day-to-day distribution. Engine-exact by
+    formulation: with integer count sums (n, Σx, Σx²), the z-score
+    collapses to ONE double division of an exact integer numerator by the
+    IEEE-correctly-rounded sqrt of an exact integer — no mean/std
+    intermediate floats whose op order could diverge between engines.
+    Two partial aggs + a tiny per-type stats broadcast; at 100 TB the
+    daily rollup is the compact relation and the z-scan is narrow."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type", F.date_trunc("day", "ts").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("n"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.sum("n").alias("sx"),
+        F.sum(F.col("n") * F.col("n")).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("n_days") - F.col("sx")).cast("double")
+    den = F.sqrt((F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+    z = num / den
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            "day",
+            F.col("n").cast("long").alias("n_events"),
+            F.round(z, 4).alias("z"),
+            (F.abs(z) >= ANOMALY_Z).alias("is_anomaly"),
+        )
+        .orderBy("event_type", "day")
+    )
