@@ -977,3 +977,88 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("new_doc_id")
     )
+
+
+@query(
+    "contamination_purge_counts",
+    oracle=f"""
+    WITH {_DUCK_SHINGLES_CTE},
+    split AS (
+      SELECT doc_id,
+             {DUCK_SPLIT_CASE.format(id="doc_id")} AS split
+      FROM documents
+    ),
+    test_sh AS (
+      SELECT sh.doc_id, sh.xs FROM sh JOIN split USING (doc_id)
+      WHERE split = 'test'
+    ),
+    train_sh AS (
+      SELECT sh.doc_id, sh.xs FROM sh JOIN split USING (doc_id)
+      WHERE split = 'train'
+    ),
+    overlap AS (
+      SELECT t.doc_id AS test_doc_id, tr.doc_id AS train_doc_id,
+             COUNT(*) AS n_shared
+      FROM test_sh t JOIN train_sh tr ON t.xs = tr.xs
+      GROUP BY t.doc_id, tr.doc_id
+    ),
+    contaminated AS (
+      SELECT DISTINCT train_doc_id FROM overlap
+      WHERE n_shared >= {CONTAMINATION_MIN_SHARED}
+    )
+    SELECT s.split,
+           COUNT(*) AS n_docs_before,
+           CAST(SUM(CASE WHEN c.train_doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_docs_purged,
+           CAST(COUNT(*) - SUM(CASE WHEN c.train_doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_docs_after
+    FROM split s LEFT JOIN contaminated c ON s.doc_id = c.train_doc_id
+    GROUP BY s.split
+    ORDER BY s.split
+    """,
+)
+def contamination_purge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY step after ``contamination_scan``: every train document
+    that shares >= CONTAMINATION_MIN_SHARED shingles with ANY test
+    document is dropped (the scan reports best-match pairs for triage;
+    the purge is per-train-doc), and the per-split before/purged/after
+    accounting is emitted — the audit row a pipeline logs when it
+    decontaminates. Same inverted-index join as the scan (batch-cost on
+    the materialized shingle warehouse when warm); valid/test splits pass
+    through untouched by construction."""
+    from pyspark.sql import functions as F
+
+    from .ranking import split_assignment
+
+    sh = _doc_shingles(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", split_assignment("doc_id").alias("split")
+    )
+    sided = sh.join(docs, "doc_id")
+    test_sh = sided.filter(F.col("split") == "test").select(
+        F.col("doc_id").alias("test_doc_id"), "xs"
+    )
+    train_sh = sided.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_doc_id"), "xs"
+    )
+    contaminated = (
+        test_sh.join(train_sh, "xs")
+        .groupBy("test_doc_id", "train_doc_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= CONTAMINATION_MIN_SHARED)
+        .select("train_doc_id")
+        .distinct()
+    )
+    purged = F.col("train_doc_id").isNotNull()
+    return (
+        docs.join(
+            contaminated, docs["doc_id"] == contaminated["train_doc_id"], "left"
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs_before"),
+            F.sum(purged.cast("long")).alias("n_docs_purged"),
+            (F.count("*") - F.sum(purged.cast("long"))).cast("long").alias("n_docs_after"),
+        )
+        .orderBy("split")
+    )
