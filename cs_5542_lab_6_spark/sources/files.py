@@ -1,0 +1,87 @@
+"""Raw-file ingestion: JSONL and CSV readers with declared schemas and
+quarantined corrupt rows.
+
+The reference ingests documents from a JSON HTTP API and never handles a
+malformed record (data/ingestion.py:101-110 trusts the feed). At 100 TB
+raw data arrives as JSONL/CSV drops where some fraction of rows is always
+broken, and silently dropping them (Spark's default DROPMALFORMED) turns
+data loss invisible. These readers therefore:
+
+- require a DECLARED schema (inference is a full extra pass over 100 TB
+  and nondeterministic under schema drift);
+- read in PERMISSIVE mode with an explicit ``_corrupt_record`` column, so
+  every malformed row survives as (null..., raw_text) instead of
+  vanishing;
+- expose ``split_corrupt`` to fork the stream into (clean, quarantine) —
+  the quarantine side is written next to the target table, preserving
+  row-level provenance for replay after an upstream fix.
+
+Both paths are plain DataFrameReader plans: the parse runs inside the
+scan (JacksonParser / UnivocityParser in the JVM), predicate pushdown and
+column pruning still apply to the clean side, and nothing here adds a
+shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def _with_corrupt(schema: T.StructType) -> T.StructType:
+    """Declared schema + the quarantine column (idempotent)."""
+    if CORRUPT_COL in schema.fieldNames():
+        return schema
+    return T.StructType(list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())])
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """One JSON object per line, declared schema, corrupt rows kept."""
+    return (
+        spark.read.schema(_with_corrupt(schema))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path)
+    )
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+    sep: str = ",",
+) -> DataFrame:
+    """CSV with declared schema, corrupt rows kept (type-mismatch or
+    column-count rows land in the quarantine column, not on the floor)."""
+    return (
+        spark.read.schema(_with_corrupt(schema))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .option("header", str(header).lower())
+        .option("sep", sep)
+        .csv(path)
+    )
+
+
+def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(clean_rows_without_quarantine_col, quarantined_raw_rows).
+
+    The parsed relation is cache()d first: Spark refuses to answer
+    queries that reference ONLY the corrupt column of a raw file scan
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN — the parser
+    prunes the data columns away and the corrupt predicate would be
+    meaningless), and both forks re-reading the raw files would parse
+    100 TB twice anyway. MEMORY_AND_DISK, spills instead of OOMing; at
+    scale callers checkpoint the forks and unpersist."""
+    from pyspark import StorageLevel
+
+    parsed = df.persist(StorageLevel.MEMORY_AND_DISK)
+    clean = parsed.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    quarantine = parsed.filter(F.col(CORRUPT_COL).isNotNull()).select(
+        F.col(CORRUPT_COL).alias("raw_record")
+    )
+    return clean, quarantine
