@@ -629,3 +629,45 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             "scrubbed_sha"
         ),
     ).orderBy("doc_id")
+
+
+@query(
+    "language_id_confusion",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+') END AS w
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang,
+           {_LANG_SCORE_COLS_DUCK}
+      FROM toks
+    ),
+    best AS (
+      SELECT *, greatest(score_de, score_en, score_es, score_fr) AS best FROM scored
+    ),
+    pred AS (
+      SELECT lang AS labeled_lang, {_LANG_ARGMAX_DUCK} AS predicted_lang FROM best
+    )
+    SELECT labeled_lang, predicted_lang, COUNT(*) AS n_docs
+    FROM pred
+    GROUP BY labeled_lang, predicted_lang
+    ORDER BY labeled_lang, predicted_lang
+    """,
+)
+def language_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-eval audit for the heuristic language classifier: the full
+    confusion matrix of predicted vs labeled language (including the
+    'unknown' and unscored-language cells — zh has no wordlist, so its
+    row shows exactly where the heuristic fails). This is the evaluation
+    query a pipeline runs before trusting a classifier to gate data; at
+    scale it is the same narrow scoring pass as ``doc_language_id``
+    collapsed map-side to a |langs|x|langs| matrix."""
+    pred = doc_language_id(spark, sf_dir).select("labeled_lang", "predicted_lang")
+    return (
+        pred.groupBy("labeled_lang", "predicted_lang")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("labeled_lang", "predicted_lang")
+    )
