@@ -67,3 +67,25 @@ def compact_table(
         "bytes_in": bytes_in,
         "files_out": len(_parquet_files(out_path)),
     }
+
+
+def compact_partitioned_table(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+) -> dict[str, dict[str, int]]:
+    """Compact a hive-partitioned table directory (``key=value`` subdirs)
+    one partition at a time — each partition is an independent
+    scan→coalesce→write job, which is exactly how compaction parallelizes
+    at 100 TB (one job per partition across the cluster, no partition
+    ever rewrites another's data). Returns per-partition audit dicts."""
+    out: dict[str, dict[str, int]] = {}
+    for entry in sorted(os.listdir(in_path)):
+        src = os.path.join(in_path, entry)
+        if not os.path.isdir(src) or "=" not in entry:
+            continue
+        out[entry] = compact_table(
+            spark, src, os.path.join(out_path, entry), target_file_bytes
+        )
+    return out

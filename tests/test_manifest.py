@@ -1,0 +1,85 @@
+"""Warehouse manifest receipts: build → snapshot → diff, checksum
+stability under re-layout (compaction), drift detection on row changes,
+and partition-wise compaction."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from cs_5542_lab_6_spark.pipeline.ingest import build_corpus
+from cs_5542_lab_6_spark.pipeline.maintenance import (
+    compact_partitioned_table,
+    compact_table,
+)
+from cs_5542_lab_6_spark.pipeline.manifest import (
+    diff_manifests,
+    read_manifest,
+    write_manifest,
+)
+
+
+def _build(spark, sf_dir, root) -> str:
+    out = str(root / os.path.basename(sf_dir.rstrip("/")))
+    build_corpus(spark, sf_dir, out, resume=False)
+    return out
+
+
+def test_manifest_roundtrip_and_replica_equality(spark, sf_dir, tmp_path):
+    a = _build(spark, sf_dir, tmp_path / "wh_a")
+    b = _build(spark, sf_dir, tmp_path / "wh_b")
+    ma, mb = write_manifest(spark, a), write_manifest(spark, b)
+    assert set(ma) == {
+        "papers", "chunks", "kg_nodes", "kg_edges", "kg_map",
+        "doc_shingles", "doc_minhash", "doc_simhash",
+    }
+    assert read_manifest(a) == ma
+    # two builds of the same fixture are content-identical replicas
+    # (ingested_at is excluded from checksums by design)
+    assert diff_manifests(ma, mb) == {}
+
+
+def test_manifest_checksum_survives_compaction_but_not_row_drift(
+    spark, sf_dir, tmp_path
+):
+    wh = _build(spark, sf_dir, tmp_path / "wh")
+    before = write_manifest(spark, wh)
+
+    # re-layout: compact the chunks stage in place (different file count,
+    # same rows) — the order-independent checksum must not move
+    chunks = os.path.join(wh, "chunks")
+    tmp_out = str(tmp_path / "chunks_compact")
+    compact_table(spark, chunks, tmp_out, target_file_bytes=1 << 30)
+    spark.read.parquet(tmp_out).write.mode("overwrite").parquet(chunks)
+    after_layout = write_manifest(spark, wh)
+    assert diff_manifests(before, after_layout) == {}
+
+    # row drift: drop one chunk — checksum (and rows) must flag it
+    pruned = spark.read.parquet(chunks)
+    first_id = pruned.select(F.min("chunk_id")).collect()[0][0]
+    pruned.filter(F.col("chunk_id") != first_id).write.mode("overwrite").parquet(
+        str(tmp_path / "chunks_pruned")
+    )
+    spark.read.parquet(str(tmp_path / "chunks_pruned")).write.mode(
+        "overwrite"
+    ).parquet(chunks)
+    drifted = write_manifest(spark, wh)
+    assert diff_manifests(before, drifted) == {"chunks": "row_count"}
+
+
+def test_compact_partitioned_table_per_partition(spark, sf_dir, tmp_path):
+    wh = _build(spark, sf_dir, tmp_path / "wh2")
+    papers = os.path.join(wh, "papers")  # partitioned by publication_year
+    out = str(tmp_path / "papers_compacted")
+    audit = compact_partitioned_table(spark, papers, out, target_file_bytes=1 << 30)
+    assert len(audit) == 5  # five year partitions
+    for part, a in audit.items():
+        assert part.startswith("publication_year=")
+        assert a["files_out"] == 1
+    # content preserved per partition
+    n_before = spark.read.parquet(papers).count()
+    n_after = sum(
+        spark.read.parquet(os.path.join(out, p)).count() for p in audit
+    )
+    assert n_after == n_before
