@@ -103,10 +103,16 @@ def _scale_stress(spark, queries) -> dict[str, float]:
         )
         scaled.write.mode("overwrite").parquet(f"{scaled_dir}/documents.parquet")
 
-        t0 = time.perf_counter()
-        _noop_materialize(queries["kg_edges_build"](spark, scaled_dir))
-        out[f"kg_edges_build_cold_{factor}x"] = round(time.perf_counter() - t0, 4)
-        clear_caches(spark)
+        # min of 2 runs: a single run's ratio swung 4.4x-13x across bench
+        # invocations purely on host noise; the per-factor minimum is the
+        # least-contaminated estimate of true cost
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _noop_materialize(queries["kg_edges_build"](spark, scaled_dir))
+            runs.append(round(time.perf_counter() - t0, 4))
+            clear_caches(spark)
+        out[f"kg_edges_build_cold_{factor}x"] = min(runs)
         shutil.rmtree(scaled_dir, ignore_errors=True)
     out["ratio"] = round(
         out[f"kg_edges_build_cold_{SCALE_FACTOR}x"] / out["kg_edges_build_cold_1x"], 2
