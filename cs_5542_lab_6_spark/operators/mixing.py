@@ -374,3 +374,51 @@ def doc_token_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("familiarity"), F.asc("doc_id"))
         .limit(FAMILIARITY_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted (PPS) sampling via deterministic hash priorities
+# ---------------------------------------------------------------------------
+
+PPS_TOPK = 50
+_DUCK_PPS_HASH = DUCK_TOKEN_HASH60.format(t="'pps|' || doc_id")
+
+
+@query(
+    "corpus_weighted_sample",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CAST(n_chars AS BIGINT) AS weight,
+           CAST({_DUCK_PPS_HASH} AS DOUBLE) / n_chars AS priority
+    FROM documents
+    WHERE n_chars > 0
+    ORDER BY priority ASC, doc_id
+    LIMIT {PPS_TOPK}
+    """,
+)
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-proportional-to-size sampling without randomness:
+    each document gets priority = hash(salted id) / weight (weight =
+    n_chars), and the PPS_TOPK lowest priorities are the sample — heavier
+    documents draw proportionally smaller keys, so inclusion probability
+    tracks weight, yet membership is fully deterministic across engines,
+    reruns, and partitionings (the priority-sampling / weighted-reservoir
+    scheme with a hash in place of the random draw). The priority is one
+    IEEE division of exact integers emitted UNROUNDED — bit-identical
+    across engines, where decimal rounding at this magnitude (~1e14)
+    would hit double-representation disagreements; the top-k is a
+    TakeOrderedAndProject, no global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = token_hash60(F.concat(F.lit("pps|"), F.col("doc_id")))
+    priority = h.cast("double") / F.col("n_chars")
+    return (
+        docs.filter(F.col("n_chars") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_chars").cast("long").alias("weight"),
+            priority.alias("priority"),
+        )
+        .orderBy(F.asc("priority"), F.asc("doc_id"))
+        .limit(PPS_TOPK)
+    )
