@@ -165,6 +165,14 @@ def test_mixing_and_clustering_plans(spark, sf_dir):
         "doc_token_familiarity",
         "embedding_kmeans",
         "dedup_incremental",
+        "kg_pagerank",
+        "events_retention_cohorts",
+        "events_daily_anomaly",
+        "contamination_purge_counts",
+        "language_id_confusion",
+        "corpus_weighted_sample",
+        "order_priority_exists_counts",
+        "customer_order_count_histogram",
     ]:
         plan = plan_of(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name
