@@ -760,3 +760,98 @@ def customer_order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(F.count("*").alias("custdist"))
         .orderBy(F.desc("custdist"), F.desc("c_count"))
     )
+
+
+@query(
+    "promo_revenue_share",
+    oracle="""
+    SELECT CAST(date_trunc('month', l.l_shipdate) AS TIMESTAMP) AS ship_month,
+           CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                 THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
+                      * (1.00 - CAST(l.l_discount AS DECIMAL(12,2)))
+                 ELSE CAST(0.00 AS DECIMAL(12,2)) END) AS DOUBLE) AS promo_revenue,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1.00 - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+             AS total_revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: monthly promo vs total discounted revenue through
+    a fact ⋈ dim join on partkey. The dim side broadcasts (part is
+    thousands-to-millions of rows against a billions-row fact at scale);
+    revenue stays decimal until the final surface cast so the conditional
+    sum is order-independent. The share itself is left to the reader of
+    the two exact columns — emitting the ratio would divide two large
+    decimals into an accumulation-order-free but magnitude-sensitive
+    double (the engines agree; downstream sheets do the division)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    one = F.lit("1.00").cast(DEC)
+    disc = _dec("l_extendedprice") * (one - _dec("l_discount"))
+    zero = F.lit("0.00").cast(DEC)
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(zero))
+            .cast("double")
+            .alias("promo_revenue"),
+            F.sum(disc).cast("double").alias("total_revenue"),
+        )
+        .orderBy("ship_month")
+    )
+
+
+@query(
+    "discounted_bulk_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1.00 - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+             AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity >= 20 AND l.l_quantity <= 40)
+    """,
+)
+def discounted_bulk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: a disjunction of conjunctive brand/size/quantity
+    bands across the join. The optimizer test that matters at 100 TB:
+    Catalyst must split the OR into join-side predicates — the part-only
+    constraints (brand IN, size bounds) push below the join to prune the
+    build side, and the lineitem quantity envelope (1..40) prunes the
+    probe scan — instead of evaluating the whole disjunction post-join.
+    One row out: exact decimal revenue + line count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    one = F.lit("1.00").cast(DEC)
+    band = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 30)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(20, 50)
+        & F.col("l_quantity").between(20, 40)
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .filter(band)
+        .agg(
+            F.sum(_dec("l_extendedprice") * (one - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
