@@ -165,6 +165,7 @@ def _load_all_modules() -> None:
     if _LOADED:
         return
     from .operators import (  # noqa: F401
+        cogrouped,
         dedup,
         joins_ext,
         mixing,
