@@ -65,6 +65,7 @@ HEADLINE = [
     "dedup_incremental",
     "doc_token_familiarity",
     "doc_sequence_packing",
+    "user_click_purchase_cogroup",
 ]
 
 
