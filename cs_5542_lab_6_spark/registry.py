@@ -176,6 +176,7 @@ def _load_all_modules() -> None:
         semistructured,
         similarity,
         skew,
+        subqueries,
         textstats,
         windows,
     )

@@ -179,3 +179,28 @@ def test_mixing_and_clustering_plans(spark, sf_dir):
         assert "BroadcastNestedLoopJoin" not in plan, name
     assert "BroadcastHashJoin" in plan_of(spark, sf_dir, "embedding_kmeans")
     assert "BroadcastHashJoin" in plan_of(spark, sf_dir, "corpus_stratified_sample")
+
+
+def test_subquery_shapes_decorrelate_to_hash_joins(spark, sf_dir):
+    """Decorrelated-subquery family (Q11/Q15/Q17/Q18/Q22 shapes): the
+    fact-side joins must be hash joins (shuffled or broadcast) — never a
+    cartesian, and the only nested-loop joins allowed are the 1-row
+    scalar broadcasts (global total / max / average threshold), which is
+    how Spark itself plans scalar subqueries."""
+    import re
+
+    for name, scalar_bnlj in [
+        ("small_quantity_part_revenue", 0),  # per-part agg joins on key
+        ("large_order_customers", 0),        # semi join on orderkey
+        ("national_supplier_share", 1),      # 1-row global total
+        ("top_supplier_revenue", 1),         # 1-row max
+        ("quiet_wealthy_customers", 1),      # 1-row avg threshold
+    ]:
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        n_bnlj = len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan))
+        assert n_bnlj <= scalar_bnlj, (name, n_bnlj)
+        assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, name
+    # the Q18 semi join must stay a semi join (HAVING-IN decorrelation)
+    assert "LeftSemi" in plan_of(spark, sf_dir, "large_order_customers")
+    assert "LeftAnti" in plan_of(spark, sf_dir, "quiet_wealthy_customers")
