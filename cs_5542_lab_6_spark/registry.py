@@ -170,6 +170,7 @@ def _load_all_modules() -> None:
         joins_ext,
         mixing,
         multimodal,
+        provenance,
         ranking,
         relational,
         retrieval,
