@@ -1,0 +1,184 @@
+"""Property-based tests (hypothesis) for the engine's pure column
+expressions — the functions every operator composes.
+
+Each property evaluates a whole generated BATCH per example through one
+Spark job (per-row jobs would make hypothesis unusably slow) and
+compares against an exact Python replica:
+
+- hashes / splits: integer-exact (sha256-derived on both sides);
+- vector folds: bit-exact — ``F.aggregate`` folds left-to-right, so a
+  sequential Python accumulation reproduces the identical IEEE result;
+- text: the ASCII contract the DuckDB twins mirror (Java's ``\\s`` is
+  ASCII-only, so the documented ``str.split()`` equivalence is scoped to
+  ASCII whitespace — exactly what the fixtures contain).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cs_5542_lab_6_spark.functions.text import (
+    HASH_P,
+    clean_text,
+    normalize_entity,
+    normalize_entity_py,
+    token_hash,
+    token_hash60,
+    words,
+)
+from cs_5542_lab_6_spark.functions.vectors import dot, l2_normalize
+from cs_5542_lab_6_spark.operators.dedup import SHINGLE_K, shingle_array
+from cs_5542_lab_6_spark.operators.ranking import (
+    SPLIT_BUCKETS,
+    TRAIN_UPPER,
+    VALID_UPPER,
+    split_assignment,
+)
+
+PROP = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+# ASCII printable + the ASCII whitespace Java's \s covers.
+_ASCII = st.text(
+    alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E) | st.sampled_from(" \t\n\r\f\x0b"),
+    max_size=60,
+)
+# Unicode minus surrogates (sha256 hashes the UTF-8 bytes on both sides).
+_UNICODE = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=40
+)
+
+
+def _eval_batch(spark, values, expr, out_type):
+    """Evaluate ``expr`` over a one-column batch, order-preserving."""
+    schema = T.StructType(
+        [T.StructField("i", T.IntegerType()), T.StructField("v", T.StringType())]
+    )
+    df = spark.createDataFrame(list(enumerate(values)), schema)
+    rows = df.select("i", expr.alias("out")).collect()
+    return [r["out"] for r in sorted(rows, key=lambda r: r["i"])]
+
+
+def _py_words(t: str) -> list[str]:
+    t = re.sub(r"^\s+|\s+$", "", t, flags=re.ASCII)
+    return [] if t == "" else re.split(r"\s+", t, flags=re.ASCII)
+
+
+@PROP
+@given(st.lists(_ASCII, min_size=1, max_size=25))
+def test_words_matches_ascii_split(spark, texts):
+    got = _eval_batch(spark, texts, words(F.col("v")), "array<string>")
+    assert got == [_py_words(t) for t in texts]
+
+
+@PROP
+@given(st.lists(_ASCII, min_size=1, max_size=25))
+def test_normalize_entity_matches_python_replica(spark, texts):
+    got = _eval_batch(spark, texts, normalize_entity(F.col("v")), "string")
+    assert got == [normalize_entity_py(t) for t in texts]
+
+
+def _py_token_hash60(t: str) -> int:
+    return int(hashlib.sha256(t.encode("utf-8")).hexdigest()[:15], 16)
+
+
+@PROP
+@given(st.lists(_UNICODE, min_size=1, max_size=25))
+def test_token_hashes_match_sha256_replica(spark, texts):
+    got60 = _eval_batch(spark, texts, token_hash60(F.col("v")), "long")
+    got31 = _eval_batch(spark, texts, token_hash(F.col("v")), "long")
+    exp60 = [_py_token_hash60(t) for t in texts]
+    assert got60 == exp60
+    assert got31 == [h % HASH_P for h in exp60]
+
+
+@PROP
+@given(st.lists(_ASCII, min_size=1, max_size=15))
+def test_clean_text_idempotent_and_canonical(spark, texts):
+    once = _eval_batch(spark, texts, clean_text(F.col("v")), "string")
+    twice = _eval_batch(spark, once, clean_text(F.col("v")), "string")
+    assert once == twice
+    for t in once:
+        assert "  " not in t
+        assert t == t.strip()
+
+
+@PROP
+@given(st.lists(_ASCII, min_size=1, max_size=15))
+def test_shingle_array_matches_python_replica(spark, texts):
+    got = _eval_batch(
+        spark, texts, shingle_array(words(F.lower(F.col("v")))), "array<string>"
+    )
+    for t, g in zip(texts, got):
+        w = _py_words(t.lower())
+        grams = [" ".join(w[i : i + SHINGLE_K]) for i in range(len(w) - SHINGLE_K + 1)]
+        assert g == list(dict.fromkeys(grams))  # distinct, first-occurrence order
+
+
+def _py_split(doc_id: int) -> str:
+    b = _py_token_hash60(f"split|{doc_id}") % SPLIT_BUCKETS
+    return "train" if b < TRAIN_UPPER else ("valid" if b < VALID_UPPER else "test")
+
+
+@PROP
+@given(st.lists(st.integers(min_value=0, max_value=2**40), min_size=1, max_size=30))
+def test_split_assignment_matches_python_replica(spark, ids):
+    schema = T.StructType(
+        [T.StructField("i", T.IntegerType()), T.StructField("doc_id", T.LongType())]
+    )
+    df = spark.createDataFrame(list(enumerate(ids)), schema)
+    rows = df.select("i", split_assignment("doc_id").alias("s")).collect()
+    got = [r["s"] for r in sorted(rows, key=lambda r: r["i"])]
+    assert got == [_py_split(i) for i in ids]
+
+
+_VEC = st.lists(
+    st.floats(
+        min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False, width=64
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@PROP
+@given(st.lists(st.tuples(_VEC, _VEC), min_size=1, max_size=10))
+def test_dot_and_normalize_bit_exact_vs_sequential_fold(spark, pairs):
+    # equal lengths per pair (zip_with pads with null otherwise)
+    pairs = [(a[: len(b)], b[: len(a)]) for a, b in pairs]
+    schema = T.StructType(
+        [
+            T.StructField("i", T.IntegerType()),
+            T.StructField("a", T.ArrayType(T.DoubleType())),
+            T.StructField("b", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    df = spark.createDataFrame([(i, a, b) for i, (a, b) in enumerate(pairs)], schema)
+    rows = df.select(
+        "i",
+        dot(F.col("a"), F.col("b")).alias("d"),
+        l2_normalize(F.col("a")).alias("n"),
+    ).collect()
+    rows = sorted(rows, key=lambda r: r["i"])
+    for (a, b), r in zip(pairs, rows):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (x * y)  # same left-to-right IEEE order as F.aggregate
+        assert r["d"] == acc
+        sq = 0.0
+        for x in a:
+            sq = sq + (x * x)
+        nrm = sq**0.5
+        expected = [x / nrm for x in a] if nrm > 0 else list(a)
+        assert r["n"] == expected
