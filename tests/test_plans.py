@@ -204,3 +204,56 @@ def test_subquery_shapes_decorrelate_to_hash_joins(spark, sf_dir):
     # the Q18 semi join must stay a semi join (HAVING-IN decorrelation)
     assert "LeftSemi" in plan_of(spark, sf_dir, "large_order_customers")
     assert "LeftAnti" in plan_of(spark, sf_dir, "quiet_wealthy_customers")
+
+
+# Queries whose plans legitimately contain BroadcastNestedLoopJoin: every
+# entry is a crossJoin of a 1-row scalar aggregate or a tiny literal
+# (query vector, band index, global total/max/avg threshold) — the same
+# shape Spark itself emits for scalar subqueries. Value = max allowed.
+_BNLJ_ALLOWED = {
+    "vector_topk": 1,            # broadcast query vector (1 row)
+    "vector_topk_filtered": 1,   # broadcast query vector (1 row)
+    "bm25_doc_topk": 1,          # broadcast query-term stats (k rows)
+    "hybrid_rrf_topk": 2,        # both candidate lists carry the query vec
+    "ann_brute_force_topk": 1,   # broadcast query set (tens of rows)
+    "ann_ivf_topk": 1,           # broadcast probe centroids (nprobe rows)
+    "dedup_simhash": 2,          # broadcast band index (4 rows)
+    "national_supplier_share": 1,  # 1-row global balance total
+    "top_supplier_revenue": 1,     # 1-row max revenue
+    "quiet_wealthy_customers": 1,  # 1-row avg-balance threshold
+}
+
+# Iterative/streaming queries whose plan construction executes multi-round
+# jobs (label propagation, micro-batches) — too slow for the sweep; each
+# has a targeted plan/oracle guard elsewhere in this file or the suite.
+_SWEEP_SKIP = {
+    "dedup_clusters",
+    "stream_tumbling_daily",
+    "stream_tumbling_daily_append",
+    "stream_dedup_events",
+    "stream_session_windows",
+    "stream_user_stats_stateful",
+    "stream_click_purchase_join",
+    "stream_user_enriched_counts",
+}
+
+
+def test_registry_wide_no_unjustified_nested_loops(spark, sf_dir):
+    """Every registered query plans without a CartesianProduct, and any
+    BroadcastNestedLoopJoin is in the justified-scalar allowlist — the
+    blanket guarantee that no operator regresses into an all-pairs plan
+    that would only be noticed at cluster scale."""
+    import re
+
+    for name, fn in all_queries().items():
+        if name in _SWEEP_SKIP:
+            continue
+        plan = formatted_plan(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        n_bnlj = len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan))
+        assert n_bnlj <= _BNLJ_ALLOWED.get(name, 0), (
+            f"{name}: {n_bnlj} BroadcastNestedLoopJoin nodes "
+            f"(allowed {_BNLJ_ALLOWED.get(name, 0)}) — if the new join side "
+            "is a 1-row scalar broadcast, add it to _BNLJ_ALLOWED with a "
+            "justification; otherwise fix the join"
+        )
