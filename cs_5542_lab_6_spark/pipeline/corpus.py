@@ -1287,3 +1287,108 @@ def kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank"), F.asc("node_id"))
         .limit(PR_TOPK)
     )
+
+
+@query(
+    "kg_triangle_stats",
+    oracle=f"""
+    WITH {_CORPUS_CTES},
+    canon AS (
+      SELECT DISTINCT least(a.node_id, b.node_id) AS u,
+                      greatest(a.node_id, b.node_id) AS v
+      FROM ents a JOIN ents b
+        ON a.chunk_id = b.chunk_id AND a.node_id <> b.node_id
+    ),
+    tri AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM canon e1
+      JOIN canon e2 ON e1.v = e2.u
+      JOIN canon e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    deg AS (
+      SELECT u AS node_id, COUNT(*) AS d FROM (
+        SELECT u, v FROM canon UNION ALL SELECT v, u FROM canon
+      ) GROUP BY u
+    ),
+    wed AS (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges FROM deg)
+    SELECT CAST(tri.n_triangles AS BIGINT) AS n_triangles,
+           wed.n_wedges,
+           CAST(3 * tri.n_triangles AS DOUBLE) / wed.n_wedges
+             AS global_clustering
+    FROM tri, wed
+    """,
+)
+def kg_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the undirected
+    co-occurrence KG — the graph-cohesion primitive complementing
+    ``kg_pagerank`` (centrality) and ``dedup_clusters`` (components).
+
+    Plan: canonical (u<v) edges self-join on the shared middle vertex to
+    enumerate ordered wedges u<v<w, then one more equi-join closes each
+    wedge against the edge set — the standard distributed triangle
+    enumeration. Every join is an equi-join on node ids; the canonical
+    u<v ordering enumerates each wedge and triangle exactly once
+    (halving the join space vs undirected pairs). At true cluster scale
+    the further step is DEGREE-ordered canonicalization (orient each
+    edge toward its higher-degree endpoint), which bounds per-vertex
+    wedge fan-out by O(sqrt(|E|)); id-ordering keeps the oracle twin
+    trivially identical and is sufficient at the KG's density. The wedge
+    count (coefficient denominator) is one degree aggregation — exact
+    integers throughout, with the single final division producing the
+    double both engines agree on.
+
+    Warm: canonical pairs straight from the kg_edges checkpoint (same
+    distinct set by construction). Cold: the ents co-occurrence
+    derivation the oracle mirrors.
+    """
+    pe = _warm_path(sf_dir, "kg_edges", spark)
+    if pe:
+        canon = (
+            spark.read.parquet(pe)
+            .select(
+                F.col("source_node_id").alias("u"),
+                F.col("target_node_id").alias("v"),
+            )
+            .distinct()
+            .cache()
+        )
+    else:
+        ents = chunk_entities_df(spark, sf_dir).select("chunk_id", "node_id")
+        a, b = ents.alias("a"), ents.alias("b")
+        canon = (
+            a.join(
+                b,
+                (F.col("a.chunk_id") == F.col("b.chunk_id"))
+                & (F.col("a.node_id") != F.col("b.node_id")),
+            )
+            .select(
+                F.least(F.col("a.node_id"), F.col("b.node_id")).alias("u"),
+                F.greatest(F.col("a.node_id"), F.col("b.node_id")).alias("v"),
+            )
+            .distinct()
+            .cache()
+        )
+    e1 = canon.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = canon.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = canon.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"], "left_semi")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    deg = (
+        canon.select(F.col("u").alias("node_id"))
+        .unionAll(canon.select(F.col("v").alias("node_id")))
+        .groupBy("node_id")
+        .agg(F.count("*").alias("d"))
+    )
+    wed = deg.agg(
+        F.sum(F.expr("d * (d - 1) div 2")).cast("long").alias("n_wedges")
+    )
+    return tri.crossJoin(F.broadcast(wed)).select(
+        F.col("n_triangles").cast("long").alias("n_triangles"),
+        "n_wedges",
+        (F.lit(3) * F.col("n_triangles").cast("double") / F.col("n_wedges")).alias(
+            "global_clustering"
+        ),
+    )

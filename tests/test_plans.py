@@ -218,6 +218,7 @@ _BNLJ_ALLOWED = {
     "ann_brute_force_topk": 1,   # broadcast query set (tens of rows)
     "ann_ivf_topk": 1,           # broadcast probe centroids (nprobe rows)
     "dedup_simhash": 2,          # broadcast band index (4 rows)
+    "kg_triangle_stats": 1,        # 1-row wedge total × 1-row triangle count
     "national_supplier_share": 1,  # 1-row global balance total
     "top_supplier_revenue": 1,     # 1-row max revenue
     "quiet_wealthy_customers": 1,  # 1-row avg-balance threshold
