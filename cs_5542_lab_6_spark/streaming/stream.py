@@ -431,3 +431,40 @@ def stream_user_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _run_to_memory(agg, "user_enriched", "complete")
     return out.orderBy("event_type", "user_tier")
+
+
+def write_metrics_stream_idempotent(spark: SparkSession, sf_dir: str, out_dir: str) -> int:
+    """Replay-safe (exactly-once) variant of ``write_metrics_stream``.
+
+    foreachBatch gives at-least-once delivery: after a crash between the
+    sink write and the checkpoint commit, the SAME batch_id is re-run,
+    and a plain append sink duplicates its rows. The standard idempotent
+    idiom: key the write by batch_id — each micro-batch overwrites its
+    own ``batch_id=N`` partition directory, so a replay rewrites
+    identical bytes instead of appending a second copy. Readers get
+    batch_id back through partition discovery.
+
+    At scale this is the same pattern as Delta/Iceberg's txn-id dedup,
+    expressed on plain parquet: per-batch atomicity via directory
+    overwrite + idempotence via deterministic batch keys.
+    """
+    ev = stream_events(spark, sf_dir)
+    batches: list[int] = []
+
+    def _log_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy("event_type")
+            .agg(F.count("*").alias("n_events"), _dsum("value", "total_value"))
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/batch_id={batch_id}")
+        )
+        batches.append(batch_id)
+
+    q = (
+        ev.writeStream.foreachBatch(_log_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", out_dir + "/_checkpoint")
+        .start()
+    )
+    q.awaitTermination()
+    return len(batches)

@@ -38,3 +38,30 @@ def test_foreach_batch_metrics_sink(spark, sf_dir, tmp_path):
     from cs_5542_lab_6_spark.sources import load_table
 
     assert total == load_table(spark, sf_dir, "events").count()
+
+
+def test_idempotent_foreach_batch_survives_replay(spark, sf_dir, tmp_path):
+    """Exactly-once property: re-running the stream from a FRESH
+    checkpoint against the SAME output directory (the worst-case replay
+    — every batch re-delivered) must leave the output byte-identical to
+    a single run, because each batch overwrites its own batch_id
+    partition instead of appending."""
+    import shutil
+
+    from cs_5542_lab_6_spark.streaming.stream import write_metrics_stream_idempotent
+
+    out = str(tmp_path / "metrics")
+    n1 = write_metrics_stream_idempotent(spark, sf_dir, out)
+    assert n1 >= 1
+    first = sorted(
+        tuple(r) for r in spark.read.parquet(out).drop("batch_id").collect()
+    )
+
+    # simulate the replay: wipe the checkpoint (not the data) and re-run
+    shutil.rmtree(out + "/_checkpoint")
+    n2 = write_metrics_stream_idempotent(spark, sf_dir, out)
+    assert n2 == n1
+    second = sorted(
+        tuple(r) for r in spark.read.parquet(out).drop("batch_id").collect()
+    )
+    assert second == first  # no duplicated rows, no drift
