@@ -66,6 +66,10 @@ HEADLINE = [
     "doc_token_familiarity",
     "doc_sequence_packing",
     "user_click_purchase_cogroup",
+    "large_order_customers",
+    "nation_trade_flows",
+    "kg_triangle_stats",
+    "source_overlap_matrix",
 ]
 
 
