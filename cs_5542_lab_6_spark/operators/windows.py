@@ -228,3 +228,63 @@ def supplier_weekly_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_suppkey", "ship_day")
     )
+
+
+@query(
+    "customer_order_value_extremes",
+    oracle="""
+    SELECT o_custkey,
+           COUNT(*) AS n_orders,
+           MAX(fv) AS first_order_value,
+           MAX(lv) AS latest_order_value,
+           MAX(sv) AS second_order_value
+    FROM (
+      SELECT o_custkey,
+             first_value(o_totalprice) OVER w AS fv,
+             last_value(o_totalprice) OVER w AS lv,
+             nth_value(o_totalprice, 2) OVER w AS sv
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    )
+    GROUP BY o_custkey
+    ORDER BY o_custkey
+    """,
+)
+def customer_order_value_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The value-picking window family (§2.5's remaining functions:
+    first_value / last_value / nth_value) over each customer's
+    date-ordered order history — first order value, latest value, and
+    the second order's value (NULL for single-order customers, both
+    engines agree).
+
+    The frame is explicitly UNBOUNDED PRECEDING → UNBOUNDED FOLLOWING:
+    last_value under the default frame (…→ CURRENT ROW) degenerates to
+    the current row's value — the classic window pitfall — and pinning
+    the full frame makes all three picks constant per partition, so the
+    per-customer collapse is a trivial max over identical values. Window
+    is partitioned by custkey (never global) with a unique orderkey
+    tiebreak; values are picked, not accumulated, so doubles cross
+    engines exactly."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            F.first("o_totalprice").over(w).alias("fv"),
+            F.last("o_totalprice").over(w).alias("lv"),
+            F.nth_value("o_totalprice", 2).over(w).alias("sv"),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.max("fv").alias("first_order_value"),
+            F.max("lv").alias("latest_order_value"),
+            F.max("sv").alias("second_order_value"),
+        )
+        .orderBy("o_custkey")
+    )
