@@ -649,7 +649,13 @@ def kg_edges_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             "weight",
             F.lit(INGESTED_AT).cast("timestamp").alias("ingested_at"),
         )
-        .orderBy("source_node_id", "target_node_id", "paper_id")
+        # sortWithinPartitions, not orderBy: a global sort of the full
+        # edge set (25M+ rows at reference scale) adds a range-exchange
+        # whose sampling pass re-executes the co-occurrence join; local
+        # sort gives the same write clustering for the checkpoint and
+        # row order is not part of the build contract (driver/oracle
+        # compare order-insensitively).
+        .sortWithinPartitions("source_node_id", "target_node_id", "paper_id")
     )
 
 
