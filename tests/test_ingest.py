@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import os
 
+from pyspark.sql import functions as F
+
 from cs_5542_lab_6_spark.pipeline.corpus import chunks_build, papers_build
 from cs_5542_lab_6_spark.pipeline.ingest import (
     build_corpus,
@@ -106,3 +108,28 @@ def test_warm_warehouse_queries_equal_cold(spark, sf_dir, tmp_path, monkeypatch)
     warm = {n: sorted(map(tuple, qs[n](spark, sf_dir).collect())) for n in names}
 
     assert warm == cold
+
+
+def test_partitioned_checkpoint_scan_prunes_directories(spark, sf_dir, tmp_path):
+    """The hive-partitioned papers checkpoint must prune at the DIRECTORY
+    level: a publication_year predicate shows up in the scan's
+    PartitionFilters (one directory read), never as a post-scan Filter
+    over all years — the time-partitioned-table pattern every 100 TB
+    event/corpus table relies on."""
+    import re
+
+    from cs_5542_lab_6_spark.pipeline.ingest import build_corpus, load_checkpoint
+    from cs_5542_lab_6_spark.plans.inspect import formatted_plan
+
+    out = str(tmp_path / "wh")
+    build_corpus(spark, sf_dir, out, resume=False)
+    df = load_checkpoint(spark, out, "papers").filter(
+        F.col("publication_year") == 2021
+    )
+    plan = formatted_plan(df)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "publication_year" in m.group(1), plan[:2000]
+    # and the partition predicate must NOT degrade into a data filter
+    data_filters = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    if data_filters:
+        assert "publication_year" not in data_filters.group(1)
