@@ -46,6 +46,15 @@ _REGISTRY: dict[str, Q] = {}
 # verified every session by tests/test_oracle_parity.py (same
 # rows+schema+value-hash check over all registered oracles). Everything
 # not listed keeps module registration order after the listed prefix.
+#
+# Round-6 rotation candidates (registered in round 5, never yet in a
+# driver window): the decorrelated-subquery family
+# (small_quantity_part_revenue, large_order_customers,
+# national_supplier_share, top_supplier_revenue,
+# quiet_wealthy_customers), the provenance family
+# (source_quality_profile, source_blocklist_filter,
+# source_overlap_matrix), nation_trade_flows, kg_triangle_stats,
+# customer_order_value_extremes, user_click_purchase_cogroup.
 _PRIORITY: tuple[str, ...] = (
     # Corpus pipeline core (kept: the multi-stage derivations; the pure
     # scans/views that were green rounds 1-4 rotated out)
