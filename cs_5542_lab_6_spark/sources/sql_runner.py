@@ -133,3 +133,18 @@ def sql_script_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = run_sql_script(spark, _SCRIPT)
     assert result is not None
     return result
+
+
+def run_sql_script_params(
+    spark: SparkSession, script: str, params: dict[str, object] | None = None
+) -> DataFrame | None:
+    """Parameterized variant of ``run_sql_script`` using Spark's named
+    parameter markers (``:name``), the SQL-injection-safe replacement for
+    the reference's f-string query assembly (tools.py builds SQL by
+    interpolating user text straight into the statement). Parameters bind
+    as typed literals in the parser — user input can never change the
+    statement's shape."""
+    result: DataFrame | None = None
+    for stmt in split_sql_statements(script):
+        result = spark.sql(stmt, args=params) if params else spark.sql(stmt)
+    return result

@@ -64,3 +64,34 @@ def test_runner_executes_statements(spark, sf_dir):
         "SELECT COUNT(*) AS n FROM t_semi WHERE v = 'x;y'",
     )
     assert out.first()["n"] == 1
+
+
+def test_parameterized_script_binds_named_markers(spark, sf_dir):
+    """Named :params bind as typed literals (injection-safe — the
+    reference interpolates user text into SQL via f-strings;
+    tools.py:96-118)."""
+    from cs_5542_lab_6_spark.sources.sql_runner import run_sql_script_params
+    from cs_5542_lab_6_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    out = run_sql_script_params(
+        spark,
+        """
+        SELECT o_orderpriority, COUNT(*) AS n
+        FROM orders
+        WHERE o_totalprice > :floor AND o_orderstatus = :status
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        {"floor": 100000.0, "status": "F"},
+    )
+    rows = out.collect()
+    assert len(rows) >= 1
+
+    # a malicious "value" stays a literal — it cannot close the quote and
+    # inject a predicate; it just matches no status and returns 0 groups
+    evil = run_sql_script_params(
+        spark,
+        "SELECT COUNT(*) AS n FROM orders WHERE o_orderstatus = :status",
+        {"status": "F' OR '1'='1"},
+    )
+    assert evil.collect()[0]["n"] == 0
