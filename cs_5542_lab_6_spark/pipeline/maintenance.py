@@ -28,6 +28,7 @@ import math
 import os
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024
 
@@ -89,3 +90,41 @@ def compact_partitioned_table(
             spark, src, os.path.join(out_path, entry), target_file_bytes
         )
     return out
+
+
+def cluster_table(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    sort_cols: list[str],
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+) -> dict[str, int]:
+    """Rewrite a table range-clustered on ``sort_cols`` — the sort-on-write
+    maintenance pass that turns parquet row-group min/max statistics into
+    a data-skipping index (the plain-parquet analogue of Delta/Iceberg
+    OPTIMIZE ... ZORDER for the single-dimension case).
+
+    ``repartitionByRange`` + ``sortWithinPartitions`` gives globally
+    disjoint per-file key ranges: a reader filtering on the cluster key
+    then prunes whole files/row-groups from the footer stats alone,
+    before any data page is read. At 100 TB this is the difference
+    between scanning a full event table and touching the two files a
+    time-range predicate selects. Returns the compaction audit dict plus
+    the cluster column list length for the manifest."""
+    files = _parquet_files(in_path)
+    bytes_in = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(bytes_in / target_file_bytes))
+    df = spark.read.parquet(in_path)
+    cols = [F.col(c) for c in sort_cols]
+    (
+        df.repartitionByRange(n_out, *cols)
+        .sortWithinPartitions(*cols)
+        .write.mode("overwrite")
+        .parquet(out_path)
+    )
+    return {
+        "files_in": len(files),
+        "bytes_in": bytes_in,
+        "files_out": len(_parquet_files(out_path)),
+        "cluster_cols": len(sort_cols),
+    }

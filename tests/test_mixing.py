@@ -149,3 +149,46 @@ def test_retention_cohort_triangle(spark, sf_dir):
         week0 = next(e for e in entries if e["week_offset"] == 0)
         # retention never exceeds the cohort's own size
         assert all(e["n_active_users"] <= week0["n_active_users"] for e in entries)
+
+
+def test_cluster_table_produces_disjoint_rowgroup_ranges(spark, sf_dir, tmp_path):
+    """Sort-on-write clustering must yield files whose min/max footer
+    statistics on the cluster key are pairwise DISJOINT — the property
+    that makes parquet stats a data-skipping index. Verified from the
+    footers with an independent pyarrow read, plus a content checksum
+    (clustering must never change the rows)."""
+    import pyarrow.parquet as pq
+
+    from cs_5542_lab_6_spark.pipeline.maintenance import (
+        _parquet_files,
+        cluster_table,
+    )
+
+    src = str(tmp_path / "orders_src")
+    out = str(tmp_path / "orders_clustered")
+    # deliberately scatter the key across many small files
+    spark.read.parquet(f"{sf_dir}/orders.parquet").repartition(8).write.parquet(src)
+
+    audit = cluster_table(spark, src, out, ["o_orderdate"], target_file_bytes=8 * 1024)
+    assert audit["files_out"] >= 2, audit  # multiple files → skipping is real
+
+    spans = []
+    for f in _parquet_files(out):
+        meta = pq.ParquetFile(f).metadata
+        idx = next(
+            i for i in range(meta.num_columns)
+            if meta.row_group(0).column(i).path_in_schema == "o_orderdate"
+        )
+        mins, maxs = [], []
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        spans.append((min(mins), max(maxs)))
+    spans.sort()
+    for (_, hi), (lo, _) in zip(spans, spans[1:]):
+        assert hi <= lo, spans  # file key ranges never interleave
+
+    a = sorted(tuple(r) for r in spark.read.parquet(src).collect())
+    b = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert a == b
