@@ -23,6 +23,7 @@ Scale notes:
 from __future__ import annotations
 
 import os
+import time
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -80,6 +81,7 @@ def build_corpus(
     for name, builder, parts in STAGES:
         path = checkpoint_path(out_dir, name)
         skipped = resume and _has_checkpoint(path)
+        t0 = time.perf_counter()
         if not skipped:
             writer = builder(spark, sf_dir).write.mode("overwrite")
             if parts:
@@ -90,6 +92,10 @@ def build_corpus(
             "rows": n,
             "status": "OK" if n > 0 else "EMPTY",
             "skipped": skipped,
+            # per-stage wall seconds: the build telemetry operators tune
+            # from (which stage to bucket, where the skew is) — 0.0-ish
+            # for resumed stages, the derivation+write cost otherwise
+            "seconds": round(time.perf_counter() - t0, 3),
         }
     return report
 
