@@ -23,12 +23,16 @@ from pyspark.sql import functions as F
 from ..registry import query
 from ..sources import load_table
 from .dedup import JACCARD_THRESHOLD, _DUCK_SHINGLES_CTE, dedup_ngram_jaccard
+from .ranking import DUCK_SPLIT_CASE
 
 # Sources excluded from training (the curation-list idiom: licensing,
 # toxicity, or known-benchmark contamination). Fixed literals so the
 # oracle embeds the identical list.
 BLOCKLIST: tuple[str, ...] = ("src3", "src7", "src11")
 SHORT_DOC_CHARS = 200
+
+# The shared split definition rendered for the datasheet oracle.
+_SPLIT_CASE = DUCK_SPLIT_CASE.format(id="doc_id")
 
 
 @query(
@@ -153,4 +157,67 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_pairs"))
         .orderBy(F.desc("n_pairs"), "source_a", "source_b")
+    )
+
+
+@query(
+    "corpus_datasheet",
+    oracle=f"""
+    WITH labeled AS (
+      SELECT doc_id, lang, source, n_chars,
+             CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0
+                  THEN 0
+                  ELSE len(regexp_split_to_array(
+                         regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'))
+             END AS ws_tokens,
+             {_SPLIT_CASE} AS split
+      FROM documents
+    )
+    SELECT lang, split,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT source) AS n_sources,
+           CAST(SUM(ws_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(CASE WHEN n_chars < {SHORT_DOC_CHARS} THEN 1 ELSE 0 END)
+                AS BIGINT) AS short_docs
+    FROM labeled
+    GROUP BY lang, split
+    ORDER BY lang, split
+    """,
+)
+def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset-card table: per (language × train/valid/test split) —
+    document, source, token, and character totals plus the short-doc
+    tail. This is the summary every corpus release ships (datasheets /
+    data cards), composed from the engine's shared primitives: the split
+    comes from ``ranking.split_assignment`` (THE split definition — the
+    datasheet can never disagree with the split the training job reads)
+    and token counts from the same whitespace contract as
+    ``doc_token_stats``.
+
+    One narrow projection + one partial-aggregated groupBy; the shuffle
+    carries |langs × 3| rows at any corpus size."""
+    from .ranking import split_assignment
+    from ..functions.text import word_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "lang",
+            "source",
+            "n_chars",
+            word_count(F.col("text")).alias("ws_tokens"),
+            split_assignment("doc_id").alias("split"),
+        )
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("source").alias("n_sources"),
+            F.sum("ws_tokens").cast("long").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(F.when(F.col("n_chars") < SHORT_DOC_CHARS, 1).otherwise(0))
+            .cast("long")
+            .alias("short_docs"),
+        )
+        .orderBy("lang", "split")
     )
