@@ -182,3 +182,45 @@ def test_dot_and_normalize_bit_exact_vs_sequential_fold(spark, pairs):
         nrm = sq**0.5
         expected = [x / nrm for x in a] if nrm > 0 else list(a)
         assert r["n"] == expected
+
+
+def _py_shingles(t: str) -> list[str]:
+    w = _py_words(t.lower())
+    grams = [" ".join(w[i : i + SHINGLE_K]) for i in range(len(w) - SHINGLE_K + 1)]
+    return list(dict.fromkeys(grams))
+
+
+@PROP
+@given(st.lists(_ASCII, min_size=1, max_size=10))
+def test_minhash_signature_matches_python_replica(spark, texts):
+    """The full MinHash pipeline (tokenize → shingle → 31-bit sha hash →
+    universal-hash permutations → per-perm min) is integer-exact against
+    a from-scratch Python replica — the property that keeps the dedup
+    family's signatures oracle-checkable."""
+    from cs_5542_lab_6_spark.operators.dedup import _MH_A, _MH_B, MINHASH_PERMS
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.IntegerType()), T.StructField("text", T.StringType())]
+    )
+    df = spark.createDataFrame(list(enumerate(texts)), schema)
+    sh = df.select(
+        "doc_id", F.explode(shingle_array(words(F.lower(F.col("text"))))).alias("s")
+    ).select("doc_id", token_hash(F.col("s")).alias("xs")).distinct()
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(_MH_A[i]) * F.col("xs") + F.lit(_MH_B[i])) % HASH_P).alias(f"h{i}")
+            for i in range(MINHASH_PERMS)
+        ]
+    )
+    got = {r["doc_id"]: [r[f"h{i}"] for i in range(MINHASH_PERMS)] for r in sig.collect()}
+
+    for doc_id, t in enumerate(texts):
+        hashes = {(_py_token_hash60(s) % HASH_P) for s in _py_shingles(t)}
+        if not hashes:
+            assert doc_id not in got  # shingle-less docs emit no signature row
+            continue
+        expected = [
+            min((_MH_A[i] * x + _MH_B[i]) % HASH_P for x in hashes)
+            for i in range(MINHASH_PERMS)
+        ]
+        assert got[doc_id] == expected, doc_id
