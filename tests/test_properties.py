@@ -224,3 +224,55 @@ def test_minhash_signature_matches_python_replica(spark, texts):
             for i in range(MINHASH_PERMS)
         ]
         assert got[doc_id] == expected, doc_id
+
+
+@PROP
+@given(st.lists(_ASCII, min_size=1, max_size=8))
+def test_simhash_signature_matches_python_replica(spark, texts):
+    """The SimHash pipeline (per-occurrence token hash → 60 signed
+    bit-sums → sign threshold) is integer-exact vs a Python replica —
+    including the tf weighting (per-OCCURRENCE sums, not per-distinct-
+    token) and the strict s > 0 sign rule for zero-sum bits."""
+    from cs_5542_lab_6_spark.functions.text import token_hash60
+    from cs_5542_lab_6_spark.operators.dedup import SIMHASH_BITS
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.IntegerType()), T.StructField("text", T.StringType())]
+    )
+    df = spark.createDataFrame(list(enumerate(texts)), schema)
+    occ = (
+        df.filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", F.explode(words(F.lower(F.col("text")))).alias("token"))
+        .withColumn("x", token_hash60("token"))
+    )
+    bit_sums = occ.groupBy("doc_id").agg(
+        *[
+            F.sum(2 * F.expr(f"(x >> {b}) & 1") - 1).alias(f"s{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    sig = bit_sums.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long"))
+                .otherwise(F.lit(0).cast("long"))
+                for b in range(SIMHASH_BITS)
+            ],
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    got = {r["doc_id"]: r["simhash"] for r in sig.collect()}
+
+    for doc_id, t in enumerate(texts):
+        toks = _py_words(t.lower())
+        if not toks:
+            assert doc_id not in got
+            continue
+        sums = [0] * SIMHASH_BITS
+        for tok in toks:  # per occurrence — tf weighting folds in
+            x = _py_token_hash60(tok)
+            for b in range(SIMHASH_BITS):
+                sums[b] += 1 if (x >> b) & 1 else -1
+        expected = sum(1 << b for b in range(SIMHASH_BITS) if sums[b] > 0)
+        assert got[doc_id] == expected, doc_id
