@@ -191,11 +191,12 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    total = round(sum(timings.values()), 4)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 4),
+                "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "queries_detail": detail,
@@ -203,6 +204,29 @@ def main() -> None:
                 "setup": setup,
                 "scale_stress": scale,
                 "sf": sf_val,
+            }
+        )
+    )
+    # Second, compact line AFTER the full JSON (VERDICT r5 item 2): the
+    # round driver captures only the last ~2,000 chars of stdout, and the
+    # full line above is ~6 KB, so rounds were losing the headline value.
+    # This line keeps the headline total, setup, scale ratio, query count,
+    # and the 5 slowest medians in well under 1,500 chars so the driver's
+    # tail capture always contains a parseable summary.
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": slowest,
+                "n_queries": len(timings),
+                "runs_per_query": RUNS,
+                "setup": setup,
+                "scale_stress": scale,
+                "sf": sf_val,
+                "compact": True,
             }
         )
     )

@@ -47,15 +47,23 @@ def search_papers(
     """Tool 1 (tools.py:45-92): embed the question driver-side (M3),
     score every chunk JVM-side, top-k with deterministic tiebreak.
     Served from the materialized corpus when the warehouse is warm
-    (chunks_source — the reference's chunk-cache idiom, agent.py:44-63)."""
+    (chunks_source — the reference's chunk-cache idiom, agent.py:44-63).
+
+    Result keys are the reference tool contract (tools.py:80-85):
+    chunk_id, paper_id, title, section, text, score — the CHUNKS_V
+    shape the frontend renders, with title from the papers dim
+    (broadcast join; papers is the small side at any corpus scale)."""
     chunks = chunks_source(spark, sf_dir)
+    titles = papers_build(spark, sf_dir).select("paper_id", "title")
     qvec = F.array(*[F.lit(x) for x in embed_query(question)]).cast("array<float>")
     return (
-        chunks.select(
+        chunks.join(F.broadcast(titles), "paper_id")
+        .select(
             "chunk_id",
             "paper_id",
-            "section_name",
-            F.col("text_content"),
+            "title",
+            F.col("section_name").alias("section"),
+            F.col("text_content").alias("text"),
             cosine_score(F.col("embedding"), qvec).alias("score"),
         )
         .orderBy(F.desc("score"), F.asc("chunk_id"))
@@ -83,13 +91,16 @@ def search_knowledge_graph(
 def summarize_context(question: str, chunks: list[dict[str, Any]]) -> str:
     """Tool 4 (tools.py:224-273) with the LLM call replaced by the
     deterministic prompt-template renderer — identical context-block
-    assembly (``[i] Title | Section\\ntext``, tools.py:244-251), so the
-    engine-side contract is exercised without a network boundary."""
+    assembly (``[i] Title: {title} | Section: {section}\\n{text}``,
+    tools.py:244-251, over the tool contract's title/section/text
+    keys), so the engine-side contract is exercised without a network
+    boundary."""
     if not chunks:
         return f"Q: {question}\nNo relevant context retrieved."
     blocks = [
-        f"[{i + 1}] {c.get('paper_id', '?')} | {c.get('section_name', '?')}\n"
-        f"{str(c.get('text_content', ''))[:200]}"
+        f"[{i + 1}] Title: {c.get('title', 'Unknown')} | "
+        f"Section: {c.get('section', '')}\n"
+        f"{str(c.get('text', ''))[:200]}"
         for i, c in enumerate(chunks[:CITATION_CAP])
     ]
     context = "\n\n".join(blocks)
@@ -144,11 +155,18 @@ _ASP_QUESTION = "distributed join performance"
     "agent_search_papers",
     oracle=f"""
     WITH {_DEFAULT_CHUNKS_SQL},
-    {duck_embedding_cte()}
-    SELECT c.chunk_id, c.paper_id, c.section_name, c.text_content,
+    {duck_embedding_cte()},
+    papers AS (
+      SELECT 'doc_' || doc_id AS paper_id, 'Document ' || doc_id AS title
+      FROM documents
+    )
+    SELECT c.chunk_id, c.paper_id, p.title,
+           c.section_name AS section, c.text_content AS text,
            round(list_dot_product(e.embedding::DOUBLE[],
                                   {duck_qvec_sql(_ASP_QUESTION)}), 4) AS score
-    FROM chunks c JOIN emb e USING (chunk_id)
+    FROM chunks c
+    JOIN emb e USING (chunk_id)
+    JOIN papers p USING (paper_id)
     ORDER BY score DESC, c.chunk_id
     LIMIT 5
     """,

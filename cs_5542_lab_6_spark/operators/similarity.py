@@ -492,6 +492,11 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pts = pts.cache()
 
+    # try/finally cache hygiene (same idiom as dedup_clusters /
+    # kg_pagerank): the long-form points cache backs every iteration,
+    # the K-row result is eagerly cut so the cache is unreferenced, and
+    # the cache always drops on return.
+
     def assign(cent: DataFrame) -> DataFrame:
         d = (
             pts.join(F.broadcast(cent), "dim")
@@ -504,26 +509,30 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return best.select("vec_id", F.col("b.cluster").alias("cluster"), F.col("b.dist").alias("dist"))
 
-    cent = pts.filter(F.col("vec_id") < KMEANS_K).select(
-        F.col("vec_id").cast("int").alias("cluster"), "dim", F.col("val").alias("cval")
-    )
-    asg = assign(cent)
-    for _ in range(KMEANS_ITERS - 1):
-        cent = (
-            asg.join(pts, "vec_id")
-            .groupBy("cluster", "dim")
-            .agg(F.expr("sum(val) div count(*)").alias("cval"))
+    try:
+        cent = pts.filter(F.col("vec_id") < KMEANS_K).select(
+            F.col("vec_id").cast("int").alias("cluster"), "dim", F.col("val").alias("cval")
         )
         asg = assign(cent)
+        for _ in range(KMEANS_ITERS - 1):
+            cent = (
+                asg.join(pts, "vec_id")
+                .groupBy("cluster", "dim")
+                .agg(F.expr("sum(val) div count(*)").alias("cval"))
+            )
+            asg = assign(cent)
 
-    out = (
-        asg.groupBy("cluster")
-        .agg(
-            F.count("*").alias("n_points"),
-            F.sum("dist").cast("long").alias("inertia"),
-            F.min("vec_id").cast("long").alias("min_vec_id"),
-            F.max("vec_id").cast("long").alias("max_vec_id"),
+        out = (
+            asg.groupBy("cluster")
+            .agg(
+                F.count("*").alias("n_points"),
+                F.sum("dist").cast("long").alias("inertia"),
+                F.min("vec_id").cast("long").alias("min_vec_id"),
+                F.max("vec_id").cast("long").alias("max_vec_id"),
+            )
+            .orderBy("cluster")
         )
-        .orderBy("cluster")
-    )
-    return out
+        # eager cut: KMEANS_K rows, bounded regardless of corpus size
+        return out.localCheckpoint(eager=True)
+    finally:
+        pts.unpersist()

@@ -37,93 +37,80 @@ _REGISTRY: dict[str, Q] = {}
 # Driver-facing registration order. The correctness harness evaluates a
 # bounded prefix of ``queries()`` (50 entries), so ordering IS the
 # verification budget. The window ROTATES across rounds (VERDICT r4
-# item 4): rounds 1-4 checked the reference-parity corpus/agent/SQL
-# surface plus one representative per extended family; round 5 rotates
-# in every family that has never had a driver CORRECTNESS row — the
-# ranking/split/quality/maintenance queries and the real Structured
-# Streaming (`stream_*`) variants — and rotates out queries that were
-# driver-green in multiple prior rounds. Rotated-out queries stay
-# verified every session by tests/test_oracle_parity.py (same
-# rows+schema+value-hash check over all registered oracles). Everything
-# not listed keeps module registration order after the listed prefix.
-#
-# Round-6 rotation candidates (registered in round 5, never yet in a
-# driver window): the decorrelated-subquery family
-# (small_quantity_part_revenue, large_order_customers,
-# national_supplier_share, top_supplier_revenue,
-# quiet_wealthy_customers), the provenance family
-# (source_quality_profile, source_blocklist_filter,
-# source_overlap_matrix), nation_trade_flows, kg_triangle_stats,
-# customer_order_value_extremes, user_click_purchase_cogroup.
+# item 4; VERDICT r5 item 1): rounds 1-4 checked the reference-parity
+# corpus/agent/SQL surface; round 5 rotated in streaming/ranking/
+# quality/maintenance; round 6 rotates in EVERY query that has never
+# had a driver CORRECTNESS row (the 35 remaining: decorrelated
+# subqueries, provenance, mixing, graph analytics, retention/anomaly,
+# cogroup, k-means, stragglers) plus 15 regression guards spanning the
+# families that carried fixes in rounds 4-5. After r6, every registered
+# query has appeared green in some round's driver file. Rotated-out
+# queries stay verified every session by tests/test_oracle_parity.py
+# (same rows+schema+value-hash check over all registered oracles).
+# Everything not listed keeps module registration order after the
+# listed prefix.
 _PRIORITY: tuple[str, ...] = (
-    # Corpus pipeline core (kept: the multi-stage derivations; the pure
-    # scans/views that were green rounds 1-4 rotated out)
-    "chunks_build",
-    "chunk_vector_topk",
-    "kg_map_build",
-    "kg_nodes_build",
-    "kg_edges_build",
-    "kg_neighborhood",
-    "kg_two_hop",
-    "corpus_delete_cascade",  # rotated in: MERGE-style cascade delete
-    "agent_search_papers",
-    # Streaming window semantics, batch-twin form (§2.10) — all six kept:
-    # red in r4 on the fixture-drift bug, the driver file must show the
-    # fix green
-    "events_tumbling_daily",
-    "events_sliding_2d",
-    "events_session_windows",
-    "eval_metrics_log",
-    "events_asof_last_click",
-    "events_range_pairs",
-    # Real Structured Streaming variants (§2.10) — rotated in: never had
-    # a driver row; each runs readStream → windowed agg / stateful op /
-    # stream-stream join to completion under availableNow
-    "stream_tumbling_daily",
-    "stream_tumbling_daily_append",
-    "stream_dedup_events",
-    "stream_session_windows",
-    "stream_user_stats_stateful",
-    "stream_click_purchase_join",
-    # Flagship retrieval + ranking (M5/S6; BM25/split rotated in)
-    "vector_topk",
-    "hybrid_rrf_topk",
-    "bm25_doc_topk",
-    "doc_train_test_split",
-    # Deduplication family representatives
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_clusters",
-    "contamination_scan",
-    # Similarity search family
-    "ann_brute_force_topk",
-    "ann_ivf_topk",
-    "embedding_quantize_int8",  # rotated in
-    # Text analysis / quality pipeline (funnel/PII/repetition rotated in)
-    "doc_quality_scores",
-    "doc_quality_filter_funnel",
-    "doc_pii_scrub",
-    "doc_repetition_stats",
-    # Multimodal family
-    "multimodal_metadata",
-    "multimodal_decode_features",
-    "multimodal_frame_sample",
-    # Skew / approximate aggregation (orders_approx_stats sits outside
-    # the window — rows-only sketch, pinned by its unit test instead)
-    "events_salted_type_stats",
-    # Semi-structured
-    "events_props_map",
-    "lineitem_unpivot_metrics",
-    # Relational maintenance (rotated in: upsert + checksum audit)
-    "orders_merge_upsert",
-    "table_keyset_checksums",
-    # Extended joins / sets / windows representatives
-    "events_conversion_funnel",  # rotated in
-    "supplier_weekly_moving_avg",  # rotated in
-    "segment_nation_setops",
-    "top3_orders_per_customer",
-    "customer_balance_distribution",
-    "nation_order_stats",
+    # --- Never-driver-checked until round 6 (35 queries) ---
+    # Decorrelated-subquery family (§2: correlated scalar/EXISTS/IN
+    # rewritten as joins + pre-aggregations)
+    "small_quantity_part_revenue",
+    "large_order_customers",
+    "national_supplier_share",
+    "top_supplier_revenue",
+    "quiet_wealthy_customers",
+    "customer_order_presence",
+    "order_priority_exists_counts",
+    "customer_order_count_histogram",
+    "promo_revenue_share",
+    "discounted_bulk_revenue",
+    "nation_trade_flows",
+    "returned_item_customers",
+    "nation_price_medians",
+    # Source provenance family
+    "source_quality_profile",
+    "source_blocklist_filter",
+    "source_overlap_matrix",
+    "corpus_datasheet",
+    # Data mixing / sampling family
+    "corpus_stratified_sample",
+    "corpus_mixture_plan",
+    "doc_sequence_packing",
+    "doc_token_familiarity",
+    "corpus_weighted_sample",
+    # Graph analytics + clustering
+    "kg_pagerank",
+    "kg_triangle_stats",
+    "embedding_kmeans",
+    # Dedup extensions
+    "dedup_incremental",
+    "contamination_purge_counts",
+    # Event analytics
+    "events_retention_cohorts",
+    "events_daily_anomaly",
+    # Cogrouped merge + streaming straggler
+    "user_click_purchase_cogroup",
+    "stream_user_enriched_counts",
+    # Text / window / agent stragglers
+    "language_id_confusion",
+    "customer_order_value_extremes",
+    "chunk_windows_demo",
+    "agent_paper_details",
+    # --- Regression guards (15): one per family that carried a fix ---
+    "chunks_build",            # corpus chunker (pure-Catalyst UDTF twin)
+    "kg_edges_build",          # co-occurrence self-join
+    "kg_two_hop",              # frontier-below-aggregation fix (r2)
+    "vector_topk",             # flagship retrieval
+    "bm25_doc_topk",           # ranking family
+    "dedup_minhash_lsh",       # LSH banding
+    "dedup_clusters",          # iterative label propagation
+    "ann_ivf_topk",            # similarity family
+    "doc_quality_filter_funnel",  # quality pipeline
+    "multimodal_decode_features",  # multimodal family
+    "orders_merge_upsert",     # warehouse lifecycle
+    "eval_metrics_log",        # JSON sink (red in r4, fixed r5)
+    "events_session_windows",  # sessionization
+    "stream_tumbling_daily",   # real Structured Streaming
+    "stream_user_stats_stateful",  # applyInPandasWithState
 )
 
 

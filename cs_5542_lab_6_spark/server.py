@@ -31,6 +31,108 @@ from .pipeline.corpus import papers_build
 
 WSGIApp = Callable[[dict, Callable], list[bytes]]
 
+# Browser chat UI (reference frontend/app.py:40-106, Streamlit): chat
+# history render, assistant answers with a collapsible "View Citations &
+# Tools Used" expander listing "[i] title (Score: x.xxx)", section,
+# chunk/paper ids and the first 200 chars of each cited chunk, plus a
+# reset control. Re-expressed as a single static HTML+JS page calling
+# the existing JSON API (POST /query, POST /reset) — no framework, no
+# build step, served by the same WSGI app. The Snowflake-MFA sidebar
+# has no analogue here (the engine needs no credentials), matching the
+# deliberate exclusion of live-connection surface.
+_UI_HTML = """<!DOCTYPE html>
+<html>
+<head>
+<meta charset="utf-8">
+<title>Research Assistant</title>
+<style>
+  body { font-family: sans-serif; max-width: 860px; margin: 2rem auto; }
+  #messages { min-height: 200px; }
+  .msg-user { background: #eef; padding: .5rem 1rem; margin: .5rem 0;
+              border-radius: 8px; }
+  .msg-assistant { background: #f6f6f6; padding: .5rem 1rem;
+                   margin: .5rem 0; border-radius: 8px; }
+  details { margin-top: .5rem; }
+  blockquote { color: #555; border-left: 3px solid #ccc;
+               margin: .25rem 0 .75rem; padding-left: .75rem; }
+  #ask-form { display: flex; gap: .5rem; margin-top: 1rem; }
+  #question { flex: 1; padding: .5rem; }
+</style>
+</head>
+<body>
+<h1>Research Assistant &#129516;</h1>
+<p>Welcome to your personalized research assistant powered by
+<b>Spark</b> and <b>Knowledge Graphs</b>.</p>
+<div id="messages"></div>
+<form id="ask-form">
+  <input id="question" type="text" autocomplete="off"
+         placeholder="Ask a question about your research papers...">
+  <button type="submit">Ask</button>
+  <button type="button" id="reset">Reset</button>
+</form>
+<script>
+const messages = document.getElementById('messages');
+function esc(s) {
+  return String(s).replace(/[&<>"]/g,
+    c => ({'&':'&amp;','<':'&lt;','>':'&gt;','"':'&quot;'}[c]));
+}
+function addUser(text) {
+  const d = document.createElement('div');
+  d.className = 'msg-user';
+  d.textContent = text;
+  messages.appendChild(d);
+}
+function addAssistant(r) {
+  const d = document.createElement('div');
+  d.className = 'msg-assistant';
+  let html = '<p>' + esc(r.answer) + '</p>';
+  if (r.citations && r.citations.length) {
+    html += '<details><summary>View Citations &amp; Tools Used</summary>';
+    if (r.tools_used && r.tools_used.length) {
+      html += '<p><b>Tools Used:</b> ' + esc(r.tools_used.join(', ')) + '</p>';
+    }
+    r.citations.forEach((c, i) => {
+      const score = Number(c.score || 0).toFixed(3);
+      html += '<p><b>[' + (i + 1) + '] ' + esc(c.title || 'Unknown') +
+              '</b> (Score: ' + score + ')</p>' +
+              '<ul><li><b>Section</b>: ' + esc(c.section || '') + '</li>' +
+              '<li><b>Chunk ID</b>: <code>' + esc(c.chunk_id || 'N/A') +
+              '</code>, <b>Paper ID</b>: <code>' + esc(c.paper_id || 'N/A') +
+              '</code></li></ul>' +
+              '<blockquote>' + esc(String(c.text || '').slice(0, 200)) +
+              '...</blockquote>';
+    });
+    html += '</details>';
+  }
+  d.innerHTML = html;
+  messages.appendChild(d);
+}
+document.getElementById('ask-form').addEventListener('submit', async e => {
+  e.preventDefault();
+  const q = document.getElementById('question').value.trim();
+  if (!q) return;
+  addUser(q);
+  document.getElementById('question').value = '';
+  try {
+    const resp = await fetch('/query', {
+      method: 'POST',
+      headers: {'Content-Type': 'application/json'},
+      body: JSON.stringify({question: q}),
+    });
+    addAssistant(await resp.json());
+  } catch (err) {
+    addAssistant({answer: 'An error occurred: ' + err, citations: []});
+  }
+});
+document.getElementById('reset').addEventListener('click', async () => {
+  await fetch('/reset', {method: 'POST'});
+  messages.innerHTML = '';
+});
+</script>
+</body>
+</html>
+"""
+
 
 def save_to_history(
     history_path: str, query_text: str, answer: str, citations: list
@@ -148,9 +250,47 @@ def create_app(
                 {"status": "success", "message": "Agent history cleared."},
             )
 
+        if method == "GET" and path == "/ui":
+            body = _UI_HTML.encode("utf-8")
+            start_response(
+                "200 OK",
+                [
+                    ("Content-Type", "text/html; charset=utf-8"),
+                    ("Content-Length", str(len(body))),
+                ],
+            )
+            return [body]
+
         if method == "GET" and path == "/papers":
-            # backend/app.py:122-136: SELECT * FROM RAW.PAPERS, all rows
-            rows = [r.asDict() for r in papers_build(spark, sf_dir).collect()]
+            # backend/app.py:122-136: SELECT * FROM RAW.PAPERS — the
+            # reference dumps every row; with no params this does the
+            # same. limit/offset query params page the scan instead
+            # (VERDICT r5 item 7): at scale a full-table collect through
+            # the driver is the wrong default for an HTTP endpoint, so
+            # pagination pushes a deterministic order + offset window
+            # into the engine and collects only the page.
+            params = dict(
+                p.split("=", 1)
+                for p in environ.get("QUERY_STRING", "").split("&")
+                if "=" in p
+            )
+            papers = papers_build(spark, sf_dir)
+            try:
+                limit = int(params["limit"]) if "limit" in params else None
+                offset = int(params.get("offset", 0))
+            except ValueError:
+                return _json(
+                    start_response,
+                    "400 Bad Request",
+                    {"error": "limit/offset must be integers"},
+                )
+            if limit is not None or offset:
+                papers = papers.orderBy("paper_id")
+                if offset:
+                    papers = papers.offset(offset)
+                if limit is not None:
+                    papers = papers.limit(limit)
+            rows = [r.asDict() for r in papers.collect()]
             return _json(start_response, "200 OK", rows)
 
         return _json(start_response, "404 Not Found", {"error": f"no route {path}"})

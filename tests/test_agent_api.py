@@ -35,15 +35,16 @@ def test_search_papers_tool(spark, sf_dir):
 
 def test_summarize_context_deterministic():
     chunks = [
-        {"chunk_id": "c1", "paper_id": "doc_1", "section_name": "body",
-         "text_content": "alpha " * 50, "score": 0.91},
-        {"chunk_id": "c2", "paper_id": "doc_2", "section_name": "abstract",
-         "text_content": "beta", "score": 0.44},
+        {"chunk_id": "c1", "paper_id": "doc_1", "title": "Document 1",
+         "section": "body", "text": "alpha " * 50, "score": 0.91},
+        {"chunk_id": "c2", "paper_id": "doc_2", "title": "Document 2",
+         "section": "abstract", "text": "beta", "score": 0.44},
     ]
     a = summarize_context("what is alpha?", chunks)
     b = summarize_context("what is alpha?", chunks)
     assert a == b
-    assert "[1] doc_1 | body" in a
+    # reference context-block format (tools.py:249)
+    assert "[1] Title: Document 1 | Section: body" in a
     assert "score=0.91" in a
     assert summarize_context("q", []).endswith("No relevant context retrieved.")
 

@@ -11,46 +11,55 @@ from cs_5542_lab_6_spark.registry import all_oracles, all_queries
 
 DRIVER_WINDOW = 50
 
-# The window rotates across rounds (VERDICT r4 item 4) so every family
-# gets a driver CORRECTNESS row at least once; rotated-out queries stay
-# verified by test_oracle_parity.py. What must ALWAYS sit inside the
-# checked prefix: the corpus derivation core, the flagship retrieval
-# query, and everything that was red in the previous round (the driver
-# file has to show the fix green).
+# The window rotates across rounds (VERDICT r4 item 4; r5 item 1) so
+# every family gets a driver CORRECTNESS row at least once; rotated-out
+# queries stay verified by test_oracle_parity.py. Round 6's contract:
+# every query that had never appeared in a driver CORRECTNESS file
+# (rounds 1-5) must sit inside the checked prefix, closing the
+# "89/118 ever driver-checked" gap, plus a regression-guard core.
 REFERENCE_PARITY = [
+    # never driver-checked in rounds 1-5 (VERDICT r5 item 1 list)
+    "small_quantity_part_revenue",
+    "large_order_customers",
+    "national_supplier_share",
+    "top_supplier_revenue",
+    "quiet_wealthy_customers",
+    "customer_order_presence",
+    "order_priority_exists_counts",
+    "customer_order_count_histogram",
+    "promo_revenue_share",
+    "discounted_bulk_revenue",
+    "nation_trade_flows",
+    "returned_item_customers",
+    "nation_price_medians",
+    "source_quality_profile",
+    "source_blocklist_filter",
+    "source_overlap_matrix",
+    "corpus_datasheet",
+    "corpus_stratified_sample",
+    "corpus_mixture_plan",
+    "doc_sequence_packing",
+    "doc_token_familiarity",
+    "corpus_weighted_sample",
+    "kg_pagerank",
+    "kg_triangle_stats",
+    "embedding_kmeans",
+    "dedup_incremental",
+    "contamination_purge_counts",
+    "events_retention_cohorts",
+    "events_daily_anomaly",
+    "user_click_purchase_cogroup",
+    "stream_user_enriched_counts",
+    "language_id_confusion",
+    "customer_order_value_extremes",
+    "chunk_windows_demo",
+    "agent_paper_details",
+    # regression guards that must stay in every window
     "chunks_build",
-    "chunk_vector_topk",
-    "kg_map_build",
-    "kg_nodes_build",
     "kg_edges_build",
-    "kg_neighborhood",
-    "agent_search_papers",
     "vector_topk",
-    # red in r4 (fixture-drift) — must appear green in r5's driver file
-    "events_tumbling_daily",
-    "events_sliding_2d",
-    "events_session_windows",
     "eval_metrics_log",
-    "events_asof_last_click",
-    "events_range_pairs",
-    # never driver-checked before round 5 (VERDICT r4 item 4 list)
-    "bm25_doc_topk",
-    "doc_train_test_split",
-    "doc_quality_filter_funnel",
-    "doc_pii_scrub",
-    "doc_repetition_stats",
-    "orders_merge_upsert",
-    "table_keyset_checksums",
-    "embedding_quantize_int8",
-    "events_conversion_funnel",
-    "supplier_weekly_moving_avg",
-    "corpus_delete_cascade",
     "stream_tumbling_daily",
-    "stream_tumbling_daily_append",
-    "stream_dedup_events",
-    "stream_session_windows",
-    "stream_user_stats_stateful",
-    "stream_click_purchase_join",
 ]
 
 

@@ -19,11 +19,13 @@ class Client:
     def __init__(self, app):
         self.app = app
 
-    def request(self, method: str, path: str, body: dict | None = None):
+    def request_raw(self, method: str, path: str, body: dict | None = None):
         raw = json.dumps(body).encode() if body is not None else b""
+        path, _, qs = path.partition("?")
         environ = {
             "REQUEST_METHOD": method,
             "PATH_INFO": path,
+            "QUERY_STRING": qs,
             "CONTENT_LENGTH": str(len(raw)),
             "wsgi.input": io.BytesIO(raw),
         }
@@ -34,8 +36,11 @@ class Client:
             captured["headers"] = dict(headers)
 
         chunks = self.app(environ, start_response)
-        payload = json.loads(b"".join(chunks).decode())
-        return captured["status"], payload
+        return captured["status"], captured["headers"], b"".join(chunks)
+
+    def request(self, method: str, path: str, body: dict | None = None):
+        status, _, raw = self.request_raw(method, path, body)
+        return status, json.loads(raw.decode())
 
 
 @pytest.fixture(scope="module")
@@ -119,6 +124,66 @@ def test_papers_dumps_all_rows(client, spark, sf_dir):
     assert status == 200
     assert len(rows) == papers_build(spark, sf_dir).count()
     assert {"paper_id", "title"} <= set(rows[0])
+
+
+def test_papers_pagination(client, spark, sf_dir):
+    """limit/offset page the papers dump deterministically (VERDICT r5
+    item 7): pages are disjoint, ordered by paper_id, cover the table,
+    and bad params are a 400 — while the param-less call keeps the
+    reference's full-dump behavior."""
+    from cs_5542_lab_6_spark.pipeline.corpus import papers_build
+
+    c, _, _ = client
+    total = papers_build(spark, sf_dir).count()
+    status, page1 = c.request("GET", "/papers?limit=3&offset=0")
+    assert status == 200 and len(page1) == 3
+    status, page2 = c.request("GET", "/papers?limit=3&offset=3")
+    assert status == 200 and len(page2) == 3
+    ids1 = [r["paper_id"] for r in page1]
+    ids2 = [r["paper_id"] for r in page2]
+    assert ids1 == sorted(ids1) and ids2 == sorted(ids2)
+    assert not set(ids1) & set(ids2)
+    assert ids1[-1] < ids2[0]
+    # tail page past the end is the remainder; offset beyond is empty
+    status, tail = c.request("GET", f"/papers?limit=10&offset={total - 2}")
+    assert status == 200 and len(tail) == 2
+    status, empty = c.request("GET", f"/papers?offset={total}")
+    assert status == 200 and empty == []
+    status, body = c.request("GET", "/papers?limit=abc")
+    assert status == 400 and "error" in body
+
+
+def test_ui_page_serves_chat_contract(client):
+    """GET /ui returns the browser chat page (reference
+    frontend/app.py:40-106 surface): HTML that posts the page's question
+    to /query as {"question": ...}, renders the answer plus a citations
+    expander with the reference's fields, and wires the reset control to
+    POST /reset. The test then POSTs a query following the page's JS
+    contract and asserts the response carries every field the page
+    renders."""
+    c, _, _ = client
+    status, headers, raw = c.request_raw("GET", "/ui")
+    page = raw.decode("utf-8")
+    assert status == 200
+    assert headers["Content-Type"].startswith("text/html")
+    # the JS contract the page ships
+    assert "fetch('/query'" in page
+    assert "JSON.stringify({question: q})" in page
+    assert "fetch('/reset'" in page
+    assert "View Citations &amp; Tools Used" in page
+    for field in ("r.answer", "r.citations", "r.tools_used",
+                  "c.title", "c.section", "c.score", "c.chunk_id",
+                  "c.paper_id", "c.text"):
+        assert field in page, f"UI page no longer renders {field}"
+    # follow the page's own contract end-to-end
+    status, body = c.request(
+        "POST", "/query", {"question": "graph neural networks"}
+    )
+    assert status == 200
+    assert body["answer"]
+    assert body["citations"]
+    for cit in body["citations"]:
+        assert {"title", "section", "score", "chunk_id", "paper_id", "text"} <= set(cit)
 
 
 def test_unknown_route_404(client):
