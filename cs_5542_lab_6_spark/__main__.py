@@ -19,9 +19,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
-DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+# Resolve the default data directory from the environment (the same
+# variable bench.py honors) so the CLI is portable; the literal is only
+# the last-resort fallback for this test environment (ADVICE r5).
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
 
 
 def _build_parser() -> argparse.ArgumentParser:

@@ -74,12 +74,20 @@ def source_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "source_blocklist_filter",
+    # NOT EXISTS, not NOT IN: Spark's left-anti join KEEPS a row whose
+    # source is NULL (no match found), while SQL NOT IN drops it
+    # (NULL makes the predicate UNKNOWN). NOT EXISTS shares anti-join
+    # NULL semantics, so both engines agree even if documents.source is
+    # ever NULL (ADVICE r5).
     oracle=f"""
     SELECT lang,
            COUNT(*) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS total_chars
-    FROM documents
-    WHERE source NOT IN {BLOCKLIST!r}
+    FROM documents d
+    WHERE NOT EXISTS (
+        SELECT 1 FROM (SELECT UNNEST({list(BLOCKLIST)!r}) AS source) b
+        WHERE b.source = d.source
+    )
     GROUP BY lang
     ORDER BY lang
     """,

@@ -23,6 +23,7 @@ memory sink for a parquet/foreachBatch sink — no plan changes.
 from __future__ import annotations
 
 import itertools
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -447,11 +448,35 @@ def write_metrics_stream_idempotent(spark: SparkSession, sf_dir: str, out_dir: s
     At scale this is the same pattern as Delta/Iceberg's txn-id dedup,
     expressed on plain parquet: per-batch atomicity via directory
     overwrite + idempotence via deterministic batch keys.
+
+    Precondition (ADVICE r5): per-batch_id overwrite is exactly-once
+    only while batch boundaries are deterministic across replays. If a
+    replay re-batches the source differently (changed
+    ``maxFilesPerTrigger``, rewritten source layout), old high-numbered
+    ``batch_id=N`` partitions would survive as duplicates — so on the
+    FIRST batch of every (re)start we drop every on-disk partition with
+    id >= that batch id before writing. Replays with identical batching
+    rewrite identical bytes; replays with coarser batching clean their
+    stale tail. (Local-FS rmtree here; on an object store the same
+    sweep is one prefix listing + delete.)
     """
+    import re
+    import shutil
+
     ev = stream_events(spark, sf_dir)
     batches: list[int] = []
 
+    def _drop_stale_partitions(first_replayed_id: int) -> None:
+        if not os.path.isdir(out_dir):
+            return
+        for name in os.listdir(out_dir):
+            m = re.fullmatch(r"batch_id=(\d+)", name)
+            if m and int(m.group(1)) >= first_replayed_id:
+                shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
+
     def _log_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batches:  # first batch after (re)start
+            _drop_stale_partitions(batch_id)
         (
             batch_df.groupBy("event_type")
             .agg(F.count("*").alias("n_events"), _dsum("value", "total_value"))

@@ -65,3 +65,37 @@ def test_idempotent_foreach_batch_survives_replay(spark, sf_dir, tmp_path):
         tuple(r) for r in spark.read.parquet(out).drop("batch_id").collect()
     )
     assert second == first  # no duplicated rows, no drift
+
+
+def test_idempotent_sink_drops_stale_batch_tail(spark, sf_dir, tmp_path):
+    """Coarser-rebatching replay (ADVICE r5): if an earlier run left
+    HIGHER-numbered batch_id partitions than the replay produces (e.g.
+    maxFilesPerTrigger changed), the first replayed batch must sweep
+    the stale tail — otherwise those partitions survive as duplicates
+    that no overwrite ever touches."""
+    import os
+    import shutil
+
+    from cs_5542_lab_6_spark.streaming.stream import write_metrics_stream_idempotent
+
+    out = str(tmp_path / "metrics")
+    write_metrics_stream_idempotent(spark, sf_dir, out)
+    clean = sorted(
+        tuple(r) for r in spark.read.parquet(out).drop("batch_id").collect()
+    )
+
+    # plant a stale high-numbered partition, as a prior finer-grained
+    # run would have left behind
+    stale = os.path.join(out, "batch_id=999")
+    src = next(
+        os.path.join(out, d) for d in os.listdir(out) if d.startswith("batch_id=")
+    )
+    shutil.copytree(src, stale)
+    shutil.rmtree(out + "/_checkpoint")
+
+    write_metrics_stream_idempotent(spark, sf_dir, out)
+    assert not os.path.exists(stale)
+    after = sorted(
+        tuple(r) for r in spark.read.parquet(out).drop("batch_id").collect()
+    )
+    assert after == clean
