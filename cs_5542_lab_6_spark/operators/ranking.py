@@ -110,6 +110,15 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, score, n_terms_hit) — raw BM25 totals for every document
     matching ≥1 query term (shared by bm25_doc_topk and hybrid_rrf_topk)."""
     docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    return bm25_totals(bm25_scored_terms(spark, docs, BM25_QUERY_TERMS))
+
+
+def bm25_scored_terms(
+    spark: SparkSession, docs: DataFrame, query_terms: tuple[str, ...]
+) -> DataFrame:
+    """Per-(doc_id, term) BM25 contributions ``s`` for any (doc_id, text)
+    frame — the injectable core behind ``_bm25_scored``, also driven
+    directly by the Hypothesis replica suite (tests/test_properties.py)."""
     toks = docs.select(
         "doc_id", F.explode(words(F.lower(F.col("text")))).alias("token")
     )
@@ -118,7 +127,7 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"), F.avg(F.col("dl").cast("double")).alias("avgdl")
     )
     qterms = spark.createDataFrame(
-        [(t,) for t in sorted(BM25_QUERY_TERMS)], "term string"
+        [(t,) for t in sorted(set(query_terms))], "term string"
     )
     tf = (
         toks.join(F.broadcast(qterms), toks.token == qterms.term)
@@ -132,7 +141,7 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     denom = F.col("tf") + BM25_K1 * (
         1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
     )
-    scored = (
+    return (
         tf.join(F.broadcast(df_), "term")
         .join(doclen, "doc_id")
         .crossJoin(F.broadcast(stats))
@@ -142,8 +151,14 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
             (idf * (F.col("tf") * (BM25_K1 + 1.0)) / denom).alias("s"),
         )
     )
-    # sum per-term contributions in term order (sorted struct array fold)
-    # so the floating-point total matches the oracle's ordered SUM exactly
+
+
+def bm25_totals(scored: DataFrame) -> DataFrame:
+    """Ordered per-doc fold of the per-term contributions.
+
+    Per-term scores are summed in TERM order (sorted struct array fold),
+    so the floating-point total matches the oracle's ``SUM(s ORDER BY
+    term)`` bit-for-bit regardless of partitioning."""
     return (
         scored.groupBy("doc_id")
         .agg(

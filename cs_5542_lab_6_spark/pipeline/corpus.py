@@ -1192,6 +1192,37 @@ def _duck_pr_iter(prev: str, contrib: str, out: str) -> str:
 """
 
 
+def pagerank_fixed_point(
+    adj: DataFrame, nodes: DataFrame, iters: int
+) -> tuple[DataFrame, DataFrame]:
+    """The fixed-point PageRank iteration core: ``iters`` rounds of
+    integer rank propagation over an (src, dst) adjacency, every node in
+    ``nodes`` seeded at PR_SCALE. Returns (ranks, deg). All arithmetic
+    is integer (truncating ``div`` on non-negatives == DuckDB ``//`` ==
+    Python ``//``), so any engine replaying the same recurrence is
+    bit-identical — property-tested against a pure-Python replica in
+    tests/test_properties.py."""
+    deg = adj.groupBy("src").agg(F.count("*").alias("deg"))
+    ranks = nodes.withColumn("rank", F.lit(PR_SCALE).cast("long"))
+    for _ in range(iters):
+        contrib = (
+            adj.join(ranks.withColumnRenamed("node_id", "src"), "src")
+            .join(deg, "src")
+            .select("dst", F.expr("rank div deg").alias("part"))
+            .groupBy("dst")
+            .agg(F.sum("part").alias("s"))
+            .withColumnRenamed("dst", "node_id")
+        )
+        ranks = nodes.join(contrib, "node_id", "left").select(
+            "node_id",
+            (
+                F.lit(_PR_BASE)
+                + F.expr("(85 * coalesce(s, 0L)) div 100")
+            ).cast("long").alias("rank"),
+        )
+    return ranks, deg
+
+
 @query(
     "kg_pagerank",
     oracle=f"""
@@ -1277,24 +1308,7 @@ def kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and the cache is ALWAYS dropped before return — repeated calls in a
     # long-lived server/agent session can't accumulate pinned blocks.
     try:
-        deg = adj.groupBy("src").agg(F.count("*").alias("deg"))
-        ranks = nodes.withColumn("rank", F.lit(PR_SCALE).cast("long"))
-        for _ in range(PR_ITERS):
-            contrib = (
-                adj.join(ranks.withColumnRenamed("node_id", "src"), "src")
-                .join(deg, "src")
-                .select("dst", F.expr("rank div deg").alias("part"))
-                .groupBy("dst")
-                .agg(F.sum("part").alias("s"))
-                .withColumnRenamed("dst", "node_id")
-            )
-            ranks = nodes.join(contrib, "node_id", "left").select(
-                "node_id",
-                (
-                    F.lit(_PR_BASE)
-                    + F.expr(f"(85 * coalesce(s, 0L)) div 100")
-                ).cast("long").alias("rank"),
-            )
+        ranks, deg = pagerank_fixed_point(adj, nodes, PR_ITERS)
         result = (
             ranks.join(deg.withColumnRenamed("src", "node_id"), "node_id", "left")
             .select(

@@ -24,6 +24,8 @@ shuffle.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -85,3 +87,16 @@ def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
         F.col(CORRUPT_COL).alias("raw_record")
     )
     return clean, quarantine
+
+
+@contextmanager
+def corrupt_split(df: DataFrame):
+    """Scoped ``split_corrupt``: yields (clean, quarantine) and ALWAYS
+    unpersists the backing cache on exit, so ingest jobs in a long-lived
+    session leave the cache ledger untouched (the r5 cache-hygiene
+    contract). Consume or checkpoint both forks inside the block."""
+    clean, quarantine = split_corrupt(df)
+    try:
+        yield clean, quarantine
+    finally:
+        df.unpersist()

@@ -8,9 +8,9 @@ from pyspark.sql import types as T
 
 from cs_5542_lab_6_spark.sources.files import (
     CORRUPT_COL,
+    corrupt_split,
     read_csv,
     read_jsonl,
-    split_corrupt,
 )
 
 DOC_SCHEMA = T.StructType(
@@ -38,16 +38,20 @@ not-a-number,broken type,en
 """
 
 
+def _n_cached(spark) -> int:
+    return spark._jsparkSession.sharedState().cacheManager().cachedData().size()
+
+
 def test_jsonl_quarantines_corrupt_rows(spark, tmp_path):
     p = tmp_path / "docs.jsonl"
     p.write_text(JSONL)
     df = read_jsonl(spark, str(p), DOC_SCHEMA)
     assert CORRUPT_COL in df.columns
-    clean, quarantine = split_corrupt(df)
-    clean_rows = {r["doc_id"] for r in clean.collect()}
-    assert clean_rows == {1, 2, 5}
-    assert CORRUPT_COL not in clean.columns
-    bad = [r["raw_record"] for r in quarantine.collect()]
+    with corrupt_split(df) as (clean, quarantine):
+        clean_rows = {r["doc_id"] for r in clean.collect()}
+        assert clean_rows == {1, 2, 5}
+        assert CORRUPT_COL not in clean.columns
+        bad = [r["raw_record"] for r in quarantine.collect()]
     assert len(bad) == 2  # the non-JSON line and the type-mismatch line
     assert any("not json at all" in b for b in bad)
     assert any("not-a-number" in b for b in bad)
@@ -65,9 +69,9 @@ def test_jsonl_declared_schema_is_used_not_inferred(spark, tmp_path):
 def test_csv_quarantines_type_mismatch(spark, tmp_path):
     p = tmp_path / "docs.csv"
     p.write_text(CSV)
-    clean, quarantine = split_corrupt(read_csv(spark, str(p), DOC_SCHEMA))
-    assert {r["doc_id"] for r in clean.collect()} == {1, 2, 5}
-    bad = [r["raw_record"] for r in quarantine.collect()]
+    with corrupt_split(read_csv(spark, str(p), DOC_SCHEMA)) as (clean, quarantine):
+        assert {r["doc_id"] for r in clean.collect()} == {1, 2, 5}
+        bad = [r["raw_record"] for r in quarantine.collect()]
     assert len(bad) == 1 and "not-a-number" in bad[0]
 
 
@@ -75,9 +79,25 @@ def test_clean_side_roundtrips_to_table(spark, tmp_path):
     """The clean fork is a normal relation: write parquet, reread, agg."""
     p = tmp_path / "docs3.jsonl"
     p.write_text(JSONL)
-    clean, _ = split_corrupt(read_jsonl(spark, str(p), DOC_SCHEMA))
-    out = str(tmp_path / "clean.parquet")
-    clean.write.mode("overwrite").parquet(out)
+    with corrupt_split(read_jsonl(spark, str(p), DOC_SCHEMA)) as (clean, _):
+        out = str(tmp_path / "clean.parquet")
+        clean.write.mode("overwrite").parquet(out)
     again = spark.read.parquet(out)
     assert again.count() == 3
     assert again.groupBy("lang").count().count() == 3
+
+
+def test_corrupt_split_releases_its_cache(spark, tmp_path):
+    """The scoped fork leaves the SQL cache ledger exactly as it found
+    it — the r5 cache-hygiene contract applied to ingestion (the parsed
+    relation MUST be cached while in scope: Spark rejects corrupt-only
+    queries on an uncached raw scan, and the two forks would otherwise
+    parse the raw bytes twice)."""
+    p = tmp_path / "docs4.jsonl"
+    p.write_text(JSONL)
+    before = _n_cached(spark)
+    with corrupt_split(read_jsonl(spark, str(p), DOC_SCHEMA)) as (clean, quarantine):
+        assert clean.count() == 3
+        assert quarantine.count() == 2
+        assert _n_cached(spark) == before + 1
+    assert _n_cached(spark) == before
