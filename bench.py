@@ -70,6 +70,8 @@ HEADLINE = [
     "nation_trade_flows",
     "kg_triangle_stats",
     "source_overlap_matrix",
+    "doc_lm_perplexity",
+    "ann_recall_eval",
 ]
 
 

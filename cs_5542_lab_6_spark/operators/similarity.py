@@ -483,19 +483,32 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg per (cluster, dim). Both are map-side-combinable shuffles; no
     step is quadratic in corpus size, and K iterations are K linear
     passes (at 100 TB you cache the long-form points once and reuse)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    pts = emb.select(
+    # try/finally cache hygiene (same idiom as dedup_clusters /
+    # kg_pagerank): the long-form points cache backs every iteration,
+    # the K-row result is eagerly cut so the cache is unreferenced, and
+    # the cache always drops on return.
+    pts = kmeans_points(load_table(spark, sf_dir, "embeddings")).cache()
+    try:
+        return kmeans_lazy(pts).localCheckpoint(eager=True)
+    finally:
+        pts.unpersist()
+
+
+def kmeans_points(emb: DataFrame) -> DataFrame:
+    """Long-form fixed-point coordinates (vec_id, dim, val)."""
+    return emb.select(
         "vec_id",
         F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x"),
     ).select(
         "vec_id", "dim", F.round(F.col("x") * KMEANS_SCALE).cast("long").alias("val")
     )
-    pts = pts.cache()
 
-    # try/finally cache hygiene (same idiom as dedup_clusters /
-    # kg_pagerank): the long-form points cache backs every iteration,
-    # the K-row result is eagerly cut so the cache is unreferenced, and
-    # the cache always drops on return.
+
+def kmeans_lazy(pts: DataFrame) -> DataFrame:
+    """The full Lloyd iteration as a LAZY plan over ``pts`` — split out
+    so tests can assert broadcast-join shape on the pre-checkpoint plan
+    (embedding_kmeans eagerly cuts the K-row result, leaving only a
+    Scan ExistingRDD behind)."""
 
     def assign(cent: DataFrame) -> DataFrame:
         d = (
@@ -509,20 +522,19 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return best.select("vec_id", F.col("b.cluster").alias("cluster"), F.col("b.dist").alias("dist"))
 
-    try:
-        cent = pts.filter(F.col("vec_id") < KMEANS_K).select(
-            F.col("vec_id").cast("int").alias("cluster"), "dim", F.col("val").alias("cval")
+    cent = pts.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").cast("int").alias("cluster"), "dim", F.col("val").alias("cval")
+    )
+    asg = assign(cent)
+    for _ in range(KMEANS_ITERS - 1):
+        cent = (
+            asg.join(pts, "vec_id")
+            .groupBy("cluster", "dim")
+            .agg(F.expr("sum(val) div count(*)").alias("cval"))
         )
         asg = assign(cent)
-        for _ in range(KMEANS_ITERS - 1):
-            cent = (
-                asg.join(pts, "vec_id")
-                .groupBy("cluster", "dim")
-                .agg(F.expr("sum(val) div count(*)").alias("cval"))
-            )
-            asg = assign(cent)
 
-        out = (
+    return (
             asg.groupBy("cluster")
             .agg(
                 F.count("*").alias("n_points"),
@@ -530,9 +542,73 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.min("vec_id").cast("long").alias("min_vec_id"),
                 F.max("vec_id").cast("long").alias("max_vec_id"),
             )
-            .orderBy("cluster")
-        )
-        # eager cut: KMEANS_K rows, bounded regardless of corpus size
-        return out.localCheckpoint(eager=True)
-    finally:
-        pts.unpersist()
+        .orderBy("cluster")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN quality evaluation: recall@k of the approximate tiers vs brute force
+# ---------------------------------------------------------------------------
+
+from ..registry import all_oracles as _all_oracles  # noqa: E402
+
+
+def _ann_sub(name: str) -> str:
+    """The registered oracle of another ANN query, embeddable as a
+    subquery (DuckDB allows WITH inside a derived table)."""
+    return _all_oracles()[name]
+
+
+@query(
+    "ann_recall_eval",
+    oracle=f"""
+    WITH truth AS (SELECT qid, vec_id FROM ({_ann_sub("ann_brute_force_topk")}) t),
+    lsh AS (SELECT qid, vec_id FROM ({_ann_sub("ann_lsh_topk")}) t),
+    ivf AS (SELECT qid, vec_id FROM ({_ann_sub("ann_ivf_topk")}) t),
+    hits AS (
+      SELECT t.qid, 'ivf' AS method, COUNT(i.vec_id) AS n_hits
+      FROM truth t LEFT JOIN ivf i ON t.qid = i.qid AND t.vec_id = i.vec_id
+      GROUP BY t.qid
+      UNION ALL
+      SELECT t.qid, 'lsh' AS method, COUNT(l.vec_id) AS n_hits
+      FROM truth t LEFT JOIN lsh l ON t.qid = l.qid AND t.vec_id = l.vec_id
+      GROUP BY t.qid
+    )
+    SELECT qid, method, CAST(n_hits AS BIGINT) AS n_hits,
+           round(CAST(n_hits AS DOUBLE) / {TOP_K}, 4) AS recall_at_k
+    FROM hits
+    ORDER BY qid, method
+    """,
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} of each approximate tier against the exact
+    brute-force ranking — the evaluation loop an ANN deployment runs
+    before trading recall for candidate-set size (the FAISS/IVF tuning
+    workflow, expressed as one query).
+
+    Scale shape: the ground truth is computed on a SAMPLE of queries
+    (here the fixed {len(QUERY_IDS)}-query set — at 100 TB you evaluate
+    on hundreds of held-out queries, never the full corpus), so every
+    relation in this query is tiny: top-k lists per method, joined on
+    (qid, vec_id) and hash-aggregated. The expensive parts reuse the
+    three tier queries unchanged — evaluation composes operators, it
+    does not duplicate them."""
+    truth = ann_brute_force_topk(spark, sf_dir).select("qid", "vec_id")
+    approx = {
+        "ivf": ann_ivf_topk(spark, sf_dir).select("qid", "vec_id"),
+        "lsh": ann_lsh_topk(spark, sf_dir).select("qid", "vec_id"),
+    }
+    per_method = [
+        truth.join(df.withColumn("hit", F.lit(1)), ["qid", "vec_id"], "left")
+        .groupBy("qid")
+        .agg(F.count("hit").alias("n_hits"))
+        .select("qid", F.lit(method).alias("method"), "n_hits")
+        for method, df in sorted(approx.items())
+    ]
+    hits = per_method[0].unionByName(per_method[1])
+    return hits.select(
+        "qid",
+        "method",
+        F.col("n_hits").cast("long").alias("n_hits"),
+        F.round(F.col("n_hits").cast("double") / TOP_K, 4).alias("recall_at_k"),
+    ).orderBy("qid", "method")

@@ -671,3 +671,115 @@ def language_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"))
         .orderBy("labeled_lang", "predicted_lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM perplexity scoring (CCNet-style quality filtering)
+# ---------------------------------------------------------------------------
+
+LM_ADD_K = 0.5  # add-k smoothing constant
+
+_DUCK_LM_CTES = """
+lm_toks AS (
+  SELECT doc_id,
+         CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+') END AS w
+  FROM documents
+),
+lm_bg AS (
+  SELECT doc_id, i - 1 AS pos, w[i] AS w1, w[i + 1] AS w2
+  FROM lm_toks, unnest(range(1, len(w))) AS t(i)
+  WHERE len(w) >= 2
+),
+lm_c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM lm_bg GROUP BY w1, w2),
+lm_c1 AS (SELECT w1, COUNT(*) AS c1 FROM lm_bg GROUP BY w1),
+lm_v AS (SELECT COUNT(DISTINCT t.tok) AS v FROM lm_toks, unnest(w) AS t(tok)),
+lm_scored AS (
+  SELECT doc_id, pos,
+         -ln((lm_c2.c2 + 0.5) / (lm_c1.c1 + 0.5 * lm_v.v)) AS nll
+  FROM lm_bg JOIN lm_c2 USING (w1, w2) JOIN lm_c1 USING (w1) CROSS JOIN lm_v
+),
+lm_agg AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams, SUM(nll ORDER BY pos) AS total
+  FROM lm_scored GROUP BY doc_id
+)
+"""
+
+
+@query(
+    "doc_lm_perplexity",
+    oracle=f"""
+    WITH {_DUCK_LM_CTES}
+    SELECT doc_id,
+           CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           round(total / n_bigrams, 4) AS avg_nll,
+           round(exp(total / n_bigrams), 2) AS ppl
+    FROM lm_agg
+    ORDER BY doc_id
+    """,
+)
+def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram-LM perplexity, the CCNet-style quality signal
+    (Wenzek et al. 2020: docs whose perplexity under a corpus LM is an
+    outlier are boilerplate or noise). The LM is trained on the corpus
+    itself in the same job: bigram/left-context counts with add-k
+    smoothing, P(w2|w1) = (c(w1,w2)+k) / (c(w1·)+k·V).
+
+    Scale shape: both count relations are map-side-combinable hash aggs
+    over the exploded bigram stream; scoring re-joins the stream to the
+    counts on the bigram key — an N:1 equi-join (one count row per key),
+    so frequent-bigram skew inflates no single build row. Per-doc totals
+    fold in position order (the BM25 idiom), so the double sum is
+    reproducible under any partitioning and the DuckDB oracle's
+    SUM(nll ORDER BY pos) matches to the rounded digit. At 100 TB the
+    counts become a materialized LM table built once and broadcast (they
+    compress to the bigram vocabulary, not the corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", words(F.lower(F.col("text"))).alias("w"))
+    bg = (
+        toks.filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w) - 2),"
+                    " i -> struct(i AS pos, w[i] AS w1, w[i + 1] AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.pos", "b.w1", "b.w2")
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    # left-context totals roll up FROM the bigram counts (c1(w1) = Σ_w2
+    # c2(w1,w2)) — one fewer corpus scan+explode than re-counting the
+    # bigram stream, and the rollup input is already vocabulary-sized
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    v = toks.select(F.explode("w").alias("tok")).agg(
+        F.count_distinct("tok").alias("v")
+    )
+    scored = (
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            "pos",
+            (-F.log((F.col("c2") + LM_ADD_K) / (F.col("c1") + LM_ADD_K * F.col("v")))).alias(
+                "nll"
+            ),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("pos", "nll"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["nll"],
+        ).alias("total"),
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.round(F.col("total") / F.col("n_bigrams"), 4).alias("avg_nll"),
+        F.round(F.exp(F.col("total") / F.col("n_bigrams")), 2).alias("ppl"),
+    ).orderBy("doc_id")

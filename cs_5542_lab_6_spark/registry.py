@@ -100,10 +100,13 @@ _PRIORITY: tuple[str, ...] = (
     "kg_edges_build",          # co-occurrence self-join
     "kg_two_hop",              # frontier-below-aggregation fix (r2)
     "vector_topk",             # flagship retrieval
-    "bm25_doc_topk",           # ranking family
+    "doc_lm_perplexity",       # NEW r6: bigram-LM perplexity (ranking/quality;
+                               #   bm25_doc_topk rotates out — driver-green r5
+                               #   AND Hypothesis-replica-covered this round)
     "dedup_minhash_lsh",       # LSH banding
     "dedup_clusters",          # iterative label propagation
-    "ann_ivf_topk",            # similarity family
+    "ann_recall_eval",         # NEW r6: recall@k eval composing ALL three ANN
+                               #   tiers (subsumes the ann_ivf_topk guard)
     "doc_quality_filter_funnel",  # quality pipeline
     "multimodal_decode_features",  # multimodal family
     "orders_merge_upsert",     # warehouse lifecycle

@@ -177,7 +177,18 @@ def test_mixing_and_clustering_plans(spark, sf_dir):
         plan = plan_of(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
-    assert "BroadcastHashJoin" in plan_of(spark, sf_dir, "embedding_kmeans")
+    # embedding_kmeans eagerly cuts its K-row result (cache hygiene), so
+    # the returned plan is a Scan ExistingRDD — assert the broadcast
+    # centroid join on the lazy pre-checkpoint pipeline instead
+    from cs_5542_lab_6_spark.operators.similarity import kmeans_lazy, kmeans_points
+    from cs_5542_lab_6_spark.sources import load_table
+
+    kplan = formatted_plan(
+        kmeans_lazy(kmeans_points(load_table(spark, sf_dir, "embeddings")))
+    )
+    assert "BroadcastHashJoin" in kplan
+    assert "CartesianProduct" not in kplan
+    assert "BroadcastNestedLoopJoin" not in kplan
     assert "BroadcastHashJoin" in plan_of(spark, sf_dir, "corpus_stratified_sample")
 
 
@@ -222,6 +233,8 @@ _BNLJ_ALLOWED = {
     "national_supplier_share": 1,  # 1-row global balance total
     "top_supplier_revenue": 1,     # 1-row max revenue
     "quiet_wealthy_customers": 1,  # 1-row avg-balance threshold
+    "doc_lm_perplexity": 1,        # 1-row vocabulary-size scalar
+    "ann_recall_eval": 3,          # composes the three tiers' scalar broadcasts
 }
 
 # Iterative/streaming queries whose plan construction executes multi-round

@@ -1,0 +1,80 @@
+"""Registry-scale canary (VERDICT r5 item 6): the full oracle-parity
+sweep replayed at the LARGEST local fixture, catching cliffs the
+sf0.001 default can't — skew, spill, broadcast-threshold crossings,
+scale-dependent double→decimal rounding.
+
+Nightly-style and opt-in (pytest.ini deselects it by default):
+
+    python -m pytest tests/ -m scale -q
+
+Fixture resolution: ``SPARK_GRAFT_SCALE_SF_DIR`` if set, else the
+largest ``/root/testdata/sf*`` present (sf1 when the driver generates
+it, sf0.1 today). Measured wall time at sf0.1 on local[8]: see
+README.md ("Scale canary").
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import duckdb
+import pytest
+
+from cs_5542_lab_6_spark.registry import all_oracles, all_queries
+from cs_5542_lab_6_spark.sources import TABLE_NAMES
+
+from test_oracle_parity import _canon_rows  # rootdir tests/ on sys.path
+
+pytestmark = pytest.mark.scale
+
+
+def _largest_sf_dir() -> str:
+    env = os.environ.get("SPARK_GRAFT_SCALE_SF_DIR")
+    if env:
+        return env
+    dirs = glob.glob("/root/testdata/sf*")
+    if not dirs:
+        pytest.skip("no /root/testdata fixtures present")
+    return max(dirs, key=lambda d: float(os.path.basename(d)[2:]))
+
+
+@pytest.fixture(scope="module")
+def scale_sf_dir() -> str:
+    return _largest_sf_dir()
+
+
+@pytest.fixture(scope="module")
+def scale_oracle(scale_sf_dir):
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        con.sql(
+            f"CREATE VIEW {name} AS SELECT * FROM '{scale_sf_dir}/{name}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+_NAMES = sorted(all_oracles())
+
+
+@pytest.mark.parametrize("name", _NAMES)
+def test_scale_query_matches_oracle(spark, scale_sf_dir, scale_oracle, name):
+    sdf = all_queries()[name](spark, scale_sf_dir)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    spark_cols = [c.lower() for c in sdf.columns]
+
+    rel = scale_oracle.sql(all_oracles()[name])
+    duck_cols = [c.lower() for c in rel.columns]
+    duck_rows = rel.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    )
+    a = _canon_rows(spark_cols, spark_rows)
+    b = _canon_rows(duck_cols, duck_rows)
+    mismatches = [(x, y) for x, y in zip(a, b) if x != y]
+    assert not mismatches, f"{name}: first value mismatch: {mismatches[0]}"
