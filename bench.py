@@ -72,6 +72,7 @@ HEADLINE = [
     "source_overlap_matrix",
     "doc_lm_perplexity",
     "ann_recall_eval",
+    "bm25_rerank_topk",
 ]
 
 

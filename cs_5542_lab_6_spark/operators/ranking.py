@@ -336,3 +336,91 @@ def doc_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "split")
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-stage retrieval: BM25 candidates → cross-encoder rerank
+# ---------------------------------------------------------------------------
+
+from ..functions.rerank import duck_rerank_score, rerank_score  # noqa: E402
+
+RERANK_CANDIDATES = 25
+RERANK_TOP_K = 10
+RERANK_QUERY = " ".join(sorted(BM25_QUERY_TERMS))
+
+
+@query(
+    "bm25_rerank_topk",
+    oracle=f"""
+    WITH {_DUCK_BM25_CTES},
+    cand AS (
+      SELECT doc_id, bm25_rank FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY round(score, 4) DESC, doc_id)
+                 AS bm25_rank
+        FROM totals
+      ) WHERE bm25_rank <= {RERANK_CANDIDATES}
+    ),
+    rescored AS (
+      SELECT c.doc_id, c.bm25_rank,
+             round({duck_rerank_score(RERANK_QUERY, "d.text")}, 6) AS rerank_score
+      FROM cand c JOIN documents d ON c.doc_id = d.doc_id
+    )
+    SELECT doc_id, CAST(bm25_rank AS INTEGER) AS bm25_rank, rerank_score,
+           CAST(final_rank AS INTEGER) AS final_rank
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY rerank_score DESC, doc_id)
+                  AS final_rank
+      FROM rescored
+    ) WHERE final_rank <= {RERANK_TOP_K}
+    ORDER BY final_rank
+    """,
+)
+def bm25_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval: BM25 narrows the corpus to
+    {RERANK_CANDIDATES} candidates, a cross-encoder seam
+    (functions/rerank.py — deterministic sha pair-score by default, a
+    real ``sentence_transformers`` CrossEncoder via
+    $SPARK_GRAFT_RERANK_MODEL) rescores each (query, doc) pair jointly,
+    and the final top-{RERANK_TOP_K} is ranked by the rerank score.
+
+    Scale shape: the expensive model only ever sees k candidate rows per
+    query — the whole point of the two-stage economy. Stage one is the
+    unchanged BM25 plan (pruned postings join); the candidate list joins
+    back to ``documents`` on doc_id to fetch text for exactly k rows
+    (broadcast the k-row side, probe the corpus scan); the pandas UDF
+    processes one Arrow batch. Ranks are computed on round(score, 4)
+    with a doc_id tiebreak so candidate ordering is ulp-robust across
+    engines."""
+    from pyspark.sql import Window as W
+
+    totals = _bm25_scored(spark, sf_dir)
+    w = W.orderBy(F.desc(F.round(F.col("score"), 4)), F.asc("doc_id"))
+    cand = (
+        totals.withColumn("bm25_rank", F.row_number().over(w))
+        .filter(F.col("bm25_rank") <= RERANK_CANDIDATES)
+        .select("doc_id", "bm25_rank")
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    rescored = (
+        docs.join(F.broadcast(cand), "doc_id")
+        .select(
+            "doc_id",
+            "bm25_rank",
+            F.round(rerank_score(F.lit(RERANK_QUERY), F.col("text")), 6).alias(
+                "rerank_score"
+            ),
+        )
+    )
+    fw = W.orderBy(F.desc("rerank_score"), F.asc("doc_id"))
+    return (
+        rescored.withColumn("final_rank", F.row_number().over(fw))
+        .filter(F.col("final_rank") <= RERANK_TOP_K)
+        .select(
+            "doc_id",
+            F.col("bm25_rank").cast("int").alias("bm25_rank"),
+            "rerank_score",
+            F.col("final_rank").cast("int").alias("final_rank"),
+        )
+        .orderBy("final_rank")
+    )

@@ -206,3 +206,55 @@ def test_real_ner_hook_via_fake_module(monkeypatch):
     assert calls["model"] == "en_core_sci_sm"
     assert extract("Apache Spark processes data") == ["Apache", "Spark"]
     assert ner._get_extractor() is extract  # M6 singleton
+
+
+def test_default_rerank_scorer_is_hash_pair_score(monkeypatch):
+    from cs_5542_lab_6_spark.functions import rerank
+
+    monkeypatch.delenv(rerank.RERANK_MODEL_ENV, raising=False)
+    rerank._SCORER = None
+    scores = rerank._get_scorer()([("q", "doc one"), ("q", "doc two")])
+    # deterministic, pair-sensitive, in [0, 1)
+    assert scores.shape == (2,)
+    assert all(0.0 <= s < 1.0 for s in scores)
+    assert scores[0] != scores[1]
+    again = rerank._get_scorer()([("q", "doc one"), ("q", "doc two")])
+    assert (scores == again).all()
+
+
+def test_real_cross_encoder_hook_via_fake_module(monkeypatch):
+    """$SPARK_GRAFT_RERANK_MODEL swaps a real CrossEncoder into the same
+    pandas-UDF slot: model name reaches the constructor, pairs reach
+    predict() in batch, config-keyed singleton semantics hold."""
+    import numpy as np
+
+    from cs_5542_lab_6_spark.functions import rerank
+
+    calls = {}
+
+    class FakeCrossEncoder:
+        def __init__(self, name):
+            calls["model"] = name
+
+        def predict(self, pairs, batch_size=None):
+            calls["batch_size"] = batch_size
+            calls["n_pairs"] = len(pairs)
+            return np.linspace(0.9, 0.1, len(pairs))
+
+    fake = types.ModuleType("sentence_transformers")
+    fake.CrossEncoder = FakeCrossEncoder
+    monkeypatch.setitem(sys.modules, "sentence_transformers", fake)
+    monkeypatch.setenv(rerank.RERANK_MODEL_ENV, "fake/ms-marco-MiniLM-L-6-v2")
+    rerank._SCORER = None
+
+    scorer = rerank._get_scorer()
+    out = scorer([("q", "a"), ("q", "b"), ("q", "c")])
+    assert calls["model"] == "fake/ms-marco-MiniLM-L-6-v2"
+    assert calls["batch_size"] == 64
+    assert calls["n_pairs"] == 3
+    assert out.shape == (3,)
+    # singleton until the key changes
+    assert rerank._get_scorer() is scorer
+    monkeypatch.delenv(rerank.RERANK_MODEL_ENV)
+    assert rerank._get_scorer() is not scorer  # re-resolved to the default
+    rerank._SCORER = None

@@ -225,6 +225,7 @@ _BNLJ_ALLOWED = {
     "vector_topk": 1,            # broadcast query vector (1 row)
     "vector_topk_filtered": 1,   # broadcast query vector (1 row)
     "bm25_doc_topk": 1,          # broadcast query-term stats (k rows)
+    "bm25_rerank_topk": 1,       # stage-one BM25 carries the same scalar
     "hybrid_rrf_topk": 2,        # both candidate lists carry the query vec
     "ann_brute_force_topk": 1,   # broadcast query set (tens of rows)
     "ann_ivf_topk": 1,           # broadcast probe centroids (nprobe rows)
