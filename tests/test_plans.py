@@ -243,6 +243,7 @@ _BNLJ_ALLOWED = {
 # has a targeted plan/oracle guard elsewhere in this file or the suite.
 _SWEEP_SKIP = {
     "dedup_clusters",
+    "dedup_clusters_star",
     "stream_tumbling_daily",
     "stream_tumbling_daily_append",
     "stream_dedup_events",

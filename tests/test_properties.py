@@ -424,3 +424,43 @@ def test_pagerank_fixed_point_matches_python_replica(spark, edges, iters):
     want, want_deg = _py_pagerank(edges, nodes, iters)
     assert got == want
     assert got_deg == want_deg
+
+
+# ---------------------------------------------------------------------------
+# Star-contraction connected components vs a union-find replica
+# ---------------------------------------------------------------------------
+
+_CC_EDGE = st.tuples(
+    st.integers(min_value=0, max_value=19), st.integers(min_value=0, max_value=19)
+).filter(lambda e: e[0] != e[1])
+
+
+def _py_components(edges: set[tuple[int, int]]) -> dict[int, int]:
+    """Union-find ground truth: node -> min id of its component."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {n: find(n) for n in {x for e in edges for x in e}}
+
+
+@PROP
+@given(st.sets(_CC_EDGE, min_size=1, max_size=60))
+def test_star_components_match_union_find(spark, edges):
+    """Alternating large-star/small-star contraction labels every node
+    with its component's minimum id — exactly, on arbitrary graphs
+    (chains, cliques, self-symmetric duplicates after canonicalization),
+    not just the shallow fixture components."""
+    from cs_5542_lab_6_spark.operators.dedup import star_components
+
+    df = spark.createDataFrame(sorted(edges), "s long, d long")
+    got = {r["node"]: r["lbl"] for r in star_components(df).collect()}
+    assert got == _py_components(edges)
