@@ -192,3 +192,67 @@ def test_cluster_table_produces_disjoint_rowgroup_ranges(spark, sf_dir, tmp_path
     a = sorted(tuple(r) for r in spark.read.parquet(src).collect())
     b = sorted(tuple(r) for r in spark.read.parquet(out).collect())
     assert a == b
+
+
+def test_zorder_table_narrows_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-order clustering must shrink per-file min/max envelopes on BOTH
+    interleaved columns (a single-column sort perfects one dimension and
+    leaves the other at full width). Measured from parquet footers: the
+    mean per-file range fraction on each dimension must be well under
+    the ~1.0 a scattered layout shows, and content must be unchanged."""
+    import pyarrow.parquet as pq
+
+    from cs_5542_lab_6_spark.pipeline.maintenance import _parquet_files, zorder_table
+
+    src = str(tmp_path / "events_src")
+    out = str(tmp_path / "events_z")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.repartition(8).write.parquet(src)
+
+    audit = zorder_table(
+        spark, src, out, "user_id", "event_id", target_file_bytes=4 * 1024
+    )
+    assert audit["files_out"] >= 8, audit
+
+    def mean_range_fraction(path: str, col: str) -> float:
+        lo = hi = None
+        spans = []
+        for f in _parquet_files(path):
+            meta = pq.ParquetFile(f).metadata
+            idx = next(
+                i for i in range(meta.num_columns)
+                if meta.row_group(0).column(i).path_in_schema == col
+            )
+            mins, maxs = [], []
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            fmin, fmax = min(mins), max(maxs)
+            spans.append(fmax - fmin)
+            lo = fmin if lo is None else min(lo, fmin)
+            hi = fmax if hi is None else max(hi, fmax)
+        width = (hi - lo) or 1
+        return sum(spans) / len(spans) / width
+
+    # scattered baseline: every file spans ~the full domain on both dims
+    assert mean_range_fraction(src, "user_id") > 0.9
+    assert mean_range_fraction(src, "event_id") > 0.9
+    # single-column clustering: perfect on its key, useless on the other
+    from cs_5542_lab_6_spark.pipeline.maintenance import cluster_table
+
+    single = str(tmp_path / "events_single")
+    cluster_table(spark, src, single, ["user_id"], target_file_bytes=4 * 1024)
+    assert mean_range_fraction(single, "event_id") > 0.9
+    # z-ordered: BOTH dimensions narrow enough for footer skipping to bite
+    # (~1/sqrt(n_files) per dimension on a Morton curve)
+    fa = mean_range_fraction(out, "user_id")
+    fb = mean_range_fraction(out, "event_id")
+    assert fa < 0.6, fa
+    assert fb < 0.6, fb
+
+    a = sorted(str(sorted((k, str(v)) for k, v in r.asDict().items()))
+               for r in spark.read.parquet(src).collect())
+    b = sorted(str(sorted((k, str(v)) for k, v in r.asDict().items()))
+               for r in spark.read.parquet(out).collect())
+    assert a == b
