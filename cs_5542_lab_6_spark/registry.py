@@ -178,6 +178,7 @@ def _load_all_modules() -> None:
         skew,
         subqueries,
         textstats,
+        tpch_ext,
         windows,
     )
     from . import agent_api  # noqa: F401
