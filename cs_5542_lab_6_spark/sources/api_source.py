@@ -1,0 +1,103 @@
+"""Custom Python DataSource mirroring the reference's streaming-iterator
+ingestion (S1: ``load_dataset(..., streaming=True)`` → iterate the first
+N valid records, data/ingestion.py:101-137).
+
+The reference's iterator is single-process: one Python loop pulls pages
+from the hub until N records arrive. The Spark-native expression of the
+same source is a PySpark 4 custom DataSource whose ``partitions()``
+splits the offset range into pages — every page becomes an independent
+task, so a 1000-executor cluster pulls 1000 pages concurrently and the
+"iterate N records" stage stops being the single-threaded bottleneck the
+SURVEY flags (§3.3). Filters/projections still run in Spark above the
+source; the source's job is only parallel record delivery.
+
+Record content is the engine's standard deterministic fake (sha-derived
+token sequences — same idea as the hash embedder): offset-addressable,
+so any page can be produced independently on any executor, which is
+precisely the property a paginated HTTP/hub API has. A REAL hub client
+drops into ``_fetch_page``'s slot (import-gated, per-executor), exactly
+like the embedding/NER/rerank model seams.
+
+Usage:
+    spark.dataSource.register(CorpusApiDataSource)
+    df = (spark.read.format("corpus_api")
+          .option("n", 200).option("page_size", 50).load())
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+SOURCE_NAME = "corpus_api"
+DEFAULT_N = 100
+DEFAULT_PAGE_SIZE = 25
+
+_VOCAB = (
+    "graph neural network training corpus spark shuffle partition join "
+    "embedding retrieval transformer attention quantization streaming "
+    "watermark dedup minhash entropy gradient distributed executor"
+).split()
+
+# every ~7th record is deliberately invalid (empty abstract) so the
+# quality filter above the source has something to drop — the reference
+# iterator skips invalid hub records the same way (ingestion.py:117-120)
+_INVALID_EVERY = 7
+
+
+def _words(seed: str, n: int) -> str:
+    """Deterministic token sequence: sha-derived vocabulary picks."""
+    out = []
+    h = b""
+    while len(out) < n:
+        h = hashlib.sha256(seed.encode() + h).digest()
+        out.extend(_VOCAB[b % len(_VOCAB)] for b in h)
+    return " ".join(out[:n])
+
+
+def _fetch_page(start: int, end: int) -> Iterator[tuple[str, str, str]]:
+    """One page of records [start, end) — the seam a real hub/API client
+    replaces. Offset-addressable and deterministic, like a paginated
+    HTTP endpoint with a stable ordering."""
+    for i in range(start, end):
+        paper_id = f"arxiv_{i:06d}"
+        title = _words(f"title:{i}", 6)
+        abstract = "" if i % _INVALID_EVERY == 3 else _words(f"abs:{i}", 40)
+        yield (paper_id, title, abstract)
+
+
+class _Page(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class CorpusApiReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.n = int(options.get("n", DEFAULT_N))
+        self.page_size = int(options.get("page_size", DEFAULT_PAGE_SIZE))
+
+    def partitions(self) -> Sequence[InputPartition]:
+        return [
+            _Page(lo, min(lo + self.page_size, self.n))
+            for lo in range(0, self.n, self.page_size)
+        ]
+
+    def read(self, partition: _Page) -> Iterator[tuple]:
+        # executes on the executor that owns this page — N concurrent
+        # page fetches across the cluster, zero driver-side iteration
+        yield from _fetch_page(partition.start, partition.end)
+
+
+class CorpusApiDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return SOURCE_NAME
+
+    def schema(self) -> str:
+        return "paper_id string, title string, abstract string"
+
+    def reader(self, schema) -> CorpusApiReader:
+        return CorpusApiReader(self.options)
