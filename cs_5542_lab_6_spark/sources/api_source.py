@@ -29,7 +29,14 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+    WriterCommitMessage,
+)
 
 SOURCE_NAME = "corpus_api"
 DEFAULT_N = 100
@@ -101,3 +108,105 @@ class CorpusApiDataSource(DataSource):
 
     def reader(self, schema) -> CorpusApiReader:
         return CorpusApiReader(self.options)
+
+    def simpleStreamReader(self, schema) -> "CorpusApiStreamReader":
+        return CorpusApiStreamReader(self.options)
+
+
+# ---------------------------------------------------------------------------
+# Streaming flavor: the same paginated source as a micro-batch stream
+# ---------------------------------------------------------------------------
+
+
+class CorpusApiStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch reader over the paginated API: offset = next record
+    index; each batch pulls one page; when the source is exhausted the
+    offset stops advancing, so ``processAllAvailable``/availableNow
+    terminate. ``readBetweenOffsets`` regenerates any committed range
+    deterministically — the replay path after a crash, and the reason
+    offset-addressable sources give exactly-once semantics for free."""
+
+    def __init__(self, options: dict):
+        self.n = int(options.get("n", DEFAULT_N))
+        self.page_size = int(options.get("page_size", DEFAULT_PAGE_SIZE))
+
+    def initialOffset(self) -> dict:
+        return {"offset": 0}
+
+    def read(self, start: dict):
+        lo = start["offset"]
+        hi = min(lo + self.page_size, self.n)
+        return iter(list(_fetch_page(lo, hi))), {"offset": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(list(_fetch_page(start["offset"], end["offset"])))
+
+
+# ---------------------------------------------------------------------------
+# Writer flavor: JSONL sink with a two-phase task commit protocol
+# ---------------------------------------------------------------------------
+
+
+class _FileCommit(WriterCommitMessage):
+    def __init__(self, staged: str, rows: int):
+        self.staged = staged
+        self.rows = rows
+
+
+class JsonlCommitWriter(DataSourceWriter):
+    """Executor tasks write to ``_staging/``; the DRIVER publishes in
+    ``commit()`` by renaming every staged file into place and writing a
+    ``_MANIFEST.json`` (file list + row counts) — readers treat the
+    manifest as the commit record, so a job that dies mid-write leaves
+    only invisible staging files for ``abort()`` to sweep. This is the
+    minimal honest version of the commit protocol every real sink
+    (FileCommitProtocol, Iceberg snapshots) implements; at 100 TB the
+    renames become metadata-only manifest pointers, same shape."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+
+    def write(self, iterator) -> _FileCommit:
+        import json
+        import os
+        import uuid
+
+        staging = os.path.join(self.path, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        staged = os.path.join(staging, f"part-{uuid.uuid4().hex}.jsonl")
+        rows = 0
+        with open(staged, "w") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict()) + "\n")
+                rows += 1
+        return _FileCommit(staged, rows)
+
+    def commit(self, messages) -> None:
+        import json
+        import os
+
+        published = []
+        for i, m in enumerate(messages):
+            final = os.path.join(self.path, f"part-{i:05d}.jsonl")
+            os.replace(m.staged, final)
+            published.append({"file": os.path.basename(final), "rows": m.rows})
+        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as fh:
+            json.dump({"files": published, "total_rows": sum(p["rows"] for p in published)}, fh)
+
+    def abort(self, messages) -> None:
+        import os
+        import shutil
+
+        shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
+        for m in messages:
+            if m is not None and os.path.exists(m.staged):
+                os.remove(m.staged)
+
+
+class JsonlCommitDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_commit"
+
+    def writer(self, schema, overwrite: bool) -> JsonlCommitWriter:
+        return JsonlCommitWriter(self.options)
