@@ -32,6 +32,7 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
@@ -210,3 +211,47 @@ class JsonlCommitDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> JsonlCommitWriter:
         return JsonlCommitWriter(self.options)
+
+    def streamWriter(self, schema, overwrite: bool) -> "JsonlCommitStreamWriter":
+        return JsonlCommitStreamWriter(self.options)
+
+
+class JsonlCommitStreamWriter(DataSourceStreamWriter):
+    """Streaming flavor of the commit-protocol sink: every micro-batch
+    publishes into its own ``batch_id=N/`` directory with a per-batch
+    manifest, keyed by the engine's batchId — so a replayed batch
+    REPLACES its directory instead of appending a second copy (the same
+    idempotence idiom as streaming/stream.write_metrics_stream_idempotent,
+    now expressed inside the sink where it belongs)."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+
+    def write(self, iterator) -> _FileCommit:
+        return JsonlCommitWriter({"path": self.path}).write(iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        import json
+        import os
+        import shutil
+
+        batch_dir = os.path.join(self.path, f"batch_id={batchId}")
+        shutil.rmtree(batch_dir, ignore_errors=True)  # replay replaces
+        os.makedirs(batch_dir)
+        published = []
+        for i, m in enumerate(messages):
+            final = os.path.join(batch_dir, f"part-{i:05d}.jsonl")
+            os.replace(m.staged, final)
+            published.append({"file": os.path.basename(final), "rows": m.rows})
+        with open(os.path.join(batch_dir, "_MANIFEST.json"), "w") as fh:
+            json.dump(
+                {
+                    "batch_id": batchId,
+                    "files": published,
+                    "total_rows": sum(p["rows"] for p in published),
+                },
+                fh,
+            )
+
+    def abort(self, messages, batchId: int) -> None:
+        JsonlCommitWriter({"path": self.path}).abort(messages)

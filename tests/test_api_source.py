@@ -152,3 +152,40 @@ def test_jsonl_commit_abort_sweeps_staging(tmp_path):
     w.abort([_FileCommit(staged, 1)])
     assert not os.path.exists(staging)
     assert not os.path.exists(os.path.join(out, "_MANIFEST.json"))
+
+
+def test_stream_to_stream_sink_end_to_end(api, tmp_path):
+    """Custom stream source → custom stream sink: per-batch directories
+    with manifests; total rows across batches equals the source size;
+    re-publishing a batch id replaces its directory (idempotent replay)."""
+    import glob
+    import json
+    import os
+
+    from cs_5542_lab_6_spark.sources.api_source import JsonlCommitDataSource
+
+    api.dataSource.register(JsonlCommitDataSource)
+    out = str(tmp_path / "stream_sink")
+    df = (
+        api.readStream.format(SOURCE_NAME)
+        .option("n", 50)
+        .option("page_size", 20)
+        .load()
+    )
+    q = (
+        df.writeStream.format("jsonl_commit")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    manifests = sorted(glob.glob(os.path.join(out, "batch_id=*", "_MANIFEST.json")))
+    assert len(manifests) >= 2  # 50 records at 20/page → 3 non-empty batches
+    total = sum(json.load(open(m))["total_rows"] for m in manifests)
+    assert total == 50
+    back = api.read.json(os.path.join(out, "batch_id=*", "part-*.jsonl"))
+    assert sorted(r["paper_id"] for r in back.collect()) == [
+        f"arxiv_{i:06d}" for i in range(50)
+    ]
