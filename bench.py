@@ -73,6 +73,8 @@ HEADLINE = [
     "doc_lm_perplexity",
     "ann_recall_eval",
     "bm25_rerank_topk",
+    "nation_market_share",
+    "sole_late_supplier_orders",
 ]
 
 

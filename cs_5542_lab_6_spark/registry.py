@@ -49,6 +49,15 @@ _REGISTRY: dict[str, Q] = {}
 # (same rows+schema+value-hash check over all registered oracles).
 # Everything not listed keeps module registration order after the
 # listed prefix.
+#
+# ROUND-7 ROTATION CANDIDATES (queries added mid-round-6, after the
+# window froze — none has a driver CORRECTNESS row yet): the round-6
+# additions bm25_rerank_topk, dedup_clusters_star,
+# min_cost_part_supplier, nation_market_share, product_type_profit,
+# supplier_part_variety, excess_stock_suppliers,
+# sole_late_supplier_orders (doc_lm_perplexity and ann_recall_eval DID
+# make the r6 window). Lead the r7 window with these eight plus the
+# usual regression-guard core.
 _PRIORITY: tuple[str, ...] = (
     # --- Never-driver-checked until round 6 (35 queries) ---
     # Decorrelated-subquery family (§2: correlated scalar/EXISTS/IN
