@@ -57,6 +57,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # --- determinism / oracle parity ---------------------------------
         .config("spark.sql.session.timeZone", "UTC")
+        # custom Python DataSource pushdown (sources/api_source.py
+        # narrows its page range from idx predicates)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # --- scan sizing: 128MB splits is the parquet sweet spot ---------
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         # --- broadcast threshold: dims (region/nation/supplier) broadcast

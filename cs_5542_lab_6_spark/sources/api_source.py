@@ -34,7 +34,13 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceStreamWriter,
     DataSourceWriter,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
     InputPartition,
+    LessThan,
+    LessThanOrEqual,
     SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
@@ -65,15 +71,16 @@ def _words(seed: str, n: int) -> str:
     return " ".join(out[:n])
 
 
-def _fetch_page(start: int, end: int) -> Iterator[tuple[str, str, str]]:
+def _fetch_page(start: int, end: int) -> Iterator[tuple[int, str, str, str]]:
     """One page of records [start, end) — the seam a real hub/API client
     replaces. Offset-addressable and deterministic, like a paginated
-    HTTP endpoint with a stable ordering."""
+    HTTP endpoint with a stable ordering; ``idx`` is the record offset
+    (the API's cursor key, which is what makes range pushdown exact)."""
     for i in range(start, end):
         paper_id = f"arxiv_{i:06d}"
         title = _words(f"title:{i}", 6)
         abstract = "" if i % _INVALID_EVERY == 3 else _words(f"abs:{i}", 40)
-        yield (paper_id, title, abstract)
+        yield (i, paper_id, title, abstract)
 
 
 class _Page(InputPartition):
@@ -86,12 +93,41 @@ class CorpusApiReader(DataSourceReader):
     def __init__(self, options: dict):
         self.n = int(options.get("n", DEFAULT_N))
         self.page_size = int(options.get("page_size", DEFAULT_PAGE_SIZE))
+        self.lo = 0          # narrowed by pushFilters
+        self.hi = self.n
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Range/equality predicates on ``idx`` (the API cursor) narrow
+        the offset window BEFORE partitions() pages it — so a filtered
+        read fetches only the pages the predicate selects, the
+        source-level analogue of parquet footer pruning. Narrowing is
+        exact for these operators, so consumed filters need no Spark
+        re-evaluation; everything else is returned for Spark to apply
+        above the scan."""
+        for f in filters:
+            if isinstance(
+                f, (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)
+            ) and f.attribute == ("idx",) and isinstance(f.value, int):
+                v = f.value
+                if isinstance(f, EqualTo):
+                    self.lo, self.hi = max(self.lo, v), min(self.hi, v + 1)
+                elif isinstance(f, GreaterThan):
+                    self.lo = max(self.lo, v + 1)
+                elif isinstance(f, GreaterThanOrEqual):
+                    self.lo = max(self.lo, v)
+                elif isinstance(f, LessThan):
+                    self.hi = min(self.hi, v)
+                else:  # LessThanOrEqual
+                    self.hi = min(self.hi, v + 1)
+            else:
+                yield f
 
     def partitions(self) -> Sequence[InputPartition]:
+        lo, hi = self.lo, max(self.lo, self.hi)
         return [
-            _Page(lo, min(lo + self.page_size, self.n))
-            for lo in range(0, self.n, self.page_size)
-        ]
+            _Page(p, min(p + self.page_size, hi))
+            for p in range(lo, hi, self.page_size)
+        ] or [_Page(0, 0)]
 
     def read(self, partition: _Page) -> Iterator[tuple]:
         # executes on the executor that owns this page — N concurrent
@@ -105,7 +141,7 @@ class CorpusApiDataSource(DataSource):
         return SOURCE_NAME
 
     def schema(self) -> str:
-        return "paper_id string, title string, abstract string"
+        return "idx int, paper_id string, title string, abstract string"
 
     def reader(self, schema) -> CorpusApiReader:
         return CorpusApiReader(self.options)

@@ -32,7 +32,7 @@ def _read(spark, n, page_size):
 
 def test_source_reads_n_records_across_pages(api):
     df = _read(api, 120, 25)
-    assert df.columns == ["paper_id", "title", "abstract"]
+    assert df.columns == ["idx", "paper_id", "title", "abstract"]
     assert df.rdd.getNumPartitions() == 5  # ceil(120/25) pages → tasks
     rows = df.collect()
     assert len(rows) == 120
@@ -189,3 +189,28 @@ def test_stream_to_stream_sink_end_to_end(api, tmp_path):
     assert sorted(r["paper_id"] for r in back.collect()) == [
         f"arxiv_{i:06d}" for i in range(50)
     ]
+
+
+def test_pushdown_narrows_pages_fetched(api):
+    """idx-range predicates reach the source: a 25-record window over a
+    200-record source plans exactly ONE page task (vs 8 unfiltered), and
+    equality plans one page with one surviving row. A non-pushable
+    predicate leaves the page count unchanged and is applied by Spark."""
+    full = _read(api, 200, 25)
+    assert full.rdd.getNumPartitions() == 8
+
+    window = _read(api, 200, 25).filter("idx >= 50 AND idx < 75")
+    assert window.rdd.getNumPartitions() == 1
+    assert sorted(r["idx"] for r in window.collect()) == list(range(50, 75))
+
+    point = _read(api, 200, 25).filter("idx = 60")
+    assert point.rdd.getNumPartitions() == 1
+    assert [r["paper_id"] for r in point.collect()] == ["arxiv_000060"]
+
+    residual = _read(api, 200, 25).filter("title LIKE '%graph%' AND idx < 25")
+    assert residual.rdd.getNumPartitions() == 1  # idx pushed, LIKE stays above
+    want = [
+        r["idx"] for r in _read(api, 200, 25).collect()
+        if r["idx"] < 25 and "graph" in r["title"]
+    ]
+    assert sorted(r["idx"] for r in residual.collect()) == sorted(want)
