@@ -464,3 +464,79 @@ def test_star_components_match_union_find(spark, edges):
     df = spark.createDataFrame(sorted(edges), "s long, d long")
     got = {r["node"]: r["lbl"] for r in star_components(df).collect()}
     assert got == _py_components(edges)
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM perplexity pipeline vs a pure-Python replica
+# ---------------------------------------------------------------------------
+
+_LM_DOC = st.lists(
+    st.sampled_from(("alpha", "beta", "gamma", "delta", "the")),
+    min_size=0,
+    max_size=12,
+).map(" ".join)
+
+
+def _py_lm(texts):
+    """Replica of doc_lm_perplexity's count layer + ordered nll fold."""
+    import math
+
+    from cs_5542_lab_6_spark.operators.textstats import LM_ADD_K
+
+    toks = {i: t.lower().split() for i, t in enumerate(texts)}
+    bigrams = {
+        i: list(zip(ws, ws[1:])) for i, ws in toks.items() if len(ws) >= 2
+    }
+    c2: dict = {}
+    for bgs in bigrams.values():
+        for b in bgs:
+            c2[b] = c2.get(b, 0) + 1
+    c1: dict = {}
+    for (w1, _), n in c2.items():
+        c1[w1] = c1.get(w1, 0) + n
+    vocab = {w for ws in toks.values() for w in ws}
+    v = len(vocab)
+    out = {}
+    for i, bgs in bigrams.items():
+        acc = 0.0
+        for b in bgs:  # position order IS list order
+            p = (c2[b] + LM_ADD_K) / (c1[b[0]] + LM_ADD_K * v)
+            acc = acc + -math.log(p)
+        out[i] = (len(bgs), acc)
+    return out
+
+
+@PROP
+@given(st.lists(_LM_DOC, min_size=1, max_size=10))
+def test_lm_perplexity_counts_and_fold_match_replica(spark, texts):
+    """The LM count layer (c2 / rolled-up c1 / vocab) is integer-exact
+    and the per-doc position-ordered nll fold matches the replica to
+    float equality on the rounded surface (log ulps bounded well below
+    the 4-digit rounding, as in the BM25 suite)."""
+    from pyspark.sql import functions as PF
+
+    from cs_5542_lab_6_spark.operators.textstats import doc_lm_perplexity
+
+    # route the generated docs through the real query by materializing a
+    # one-table sf dir — the query reads documents.parquet from sf_dir
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        [(i, t, "en", "srcX", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_nll"], r["ppl"])
+        for r in doc_lm_perplexity(spark, d).collect()
+    }
+    want = _py_lm(texts)
+    assert got.keys() == want.keys()
+    for i, (nb, total) in want.items():
+        import math
+
+        gnb, gavg, gppl = got[i]
+        assert gnb == nb
+        assert abs(gavg - round(total / nb, 4)) <= 1e-4 * 0.51, (i, gavg, total / nb)
+        assert abs(gppl - round(math.exp(total / nb), 2)) <= 1e-2 * 0.51
