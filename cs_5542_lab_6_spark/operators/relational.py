@@ -976,3 +976,72 @@ def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+@query(
+    "orders_date_spine_gaps",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(MIN(o_orderdate) AS DATE) AS lo,
+             CAST(MAX(o_orderdate) AS DATE) AS hi
+      FROM orders
+    ),
+    spine AS (
+      SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+      FROM bounds
+    ),
+    per_day AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT CAST(year(spine.d) AS INTEGER) AS yr,
+           CAST(month(spine.d) AS INTEGER) AS mth,
+           COUNT(*) AS n_days,
+           CAST(SUM(CASE WHEN per_day.d IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS gap_days,
+           CAST(SUM(COALESCE(per_day.n_orders, 0)) AS BIGINT) AS n_orders
+    FROM spine LEFT JOIN per_day ON spine.d = per_day.d
+    GROUP BY 1, 2
+    ORDER BY yr, mth
+    """,
+)
+def orders_date_spine_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine completeness audit: generate every day between the
+    first and last order date, left-join per-day order counts, report
+    zero-order days per month — a missing ingest day is invisible to
+    GROUP BY, which only sees days that exist.
+
+    The spine is ``sequence(min, max, interval 1 day)`` + explode — ONE
+    narrow expression, not iteration. (Spark 4.1's recursive CTE could
+    express it too — see kg_reachability_sql for that surface — but
+    recursion executes one Spark iteration PER LEVEL, measured 341 s
+    for this ~2,400-day span vs well under a second for sequence();
+    depth-bounded graph traversal is where recursion earns its cost.)
+    The day-level spine is thousands of rows regardless of data volume;
+    the per-day rollup is one map-side-combinable agg of the fact."""
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("lo"),
+        F.max(F.col("o_orderdate").cast("date")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d")
+    )
+    per_day = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.count("*").alias("n_orders")
+    )
+    return (
+        spine.join(per_day, "d", "left")
+        .groupBy(
+            F.year("d").cast("int").alias("yr"),
+            F.month("d").cast("int").alias("mth"),
+        )
+        .agg(
+            F.count("*").alias("n_days"),
+            F.sum(F.when(F.col("n_orders").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("gap_days"),
+            F.sum(F.coalesce("n_orders", F.lit(0))).cast("long").alias("n_orders"),
+        )
+        .orderBy("yr", "mth")
+    )

@@ -102,3 +102,43 @@ def lineitem_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("metric")
     )
+
+
+@query(
+    "events_props_variant",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(props->>'k' AS INTEGER)) AS BIGINT) AS sum_k,
+           CAST(MIN(CAST(props->>'k' AS INTEGER)) AS INTEGER) AS min_k,
+           CAST(MAX(CAST(props->>'k' AS INTEGER)) AS INTEGER) AS max_k
+    FROM events
+    WHERE json_valid(props) AND (props->>'k') IS NOT NULL
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VARIANT-typed twin of ``events_props_map`` (Spark 4's
+    semi-structured type, SURVEY §1.2 schema-on-read): ``parse_json``
+    keeps the payload as an open VARIANT — no declared map/struct schema
+    — and ``try_variant_get`` extracts a typed path on demand. This is
+    the storage model for heterogeneous event payloads at 100 TB: one
+    binary-encoded column, per-query typed extraction, no schema
+    migration when producers add keys (the map<string,int> twin must
+    re-declare; VARIANT just reads). try_* semantics drop malformed
+    rows, matching the oracle's json_valid guard."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.try_parse_json("props"), "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").cast("int").alias("min_k"),
+            F.max("k").cast("int").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )

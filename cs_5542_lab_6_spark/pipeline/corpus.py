@@ -1475,3 +1475,74 @@ def kg_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         canon.unpersist()
         if oriented is not None:
             oriented.unpersist()
+
+
+REACH_DEPTH = 3
+
+
+@query(
+    "kg_reachability_sql",
+    oracle=f"""
+    WITH RECURSIVE {_CORPUS_CTES},
+    adj AS (
+      SELECT a.node_id AS src, b.node_id AS dst
+      FROM ents a JOIN ents b
+        ON a.chunk_id = b.chunk_id AND a.node_id <> b.node_id
+      GROUP BY 1, 2
+    ),
+    reach(node_id, depth) AS (
+      SELECT (SELECT MIN(node_id) FROM ents), 0
+      UNION ALL
+      SELECT adj.dst, r.depth + 1
+      FROM reach r JOIN adj ON adj.src = r.node_id
+      WHERE r.depth < {REACH_DEPTH}
+    )
+    SELECT node_id, CAST(MIN(depth) AS INTEGER) AS depth
+    FROM reach
+    GROUP BY node_id
+    ORDER BY depth, node_id
+    """,
+)
+def kg_reachability_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-{REACH_DEPTH} BFS from the lexicographically-first entity,
+    written as a RECURSIVE CTE — Spark 4.1's newest SQL surface, run on
+    the SAME recursive text shape as the DuckDB oracle. Minimum depth
+    per node is taken OUTSIDE the recursion (Spark recursion supports
+    UNION ALL only, so in-recursion dedup isn't available yet); the
+    WHERE depth bound caps path fan-out.
+
+    Where recursion fits in this engine: iteration count = recursion
+    depth, and each level is a full Spark iteration — ideal for
+    depth-bounded graph traversal (3 levels here), pathological for
+    long linear recurrences (the 2,400-level day-spine variant of
+    orders_date_spine_gaps measured 341 s; sequence() does it in
+    under one). kg_two_hop expresses the same traversal as explicit
+    DataFrame joins; this query is the declarative twin, and the
+    frontier-with-min-depth DataFrame loop (kg_pagerank's shape) is
+    the 100 TB upgrade path until recursive UNION lands."""
+    ents = chunk_entities_df(spark, sf_dir).select("chunk_id", "node_id")
+    a, b = ents.alias("a"), ents.alias("b")
+    adj = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.node_id") != F.col("b.node_id")),
+        )
+        .select(F.col("a.node_id").alias("src"), F.col("b.node_id").alias("dst"))
+        .distinct()
+    )
+    adj.createOrReplaceTempView("kg_adj_v")
+    ents.select("node_id").createOrReplaceTempView("kg_ents_v")
+    return spark.sql(f"""
+        WITH RECURSIVE reach(node_id, depth) AS (
+          SELECT (SELECT MIN(node_id) FROM kg_ents_v), 0
+          UNION ALL
+          SELECT adj.dst, r.depth + 1
+          FROM reach r JOIN kg_adj_v adj ON adj.src = r.node_id
+          WHERE r.depth < {REACH_DEPTH}
+        )
+        SELECT node_id, CAST(MIN(depth) AS INT) AS depth
+        FROM reach
+        GROUP BY node_id
+        ORDER BY depth, node_id
+    """)

@@ -55,8 +55,9 @@ _REGISTRY: dict[str, Q] = {}
 # additions bm25_rerank_topk, dedup_clusters_star,
 # min_cost_part_supplier, nation_market_share, product_type_profit,
 # supplier_part_variety, excess_stock_suppliers,
-# sole_late_supplier_orders (doc_lm_perplexity and ann_recall_eval DID
-# make the r6 window). Lead the r7 window with these eight plus the
+# sole_late_supplier_orders, events_props_variant,
+# orders_date_spine_gaps, kg_reachability_sql (doc_lm_perplexity and ann_recall_eval DID
+# make the r6 window). Lead the r7 window with these eleven plus the
 # usual regression-guard core.
 _PRIORITY: tuple[str, ...] = (
     # --- Never-driver-checked until round 6 (35 queries) ---
