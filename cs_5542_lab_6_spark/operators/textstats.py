@@ -783,3 +783,69 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("total") / F.col("n_bigrams"), 4).alias("avg_nll"),
         F.round(F.exp(F.col("total") / F.col("n_bigrams")), 2).alias("ppl"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Cross-corpus duplicate-sentence statistics (paragraph-level dedup signal)
+# ---------------------------------------------------------------------------
+
+DUP_SENT_MIN_WORDS = 4
+DUP_SENT_TOP_K = 20
+
+
+@query(
+    "corpus_duplicate_sentences",
+    oracle=f"""
+    WITH sents AS (
+      SELECT doc_id,
+             trim(s.x) AS sent
+      FROM documents,
+           unnest(string_split(lower(text), '.')) AS s(x)
+    ),
+    kept AS (
+      SELECT doc_id, sent
+      FROM sents
+      WHERE len(regexp_split_to_array(trim(sent), '\\s+')) >= {DUP_SENT_MIN_WORDS}
+        AND trim(sent) <> ''
+    )
+    SELECT sent,
+           COUNT(*) AS n_occurrences,
+           COUNT(DISTINCT doc_id) AS n_docs
+    FROM kept
+    GROUP BY sent
+    HAVING COUNT(*) > 1
+    ORDER BY n_occurrences DESC, sent
+    LIMIT {DUP_SENT_TOP_K}
+    """,
+)
+def corpus_duplicate_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-granular duplication across the corpus — the signal
+    behind paragraph-level dedup (Dolma/FineWeb scrub repeated
+    boilerplate sentences even when whole documents are unique). Split
+    on '.', normalize (lowercase + trim), drop fragments under
+    {DUP_SENT_MIN_WORDS} words, and rank sentences appearing more than
+    once by occurrence count.
+
+    Scale shape: explode + hash-agg — one map-side-combinable pass; the
+    HAVING > 1 filter collapses the long unique tail before the global
+    top-k (TakeOrderedAndProject). At 100 TB the sentence strings would
+    be sha-hashed before the agg (the dedup-family discipline) and the
+    string surfaced only for the k survivors via a second tiny join."""
+    docs = load_table(spark, sf_dir, "documents")
+    sents = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), r"\.")).alias("raw"),
+    ).select("doc_id", F.trim(F.col("raw")).alias("sent"))
+    kept = sents.filter(
+        (F.col("sent") != "") & (F.size(words(F.col("sent"))) >= DUP_SENT_MIN_WORDS)
+    )
+    return (
+        kept.groupBy("sent")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_occurrences") > 1)
+        .orderBy(F.desc("n_occurrences"), F.asc("sent"))
+        .limit(DUP_SENT_TOP_K)
+    )

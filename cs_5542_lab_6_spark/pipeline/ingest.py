@@ -77,16 +77,39 @@ def build_corpus(
     ``resume`` (default), stages whose checkpoint already exists are
     skipped (data/ingestion.py:92-96). Returns the S9 verification
     report: per-table row count + OK/EMPTY status + skip flag."""
+    from pyspark.sql import Observation
+
     report: dict[str, dict[str, object]] = {}
     for name, builder, parts in STAGES:
         path = checkpoint_path(out_dir, name)
         skipped = resume and _has_checkpoint(path)
         t0 = time.perf_counter()
+        observed: dict[str, object] = {}
         if not skipped:
-            writer = builder(spark, sf_dir).write.mode("overwrite")
+            df = builder(spark, sf_dir)
+            # in-flight data-quality metrics via the Observation API:
+            # collected DURING the write pass (zero extra jobs), the
+            # production pattern for per-stage telemetry — row count,
+            # null keys in the leading column, and an approximate key
+            # cardinality (observe() only admits deterministic
+            # aggregates, so approx_count_distinct, not count_distinct)
+            key = df.columns[0]
+            obs = Observation(f"build_{name}")
+            df = df.observe(
+                obs,
+                F.count(F.lit(1)).alias("rows_written"),
+                F.sum(F.when(F.col(key).isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("null_keys"),
+                F.approx_count_distinct(key).alias("approx_keys"),
+            )
+            writer = df.write.mode("overwrite")
             if parts:
                 writer = writer.partitionBy(*parts)
             writer.parquet(path)
+            observed = dict(obs.get)
+        # the receipt row count always reads what is ON DISK (S9
+        # semantics) — the observed count cross-checks it
         n = spark.read.parquet(path).count()
         report[name] = {
             "rows": n,
@@ -96,6 +119,7 @@ def build_corpus(
             # from (which stage to bucket, where the skew is) — 0.0-ish
             # for resumed stages, the derivation+write cost otherwise
             "seconds": round(time.perf_counter() - t0, 3),
+            **observed,
         }
     return report
 

@@ -133,3 +133,22 @@ def test_partitioned_checkpoint_scan_prunes_directories(spark, sf_dir, tmp_path)
     data_filters = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
     if data_filters:
         assert "publication_year" not in data_filters.group(1)
+
+
+def test_build_report_carries_observed_metrics(spark, sf_dir, tmp_path):
+    """Fresh stages carry Observation-API metrics captured during the
+    write pass: observed row count equals the on-disk count, leading
+    keys are never null, and the approximate cardinality is sane.
+    Resumed stages (second build) skip the pass and carry none."""
+    out = str(tmp_path / "wh_obs")
+    report = build_corpus(spark, sf_dir, out, resume=False)
+    for name, entry in report.items():
+        assert entry["skipped"] is False
+        assert entry["rows_written"] == entry["rows"], name
+        assert entry["null_keys"] == 0, name
+        assert entry["approx_keys"] >= 1, name
+
+    again = build_corpus(spark, sf_dir, out, resume=True)
+    for name, entry in again.items():
+        assert entry["skipped"] is True
+        assert "rows_written" not in entry, name
