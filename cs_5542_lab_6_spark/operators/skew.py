@@ -141,3 +141,38 @@ def nation_price_medians(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+HH_TOP_K = 10
+
+
+@query("events_heavy_hitters_sketch")  # sketch-based: rows-only (no exact oracle)
+def events_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter users via Spark 4.1's sketch surface:
+    ``approx_top_k`` proposes the top-{HH_TOP_K} most frequent user_ids
+    with approximate counts, and an Apache DataSketches HLL
+    (``hll_sketch_agg``/``hll_sketch_estimate``) estimates the distinct
+    user universe those hitters dominate — the streaming-friendly pair a
+    100 TB event feed uses where an exact groupBy-count would shuffle
+    every row (both sketches are map-side mergeable, constant memory).
+    Deterministic for a fixed input, but not SQL-oracle-comparable
+    (DuckDB's sketches differ), so this joins orders_approx_stats in the
+    rows-only set; the unit test pins the error envelope against exact
+    counts instead."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events_hh_v")
+    top = spark.sql(
+        f"SELECT explode(approx_top_k(user_id, {HH_TOP_K})) AS e FROM events_hh_v"
+    ).select(
+        F.col("e.item").cast("long").alias("user_id"),
+        F.col("e.count").cast("long").alias("approx_count"),
+    )
+    universe = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id"))
+        .cast("long")
+        .alias("approx_distinct_users")
+    )
+    return (
+        top.crossJoin(F.broadcast(universe))
+        .orderBy(F.desc("approx_count"), F.asc("user_id"))
+    )

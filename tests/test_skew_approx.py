@@ -44,3 +44,41 @@ def test_approx_stats_error_envelope(spark, sf_dir):
         assert abs(row["approx_customers"] - nd) <= max(3, 0.05 * nd)
         assert row["n_orders"] == exact[status]["n"]
         assert row["price_p50"] <= row["price_p90"] <= row["price_p99"]
+
+
+def test_heavy_hitters_sketch_error_envelope(spark, sf_dir):
+    """approx_top_k counts and the HLL distinct-user estimate must land
+    within sketch error bounds of the exact answers, and the proposed
+    hitter set must cover the true top half of the exact top-k (sketch
+    rank inversions near ties are legitimate; missing a dominant key is
+    not)."""
+    from pyspark.sql import functions as F
+
+    from cs_5542_lab_6_spark.operators.skew import (
+        HH_TOP_K,
+        events_heavy_hitters_sketch,
+    )
+    from cs_5542_lab_6_spark.sources import load_table
+
+    got = events_heavy_hitters_sketch(spark, sf_dir).collect()
+    assert 1 <= len(got) <= HH_TOP_K
+
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    n_events = sum(exact.values())
+    for r in got:
+        true = exact[r["user_id"]]
+        # approx_top_k counts: within 1% of stream size of the truth
+        assert abs(r["approx_count"] - true) <= max(1, 0.01 * n_events), (
+            r["user_id"], r["approx_count"], true
+        )
+    # HLL: 3-sigma default-precision envelope (~5%)
+    est = got[0]["approx_distinct_users"]
+    assert abs(est - len(exact)) <= max(2, 0.05 * len(exact))
+    # coverage: the true top half of top-k all appear in the sketch set
+    true_top = sorted(exact, key=lambda u: (-exact[u], u))[: HH_TOP_K // 2]
+    sketch_set = {r["user_id"] for r in got}
+    assert set(true_top) <= sketch_set
