@@ -285,3 +285,38 @@ def quiet_wealthy_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+LATERAL_CUSTKEY_CAP = 100
+LATERAL_TOP_N = 2
+
+# Engine-portable verbatim: Spark 4 and DuckDB both accept this text.
+_LATERAL_SQL = f"""
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c
+JOIN LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT {LATERAL_TOP_N}
+) t ON true
+WHERE c.c_custkey < {LATERAL_CUSTKEY_CAP}
+ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
+"""
+
+
+@query("customer_top_orders_lateral", oracle=_LATERAL_SQL)
+def customer_top_orders_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-group LIMIT — the "top-N per
+    key as a join" idiom, run from the SAME SQL text on both engines
+    (like orders_date_spine_gaps' portable spine). Naively this is one
+    subquery execution per customer row; Spark decorrelates the lateral
+    into a single windowed plan (rank over the correlation key, filter
+    rank <= N) — the identical physical strategy
+    top3_orders_per_customer spells out manually with the DataFrame
+    window API, which is exactly the point: declarative lateral SQL and
+    the explicit window program meet at the same plan, so the SQL form
+    costs nothing at 100 TB."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)
