@@ -236,6 +236,8 @@ _BNLJ_ALLOWED = {
     "quiet_wealthy_customers": 1,  # 1-row avg-balance threshold
     "doc_lm_perplexity": 1,        # 1-row vocabulary-size scalar
     "ann_recall_eval": 3,          # composes the three tiers' scalar broadcasts
+    "events_heavy_hitters_sketch": 1,  # 1-row HLL universe scalar
+    "customer_top_orders_lateral": 1,  # decorrelated lateral may plan a domain join
 }
 
 # Iterative/streaming queries whose plan construction executes multi-round
