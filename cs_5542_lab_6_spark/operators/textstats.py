@@ -849,3 +849,68 @@ def corpus_duplicate_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), F.asc("sent"))
         .limit(DUP_SENT_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fitting: BPE merge-candidate induction (first merge round)
+# ---------------------------------------------------------------------------
+
+BPE_TOP_K = 20
+
+
+@query(
+    "corpus_bpe_merge_candidates",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN CAST([] AS VARCHAR[])
+                    ELSE regexp_split_to_array(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+') END) AS w
+      FROM documents
+    ),
+    pairs AS (
+      SELECT w[i] AS a, w[i + 1] AS b
+      FROM (SELECT string_split(w, '') AS w FROM toks),
+           unnest(range(1, len(w))) AS t(i)
+      WHERE len(w) >= 2
+    )
+    SELECT a || b AS pair, COUNT(*) AS n_occurrences
+    FROM pairs
+    GROUP BY a, b
+    ORDER BY n_occurrences DESC, pair
+    LIMIT {BPE_TOP_K}
+    """,
+)
+def corpus_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first round of BPE tokenizer training: count every adjacent
+    character pair inside whitespace tokens across the corpus and rank
+    the top-{BPE_TOP_K} merge candidates — exactly the statistic
+    ``merges.txt`` line 1 is chosen from (Sennrich et al. 2016). A full
+    trainer iterates merge → re-pair → count; each round is THIS query
+    over a progressively merged symbol stream, so the scaling argument
+    is the same: one explode + map-side-combinable hash-agg per round,
+    the long unique-pair tail collapsed before the global top-k.
+
+    Pure Catalyst: split to char array, index pairs with
+    transform(sequence), explode, count. No Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(words(F.lower(F.col("text")))).alias("w")
+    ).select(F.split("w", "").alias("cs"))
+    pairs = (
+        toks.filter(F.size("cs") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(cs) - 2),"
+                    " i -> struct(cs[i] AS a, cs[i + 1] AS b))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+    )
+    return (
+        pairs.groupBy("a", "b")
+        .agg(F.count("*").alias("n_occurrences"))
+        .select(F.concat("a", "b").alias("pair"), "n_occurrences")
+        .orderBy(F.desc("n_occurrences"), F.asc("pair"))
+        .limit(BPE_TOP_K)
+    )

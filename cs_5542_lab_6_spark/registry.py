@@ -58,8 +58,9 @@ _REGISTRY: dict[str, Q] = {}
 # sole_late_supplier_orders, events_props_variant,
 # orders_date_spine_gaps, kg_reachability_sql,
 # corpus_duplicate_sentences, events_heavy_hitters_sketch,
-# customer_top_orders_lateral (doc_lm_perplexity and ann_recall_eval DID
-# make the r6 window). Lead the r7 window with these fourteen plus the
+# customer_top_orders_lateral, corpus_bpe_merge_candidates,
+# sql_script_pipe_revenue (doc_lm_perplexity and ann_recall_eval DID
+# make the r6 window). Lead the r7 window with these sixteen plus the
 # usual regression-guard core.
 _PRIORITY: tuple[str, ...] = (
     # --- Never-driver-checked until round 6 (35 queries) ---

@@ -148,3 +148,52 @@ def run_sql_script_params(
     for stmt in split_sql_statements(script):
         result = spark.sql(stmt, args=params) if params else spark.sql(stmt)
     return result
+
+
+# Pipe-syntax + SQL-UDF script (Spark 4 SQL surfaces through the same
+# runner): a scalar SQL UDF declares the discounted-line-revenue
+# expression ONCE (typed DECIMAL so the arithmetic stays exact), and the
+# query body is |> pipe syntax — each stage reads top-down, the way the
+# optimizer sees it.
+_PIPE_SCRIPT = """
+CREATE OR REPLACE TEMPORARY FUNCTION line_revenue(
+    p DECIMAL(12,2), d DECIMAL(12,2)
+) RETURNS DECIMAL(16,4) RETURN p * (1.00 - d);
+
+FROM lineitem
+|> WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+|> AGGREGATE CAST(SUM(line_revenue(CAST(l_extendedprice AS DECIMAL(12,2)),
+                                   CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+             AS revenue,
+             COUNT(*) AS n_lines
+   GROUP BY l_returnflag
+|> ORDER BY l_returnflag
+"""
+
+
+@query(
+    "sql_script_pipe_revenue",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1.00 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+             AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def sql_script_pipe_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 pipe-syntax SQL (`|>`) plus a typed scalar SQL UDF, both
+    executed through the engine's standard script runner — the modern
+    spelling of the S12 surface. The UDF keeps the revenue expression in
+    DECIMAL end to end, so the result is value-hash exact against the
+    classic-syntax DuckDB oracle (pipe syntax is sugar: Catalyst lowers
+    it to the identical logical plan, which is the point — adopting the
+    2024 SQL style costs nothing at any scale)."""
+    register_views(spark, sf_dir)
+    result = run_sql_script(spark, _PIPE_SCRIPT)
+    assert result is not None
+    return result
