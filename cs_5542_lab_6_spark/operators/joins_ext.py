@@ -360,3 +360,74 @@ def events_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-type transition analysis (first-order Markov path statistics)
+# ---------------------------------------------------------------------------
+
+TRANSITION_TOP_K = 15
+
+
+@query(
+    "events_transition_matrix",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    trans AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    outdeg AS (
+      SELECT prev_type, CAST(SUM(n) AS BIGINT) AS total FROM trans GROUP BY 1
+    )
+    SELECT t.prev_type, t.next_type,
+           CAST(t.n AS BIGINT) AS n_transitions,
+           round(CAST(t.n AS DOUBLE) / o.total, 4) AS p_transition
+    FROM trans t JOIN outdeg o ON t.prev_type = o.prev_type
+    ORDER BY n_transitions DESC, t.prev_type, t.next_type
+    LIMIT {TRANSITION_TOP_K}
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition statistics over per-user event
+    sequences: lag() pairs each event with its predecessor (total order
+    ts, event_id — duplicate timestamps can't flip pairs), transitions
+    aggregate globally, and each row carries the conditional probability
+    P(next | prev). The product-analytics "path analysis" primitive —
+    funnels (events_conversion_funnel) are the special case of one
+    hand-picked path.
+
+    Scale shape: the lag window shuffles once on user_id (sequences stay
+    co-located); the transition agg is map-side combinable over a
+    |event_types|² key space; the out-degree normalizer is a tiny
+    broadcast join."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    trans = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count("*").alias("n")
+    )
+    outdeg = trans.groupBy(F.col("prev_type").alias("od_prev")).agg(
+        F.sum("n").cast("long").alias("total")
+    )
+    return (
+        trans.join(F.broadcast(outdeg), trans["prev_type"] == F.col("od_prev"))
+        .select(
+            "prev_type",
+            "next_type",
+            F.col("n").cast("long").alias("n_transitions"),
+            F.round(F.col("n").cast("double") / F.col("total"), 4).alias(
+                "p_transition"
+            ),
+        )
+        .orderBy(F.desc("n_transitions"), "prev_type", "next_type")
+        .limit(TRANSITION_TOP_K)
+    )

@@ -914,3 +914,67 @@ def corpus_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), F.asc("pair"))
         .limit(BPE_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-document unigram entropy (vocabulary-diversity quality signal)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_token_entropy",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN CAST([] AS VARCHAR[])
+                    ELSE regexp_split_to_array(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+') END) AS tok
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok
+    ),
+    dl AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM tf GROUP BY doc_id)
+    SELECT tf.doc_id,
+           dl.n AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           round(SUM(-(CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)
+                     ORDER BY tok) / ln(2.0), 4) AS entropy_bits
+    FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+    GROUP BY tf.doc_id, dl.n
+    ORDER BY tf.doc_id
+    """,
+)
+def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram (Shannon) entropy in bits — the
+    vocabulary-diversity quality signal: boilerplate and keyword-stuffed
+    documents score low, natural prose scores near log2(n_distinct).
+    Entropy terms fold in sorted-token order (the BM25/LM idiom), so the
+    double sum matches the oracle's ordered SUM to the rounded digit.
+
+    Scale shape: per-doc term frequencies are one hash-agg; the entropy
+    reduction is a second agg on the same doc_id partitioning — two
+    map-side-combinable passes, no joins beyond the tiny length
+    broadcast per group (carried in the grouping)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(words(F.lower(F.col("text")))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    per_doc = tf.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.array_sort(F.collect_list(F.struct("tok", "c"))).alias("terms"),
+    )
+    p = lambda x: x["c"].cast("double") / F.col("n_tokens")  # noqa: E731
+    entropy = F.aggregate(
+        F.col("terms"),
+        F.lit(0.0),
+        lambda acc, x: acc + (-p(x) * F.log(p(x))),
+    ) / F.log(F.lit(2.0))
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        F.round(entropy, 4).alias("entropy_bits"),
+    ).orderBy("doc_id")
