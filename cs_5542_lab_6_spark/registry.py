@@ -59,9 +59,9 @@ _REGISTRY: dict[str, Q] = {}
 # orders_date_spine_gaps, kg_reachability_sql,
 # corpus_duplicate_sentences, events_heavy_hitters_sketch,
 # customer_top_orders_lateral, corpus_bpe_merge_candidates,
-# sql_script_pipe_revenue, doc_token_entropy, events_transition_matrix
-# (doc_lm_perplexity and ann_recall_eval DID
-# make the r6 window). Lead the r7 window with these eighteen plus the
+# sql_script_pipe_revenue, doc_token_entropy, events_transition_matrix,
+# corpus_curation_decisions (doc_lm_perplexity and ann_recall_eval DID
+# make the r6 window). Lead the r7 window with these nineteen plus the
 # usual regression-guard core.
 _PRIORITY: tuple[str, ...] = (
     # --- Never-driver-checked until round 6 (35 queries) ---
@@ -179,6 +179,7 @@ def _load_all_modules() -> None:
         return
     from .operators import (  # noqa: F401
         cogrouped,
+        curation,
         dedup,
         joins_ext,
         mixing,

@@ -237,6 +237,7 @@ _BNLJ_ALLOWED = {
     "doc_lm_perplexity": 1,        # 1-row vocabulary-size scalar
     "ann_recall_eval": 3,          # composes the three tiers' scalar broadcasts
     "events_heavy_hitters_sketch": 1,  # 1-row HLL universe scalar
+    "corpus_curation_decisions": 1,    # composes doc_lm_perplexity's vocab scalar
     "customer_top_orders_lateral": 1,  # decorrelated lateral may plan a domain join
 }
 
