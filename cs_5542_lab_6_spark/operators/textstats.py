@@ -978,3 +978,135 @@ def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_distinct",
         F.round(entropy, 4).alias("entropy_bits"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Multi-round BPE training (greedy merge iteration over the vocabulary)
+# ---------------------------------------------------------------------------
+
+BPE_TRAIN_ROUNDS = 5
+
+_DUCK_BPE_BASE = """
+bpe_w AS (
+  SELECT w, COUNT(*) AS cnt FROM (
+    SELECT unnest(CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+') END) AS w
+    FROM documents
+  ) GROUP BY w
+),
+bpe_s0 AS (SELECT string_split(w, '') AS syms, cnt FROM bpe_w)
+"""
+
+
+def _duck_bpe_round(i: int) -> str:
+    """One BPE round in DuckDB SQL: weighted pair counts over the current
+    symbol streams, deterministic argmax, greedy left-to-right re-merge."""
+    prev = f"bpe_s{i - 1}"
+    return f"""
+bpe_p{i} AS (
+  SELECT syms[j] AS a, syms[j + 1] AS b, CAST(SUM(cnt) AS BIGINT) AS n
+  FROM {prev}, unnest(range(1, len(syms))) AS t(j)
+  WHERE len(syms) >= 2
+  GROUP BY 1, 2
+),
+bpe_m{i} AS (SELECT a, b, n FROM bpe_p{i} ORDER BY n DESC, a, b LIMIT 1),
+bpe_s{i} AS (
+  SELECT list_reduce(
+           list_prepend(CAST([] AS VARCHAR[]), list_transform(syms, x -> [x])),
+           (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m.a AND x[1] = m.b
+                       THEN list_append(acc[1:-2], m.a || m.b)
+                       ELSE list_append(acc, x[1]) END) AS syms,
+         cnt
+  FROM {prev} CROSS JOIN bpe_m{i} m
+)
+"""
+
+
+@query(
+    "corpus_bpe_train",
+    oracle="WITH "
+    + _DUCK_BPE_BASE
+    + ","
+    + ",".join(_duck_bpe_round(i).strip().rstrip(",") for i in range(1, BPE_TRAIN_ROUNDS + 1))
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT {i} AS round, a AS left_sym, b AS right_sym, a || b AS merged, n AS n_occurrences FROM bpe_m{i}"
+        for i in range(1, BPE_TRAIN_ROUNDS + 1)
+    )
+    + "\nORDER BY round",
+)
+def corpus_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, {BPE_TRAIN_ROUNDS} merge rounds — the full
+    iterative loop corpus_bpe_merge_candidates is round one of
+    (Sennrich et al. 2016): each round counts occurrence-weighted
+    adjacent symbol pairs over the CURRENT symbol streams, picks the
+    argmax merge (tiebreak lexicographic), and rewrites every stream
+    with a greedy left-to-right merge fold. The output is the merge
+    table (``merges.txt``).
+
+    Engine-exact iteration: the greedy fold has identical semantics in
+    Catalyst ``aggregate`` and DuckDB ``list_reduce`` (verified on
+    overlap cases like a,b,a,a,b), counts are integers, and the argmax
+    tiebreak is total — so the K-round trajectory is bit-identical.
+
+    Scale shape: the corpus collapses to the (word, count) VOCABULARY
+    after one hash-agg — every subsequent round is vocabulary-sized,
+    not corpus-sized (the property real BPE trainers rely on). Each
+    round = one explode + map-side-combinable agg + a 1-row argmax
+    collect (the sanctioned scalar boundary) + one narrow re-merge
+    projection; the vocabulary stays cached across rounds."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(words(F.lower(F.col("text")))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.split("w", "").alias("syms"), "cnt")
+        .cache()
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    prev_cached = vocab
+    try:
+        cur = vocab
+        for i in range(1, BPE_TRAIN_ROUNDS + 1):
+            pairs = (
+                cur.filter(F.size("syms") >= 2)
+                .select(
+                    F.explode(
+                        F.expr(
+                            "transform(sequence(0, size(syms) - 2),"
+                            " j -> struct(syms[j] AS a, syms[j + 1] AS b))"
+                        )
+                    ).alias("p"),
+                    "cnt",
+                )
+                .groupBy("p.a", "p.b")
+                .agg(F.sum("cnt").cast("long").alias("n"))
+            )
+            top = pairs.orderBy(F.desc("n"), F.asc("a"), F.asc("b")).limit(1).collect()
+            if not top:
+                break
+            a, b, n = top[0]["a"], top[0]["b"], top[0]["n"]
+            merged = a + b
+            merges.append((i, a, b, merged, n))
+            fold = F.aggregate(
+                F.col("syms"),
+                F.array().cast("array<string>"),
+                lambda acc, x: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(a))
+                    & (x == F.lit(b)),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+                    ),
+                ).otherwise(F.concat(acc, F.array(x))),
+            )
+            nxt = cur.select(fold.alias("syms"), "cnt").cache()
+            nxt.count()  # materialize before dropping the previous round
+            if prev_cached is not nxt:
+                prev_cached.unpersist()
+            prev_cached = cur = nxt
+        return spark.createDataFrame(
+            merges, "round int, left_sym string, right_sym string, merged string, n_occurrences long"
+        ).orderBy("round")
+    finally:
+        prev_cached.unpersist()

@@ -245,6 +245,7 @@ _BNLJ_ALLOWED = {
 # jobs (label propagation, micro-batches) — too slow for the sweep; each
 # has a targeted plan/oracle guard elsewhere in this file or the suite.
 _SWEEP_SKIP = {
+    "corpus_bpe_train",   # K argmax collects during construction
     "dedup_clusters",
     "dedup_clusters_star",
     "stream_tumbling_daily",
