@@ -97,3 +97,82 @@ def corpus_curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "curation_by_source",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, verdict, reasons
+      FROM (
+        SELECT q.doc_id,
+               CASE WHEN len(r.reasons) = 0 THEN 'keep' ELSE 'drop' END AS verdict,
+               COALESCE(array_to_string(r.reasons, ','), '') AS reasons
+        FROM (SELECT doc_id, quality_score FROM ({_sig("doc_quality_scores")})) q
+        JOIN (SELECT doc_id, ppl FROM ({_sig("doc_lm_perplexity")})) p
+          ON q.doc_id = p.doc_id
+        JOIN (SELECT doc_id, entropy_bits FROM ({_sig("doc_token_entropy")})) e
+          ON q.doc_id = e.doc_id
+        CROSS JOIN LATERAL (
+          SELECT list_sort(
+            [x FOR x IN [
+              CASE WHEN q.quality_score < {MIN_QUALITY} THEN 'low_quality' END,
+              CASE WHEN p.ppl > {MAX_PPL} THEN 'high_perplexity' END,
+              CASE WHEN e.entropy_bits < {MIN_ENTROPY_BITS} THEN 'low_entropy' END
+            ] IF x IS NOT NULL]) AS reasons
+        ) r
+      )
+    )
+    SELECT doc.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN d.verdict = 'keep' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_keep,
+           CAST(SUM(CASE WHEN d.verdict = 'drop' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_drop,
+           round(CAST(SUM(CASE WHEN d.verdict = 'drop' THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 4) AS drop_rate,
+           COALESCE(MIN(CASE WHEN d.verdict = 'drop' THEN d.reasons END), '')
+             AS sample_reasons
+    FROM d JOIN documents doc ON d.doc_id = doc.doc_id
+    GROUP BY doc.source
+    ORDER BY drop_rate DESC, doc.source
+    """,
+)
+def curation_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operational curation report: keep/drop rates per upstream
+    source, with a deterministic sample reason string — the table a
+    data-acquisition team actually reviews ("source X loses 60% of its
+    documents, mostly to low_quality; renegotiate or drop the feed").
+    Composes corpus_curation_decisions with the documents dim on doc_id;
+    the aggregation is one hash-agg over |sources| groups."""
+    from ..sources import load_table
+
+    decisions = corpus_curation_decisions(spark, sf_dir).select(
+        "doc_id", "verdict", "reasons"
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        decisions.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("verdict") == "keep", 1).otherwise(0))
+            .cast("long")
+            .alias("n_keep"),
+            F.sum(F.when(F.col("verdict") == "drop", 1).otherwise(0))
+            .cast("long")
+            .alias("n_drop"),
+            F.round(
+                F.sum(F.when(F.col("verdict") == "drop", 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count("*"),
+                4,
+            ).alias("drop_rate"),
+            F.coalesce(
+                F.min(F.when(F.col("verdict") == "drop", F.col("reasons"))),
+                F.lit(""),
+            ).alias("sample_reasons"),
+        )
+        .orderBy(F.desc("drop_rate"), F.asc("source"))
+    )
