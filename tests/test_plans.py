@@ -238,6 +238,7 @@ _BNLJ_ALLOWED = {
     "ann_recall_eval": 3,          # composes the three tiers' scalar broadcasts
     "events_heavy_hitters_sketch": 1,  # 1-row HLL universe scalar
     "corpus_curation_decisions": 1,    # composes doc_lm_perplexity's vocab scalar
+    "curation_by_source": 1,           # same composed scalar, one level up
     "customer_top_orders_lateral": 1,  # decorrelated lateral may plan a domain join
 }
 
