@@ -205,3 +205,58 @@ def zorder_table(
         "files_out": len(_parquet_files(out_path)),
         "cluster_cols": 2,
     }
+
+
+# ---------------------------------------------------------------------------
+# Table snapshots: copy-on-write versions + time travel on plain parquet
+# ---------------------------------------------------------------------------
+
+_SNAP_POINTER = "_CURRENT_VERSION"
+
+
+def snapshot_table(spark: SparkSession, table_path: str, snap_root: str) -> int:
+    """Write the table's current content as the next immutable version
+    under ``snap_root/v=N/`` and advance the ``_CURRENT_VERSION``
+    pointer — the copy-on-write snapshot idiom (Iceberg/Delta's
+    metadata-pointer commit, expressed on plain parquet). Readers that
+    resolved a version keep a consistent view forever; the pointer file
+    write is the single atomic commit point. Returns the new version.
+
+    At 100 TB a snapshot would not copy bytes — it would record the
+    current file manifest (pipeline/manifest.py) under v=N and share
+    unchanged files across versions; the read path below is identical
+    either way, which is what the test pins."""
+    import json
+
+    os.makedirs(snap_root, exist_ok=True)
+    current = read_current_version(snap_root)
+    version = current + 1
+    df = spark.read.parquet(table_path)
+    df.write.mode("errorifexists").parquet(os.path.join(snap_root, f"v={version}"))
+    tmp = os.path.join(snap_root, _SNAP_POINTER + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"version": version}, fh)
+    os.replace(tmp, os.path.join(snap_root, _SNAP_POINTER))  # atomic commit
+    return version
+
+
+def read_current_version(snap_root: str) -> int:
+    import json
+
+    p = os.path.join(snap_root, _SNAP_POINTER)
+    if not os.path.exists(p):
+        return 0
+    with open(p) as fh:
+        return int(json.load(fh)["version"])
+
+
+def read_snapshot(spark: SparkSession, snap_root: str, version: int | None = None):
+    """Time travel: read version N (default: the committed current
+    version). Uncommitted or missing versions fail loudly."""
+    v = read_current_version(snap_root) if version is None else version
+    path = os.path.join(snap_root, f"v={v}")
+    if v < 1 or not os.path.exists(path):
+        raise ValueError(f"snapshot v={v} does not exist under {snap_root}")
+    if v > read_current_version(snap_root):
+        raise ValueError(f"snapshot v={v} is not committed")
+    return spark.read.parquet(path)

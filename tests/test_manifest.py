@@ -83,3 +83,49 @@ def test_compact_partitioned_table_per_partition(spark, sf_dir, tmp_path):
         spark.read.parquet(os.path.join(out, p)).count() for p in audit
     )
     assert n_after == n_before
+
+
+def test_snapshot_time_travel(spark, sf_dir, tmp_path):
+    """Copy-on-write snapshots: each version is immutable, the pointer
+    advances atomically, old versions stay readable after the source
+    table changes (time travel), and uncommitted/missing versions fail
+    loudly."""
+    import pytest as _pytest
+
+    from cs_5542_lab_6_spark.pipeline.maintenance import (
+        read_current_version,
+        read_snapshot,
+        snapshot_table,
+    )
+
+    src = str(tmp_path / "orders_tbl")
+    snaps = str(tmp_path / "orders_snaps")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders.write.parquet(src)
+
+    v1 = snapshot_table(spark, src, snaps)
+    assert v1 == 1 and read_current_version(snaps) == 1
+    n1 = read_snapshot(spark, snaps).count()
+    assert n1 == orders.count()
+
+    # mutate the live table (delete half) and snapshot again — cut the
+    # lineage first (localCheckpoint) so the overwrite doesn't read the
+    # files it is replacing
+    halved = (
+        spark.read.parquet(src)
+        .filter("o_orderkey % 2 = 0")
+        .localCheckpoint(eager=True)
+    )
+    halved.write.mode("overwrite").parquet(src)
+    v2 = snapshot_table(spark, src, snaps)
+    assert v2 == 2
+
+    # time travel: v1 still sees the pre-delete rows; v2 sees the delete
+    assert read_snapshot(spark, snaps, 1).count() == n1
+    assert read_snapshot(spark, snaps, 2).count() < n1
+    assert read_snapshot(spark, snaps).count() == read_snapshot(spark, snaps, 2).count()
+
+    with _pytest.raises(ValueError):
+        read_snapshot(spark, snaps, 3)
+    with _pytest.raises(ValueError):
+        read_snapshot(spark, snaps, 0)
