@@ -1055,6 +1055,16 @@ def corpus_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     round = one explode + map-side-combinable agg + a 1-row argmax
     collect (the sanctioned scalar boundary) + one narrow re-merge
     projection; the vocabulary stays cached across rounds."""
+    merges, final_vocab = _bpe_iterate(spark, sf_dir, BPE_TRAIN_ROUNDS)
+    final_vocab.unpersist()
+    return spark.createDataFrame(
+        merges, "round int, left_sym string, right_sym string, merged string, n_occurrences long"
+    ).orderBy("round")
+
+
+def _bpe_iterate(spark: SparkSession, sf_dir: str, rounds: int):
+    """Run ``rounds`` greedy merge rounds; returns (merge list, the
+    FINAL cached (syms, cnt) vocabulary — caller must unpersist)."""
     docs = load_table(spark, sf_dir, "documents")
     vocab = (
         docs.select(F.explode(words(F.lower(F.col("text")))).alias("w"))
@@ -1067,7 +1077,7 @@ def corpus_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_cached = vocab
     try:
         cur = vocab
-        for i in range(1, BPE_TRAIN_ROUNDS + 1):
+        for i in range(1, rounds + 1):
             pairs = (
                 cur.filter(F.size("syms") >= 2)
                 .select(
@@ -1105,8 +1115,73 @@ def corpus_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             if prev_cached is not nxt:
                 prev_cached.unpersist()
             prev_cached = cur = nxt
-        return spark.createDataFrame(
-            merges, "round int, left_sym string, right_sym string, merged string, n_occurrences long"
-        ).orderBy("round")
-    finally:
+        return merges, cur
+    except BaseException:
         prev_cached.unpersist()
+        raise
+
+
+_DUCK_BPE_ALL_ROUNDS = (
+    _DUCK_BPE_BASE
+    + ","
+    + ",".join(
+        _duck_bpe_round(i).strip().rstrip(",")
+        for i in range(1, BPE_TRAIN_ROUNDS + 1)
+    )
+)
+
+
+@query(
+    "corpus_bpe_tokenize_stats",
+    oracle=f"""
+    WITH {_DUCK_BPE_ALL_ROUNDS}
+    SELECT CAST((SELECT SUM(cnt) FROM bpe_w) AS BIGINT) AS n_word_occurrences,
+           CAST((SELECT SUM(len(syms) * cnt) FROM bpe_s0) AS BIGINT)
+             AS symbols_before,
+           CAST((SELECT SUM(len(syms) * cnt) FROM bpe_s{BPE_TRAIN_ROUNDS})
+                AS BIGINT) AS symbols_after,
+           round(CAST((SELECT SUM(len(syms) * cnt) FROM bpe_s0) AS DOUBLE)
+                 / (SELECT SUM(len(syms) * cnt) FROM bpe_s{BPE_TRAIN_ROUNDS}),
+                 4) AS compression
+    """,
+)
+def corpus_bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train → APPLY: tokenize the corpus with the {BPE_TRAIN_ROUNDS}
+    learned merges and measure the sequence-length compression — the
+    number a tokenizer team actually optimizes (fewer symbols per word =
+    cheaper training tokens for the same text). Weighted by word
+    occurrence, so the ratio reflects the corpus, not the vocabulary.
+
+    Reuses the trainer's iteration verbatim (one code path for train and
+    apply); the final aggregate is vocabulary-sized."""
+    merges, final_vocab = _bpe_iterate(spark, sf_dir, BPE_TRAIN_ROUNDS)
+    try:
+        row = final_vocab.agg(
+            F.sum("cnt").cast("long").alias("n_word_occurrences"),
+            F.sum(F.size("syms") * F.col("cnt")).cast("long").alias("symbols_after"),
+            F.sum(
+                F.aggregate(
+                    F.col("syms"),
+                    F.lit(0),
+                    lambda acc, x: acc + F.length(x),
+                )
+                * F.col("cnt")
+            )
+            .cast("long")
+            .alias("chars"),
+        ).collect()[0]
+    finally:
+        final_vocab.unpersist()
+    before = int(row["chars"])  # symbols_before == total characters
+    after = int(row["symbols_after"])
+    return spark.createDataFrame(
+        [
+            (
+                int(row["n_word_occurrences"]),
+                before,
+                after,
+                round(before / after, 4),
+            )
+        ],
+        "n_word_occurrences long, symbols_before long, symbols_after long, compression double",
+    )

@@ -60,9 +60,9 @@ _REGISTRY: dict[str, Q] = {}
 # corpus_duplicate_sentences, events_heavy_hitters_sketch,
 # customer_top_orders_lateral, corpus_bpe_merge_candidates,
 # sql_script_pipe_revenue, doc_token_entropy, events_transition_matrix,
-# corpus_curation_decisions, corpus_bpe_train, curation_by_source
-# (doc_lm_perplexity and ann_recall_eval DID
-# make the r6 window). Lead the r7 window with these twenty-one plus the
+# corpus_curation_decisions, corpus_bpe_train, curation_by_source,
+# corpus_bpe_tokenize_stats (doc_lm_perplexity and ann_recall_eval DID
+# make the r6 window). Lead the r7 window with these twenty-two plus the
 # usual regression-guard core.
 _PRIORITY: tuple[str, ...] = (
     # --- Never-driver-checked until round 6 (35 queries) ---

@@ -247,6 +247,7 @@ _BNLJ_ALLOWED = {
 # has a targeted plan/oracle guard elsewhere in this file or the suite.
 _SWEEP_SKIP = {
     "corpus_bpe_train",   # K argmax collects during construction
+    "corpus_bpe_tokenize_stats",  # same iteration, plus the final aggregate
     "dedup_clusters",
     "dedup_clusters_star",
     "stream_tumbling_daily",
