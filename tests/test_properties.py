@@ -176,10 +176,15 @@ def test_dot_and_normalize_bit_exact_vs_sequential_fold(spark, pairs):
         for x, y in zip(a, b):
             acc = acc + (x * y)  # same left-to-right IEEE order as F.aggregate
         assert r["d"] == acc
+        import math
+
         sq = 0.0
         for x in a:
             sq = sq + (x * x)
-        nrm = sq**0.5
+        # math.sqrt, NOT sq**0.5: pow(x, 0.5) is not correctly rounded
+        # (Hypothesis found a 1-ulp divergence at [1.1, 2.00001, 1e-05]);
+        # IEEE-754 sqrt is, and the JVM's F.sqrt matches it bit-for-bit
+        nrm = math.sqrt(sq)
         expected = [x / nrm for x in a] if nrm > 0 else list(a)
         assert r["n"] == expected
 
