@@ -288,3 +288,73 @@ def customer_order_value_extremes(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("o_custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation (recency / frequency / monetary ntiles)
+# ---------------------------------------------------------------------------
+
+RFM_BUCKETS = 4
+
+
+@query(
+    "customer_rfm_segments",
+    oracle=f"""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             MAX(o_orderdate) AS last_order,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT *,
+             ntile({RFM_BUCKETS}) OVER (ORDER BY last_order DESC, o_custkey) AS r,
+             ntile({RFM_BUCKETS}) OVER (ORDER BY n_orders DESC, o_custkey) AS f,
+             ntile({RFM_BUCKETS}) OVER (ORDER BY spend DESC, o_custkey) AS m
+      FROM per_cust
+    )
+    SELECT r, f, m,
+           COUNT(*) AS n_customers,
+           CAST(SUM(n_orders) AS BIGINT) AS total_orders,
+           CAST(SUM(CAST(spend AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+    FROM scored
+    GROUP BY r, f, m
+    ORDER BY r, f, m
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic customer-analytics rollup: per
+    customer recency (last order), frequency (order count), monetary
+    (exact-decimal spend), each quartiled with ntile({RFM_BUCKETS}) under
+    a total order (custkey tiebreak, so bucket boundaries are
+    deterministic cross-engine), then segments aggregated.
+
+    Scale note: the three ntiles are GLOBAL windows — one single-
+    partition sort each over the per-customer rollup (|customers| rows,
+    not |orders|). At 100 TB you'd replace ntile with percentile-based
+    bucket edges (two passes, fully parallel); at fixture scale the
+    windows ARE the point — §2.5's ntile surface on a real workload."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("spend"),
+    )
+    r = F.ntile(RFM_BUCKETS).over(W.orderBy(F.desc("last_order"), F.asc("o_custkey")))
+    f = F.ntile(RFM_BUCKETS).over(W.orderBy(F.desc("n_orders"), F.asc("o_custkey")))
+    m = F.ntile(RFM_BUCKETS).over(W.orderBy(F.desc("spend"), F.asc("o_custkey")))
+    scored = per_cust.select(
+        "n_orders", "spend", r.alias("r"), f.alias("f"), m.alias("m")
+    )
+    return (
+        scored.groupBy("r", "f", "m")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("n_orders").cast("long").alias("total_orders"),
+            F.sum(F.col("spend").cast("decimal(18,2)")).cast("double").alias("total_spend"),
+        )
+        .orderBy("r", "f", "m")
+    )

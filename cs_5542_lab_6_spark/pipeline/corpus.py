@@ -1546,3 +1546,69 @@ def kg_reachability_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY node_id
         ORDER BY depth, node_id
     """)
+
+
+@query(
+    "kg_degree_distribution",
+    oracle=f"""
+    WITH {_CORPUS_CTES},
+    adj AS (
+      SELECT a.node_id AS src, b.node_id AS dst
+      FROM ents a JOIN ents b
+        ON a.chunk_id = b.chunk_id AND a.node_id <> b.node_id
+      GROUP BY 1, 2
+    ),
+    deg AS (SELECT src, COUNT(*) AS d FROM adj GROUP BY src),
+    binned AS (
+      SELECT CAST(floor(ln(d) / ln(2)) AS INTEGER) AS log2_bin, d FROM deg
+    )
+    SELECT log2_bin,
+           CAST(power(2, log2_bin) AS BIGINT) AS bin_floor,
+           COUNT(*) AS n_nodes,
+           CAST(MIN(d) AS BIGINT) AS min_degree,
+           CAST(MAX(d) AS BIGINT) AS max_degree
+    FROM binned
+    GROUP BY log2_bin
+    ORDER BY log2_bin
+    """,
+)
+def kg_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log₂-binned degree histogram of the co-occurrence KG — the
+    first thing a graph engineer looks at before choosing a plan
+    (kg_triangle_stats' degree-ordering and kg_pagerank's skew
+    tolerance are both judged against this shape: a heavy tail means
+    hub-aware orientation and salting matter; a flat histogram means
+    the simple plans win). Degrees are integers, the bin edge is
+    floor(log2 d) — exact in both engines for the KG's degree range."""
+    ents = chunk_entities_df(spark, sf_dir).select("chunk_id", "node_id")
+    a, b = ents.alias("a"), ents.alias("b")
+    deg = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.node_id") != F.col("b.node_id")),
+        )
+        .select(F.col("a.node_id").alias("src"), F.col("b.node_id").alias("dst"))
+        .distinct()
+        .groupBy("src")
+        .agg(F.count("*").alias("d"))
+    )
+    binned = deg.withColumn(
+        "log2_bin", F.floor(F.log(F.col("d").cast("double")) / F.log(F.lit(2.0))).cast("int")
+    )
+    return (
+        binned.groupBy("log2_bin")
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.min("d").cast("long").alias("min_degree"),
+            F.max("d").cast("long").alias("max_degree"),
+        )
+        .select(
+            "log2_bin",
+            F.pow(F.lit(2.0), F.col("log2_bin")).cast("long").alias("bin_floor"),
+            "n_nodes",
+            "min_degree",
+            "max_degree",
+        )
+        .orderBy("log2_bin")
+    )

@@ -61,8 +61,9 @@ _REGISTRY: dict[str, Q] = {}
 # customer_top_orders_lateral, corpus_bpe_merge_candidates,
 # sql_script_pipe_revenue, doc_token_entropy, events_transition_matrix,
 # corpus_curation_decisions, corpus_bpe_train, curation_by_source,
-# corpus_bpe_tokenize_stats (doc_lm_perplexity and ann_recall_eval DID
-# make the r6 window). Lead the r7 window with these twenty-two plus the
+# corpus_bpe_tokenize_stats, kg_degree_distribution,
+# customer_rfm_segments (doc_lm_perplexity and ann_recall_eval DID
+# make the r6 window). Lead the r7 window with these twenty-four plus the
 # usual regression-guard core.
 _PRIORITY: tuple[str, ...] = (
     # --- Never-driver-checked until round 6 (35 queries) ---
