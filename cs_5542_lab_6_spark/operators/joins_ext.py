@@ -431,3 +431,45 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_transitions"), "prev_type", "next_type")
         .limit(TRANSITION_TOP_K)
     )
+
+
+@query(
+    "events_hourly_seasonality",
+    oracle="""
+    SELECT CAST(isodow(ts) AS INTEGER) AS day_of_week,
+           CAST(hour(ts) AS INTEGER) AS hour_of_day,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchases
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY day_of_week, hour_of_day
+    """,
+)
+def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day x ISO-day-of-week activity profile — the seasonality
+    heatmap capacity planning and anomaly baselines start from
+    (events_daily_anomaly's z-scores assume you know this shape). One
+    map-side-combinable agg over at most 168 groups; the timestamp
+    bucketing happens in the scan projection."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.dayofweek(F.col("ts")).alias("dow_sun1"),
+            F.hour("ts").alias("hour_of_day"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("n_purchases"),
+        )
+        # Spark's dayofweek is 1=Sunday; ISO is 1=Monday: shift exactly
+        .select(
+            (((F.col("dow_sun1") + 5) % 7) + 1).cast("int").alias("day_of_week"),
+            F.col("hour_of_day").cast("int"),
+            "n_events",
+            "n_purchases",
+        )
+        .orderBy("day_of_week", "hour_of_day")
+    )

@@ -62,8 +62,8 @@ _REGISTRY: dict[str, Q] = {}
 # sql_script_pipe_revenue, doc_token_entropy, events_transition_matrix,
 # corpus_curation_decisions, corpus_bpe_train, curation_by_source,
 # corpus_bpe_tokenize_stats, kg_degree_distribution,
-# customer_rfm_segments (doc_lm_perplexity and ann_recall_eval DID
-# make the r6 window). Lead the r7 window with these twenty-four plus the
+# customer_rfm_segments, events_hourly_seasonality (doc_lm_perplexity and ann_recall_eval DID
+# make the r6 window). Lead the r7 window with these twenty-five plus the
 # usual regression-guard core.
 _PRIORITY: tuple[str, ...] = (
     # --- Never-driver-checked until round 6 (35 queries) ---
