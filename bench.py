@@ -197,21 +197,28 @@ def main() -> None:
     except ValueError:
         sf_val = sf
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_detail": detail,
-                "runs_per_query": RUNS,
-                "setup": setup,
-                "scale_stress": scale,
-                "sf": sf_val,
-            }
-        )
+    full = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_detail": detail,
+        "runs_per_query": RUNS,
+        "setup": setup,
+        "scale_stress": scale,
+        "sf": sf_val,
+    }
+    print(json.dumps(full))
+    # Persist the complete per-query runs/medians to a repo file (VERDICT
+    # r6 item 2): the driver's stdout tail capture truncates the full JSON
+    # line (~6 KB) mid-stream, so r5/r6 lost most per-query medians. The
+    # on-disk copy keeps the full history diffable regardless of capture.
+    results_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_results.json"
     )
+    with open(results_path, "w") as fh:
+        json.dump(full, fh, indent=1, sort_keys=True)
+        fh.write("\n")
     # Second, compact line AFTER the full JSON (VERDICT r5 item 2): the
     # round driver captures only the last ~2,000 chars of stdout, and the
     # full line above is ~6 KB, so rounds were losing the headline value.

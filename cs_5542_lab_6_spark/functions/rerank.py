@@ -103,7 +103,10 @@ def rerank_score(query: Column | str, text: Column | str) -> Column:
 
 def duck_rerank_score(query_literal: str, text_expr: str) -> str:
     """DuckDB twin of the default scorer for a constant query string."""
-    pair = f"concat('{query_literal}', '|', substr({text_expr}, 1, {_HEAD_CHARS}))"
+    # SQL-escape the literal (' -> '') so a query containing a quote can't
+    # produce a syntactically broken or semantically wrong oracle.
+    escaped = query_literal.replace("'", "''")
+    pair = f"concat('{escaped}', '|', substr({text_expr}, 1, {_HEAD_CHARS}))"
     return (
         f"CAST(concat('0x', substr(sha256({pair}), 1, 15)) AS BIGINT)"
         f" / {_TWO_60!r}"

@@ -39,7 +39,8 @@ def _sig(name: str) -> str:
     e AS (SELECT doc_id, entropy_bits FROM ({_sig("doc_token_entropy")})),
     joined AS (
       SELECT q.doc_id, q.quality_score, p.ppl, e.entropy_bits
-      FROM q JOIN p ON q.doc_id = p.doc_id JOIN e ON q.doc_id = e.doc_id
+      FROM q LEFT JOIN p ON q.doc_id = p.doc_id
+             LEFT JOIN e ON q.doc_id = e.doc_id
     ),
     flagged AS (
       SELECT *,
@@ -47,7 +48,8 @@ def _sig(name: str) -> str:
                [x FOR x IN [
                  CASE WHEN quality_score < {MIN_QUALITY} THEN 'low_quality' END,
                  CASE WHEN ppl > {MAX_PPL} THEN 'high_perplexity' END,
-                 CASE WHEN entropy_bits < {MIN_ENTROPY_BITS} THEN 'low_entropy' END
+                 CASE WHEN entropy_bits < {MIN_ENTROPY_BITS} THEN 'low_entropy' END,
+                 CASE WHEN ppl IS NULL OR entropy_bits IS NULL THEN 'too_short' END
                ] IF x IS NOT NULL]
              ) AS reasons
       FROM joined
@@ -66,6 +68,12 @@ def corpus_curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit WHY a document left the corpus (the requirement datasheets
     and data-governance reviews actually impose).
 
+    Every document gets exactly one decision row: the quality signal
+    covers the full corpus and anchors LEFT joins to the other two, so
+    degenerate documents the LM/entropy signals can't score (<2 tokens —
+    no bigrams, no term distribution) surface as an explicit 'too_short'
+    drop instead of silently escaping curation (round-6 advice).
+
     Scale shape: the three signal queries share the documents scan
     lineage and join on doc_id — co-partitioned aggregations over the
     same key, no signal materializes more than its per-doc row. Rules
@@ -74,13 +82,17 @@ def corpus_curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = doc_quality_scores(spark, sf_dir).select("doc_id", "quality_score")
     p = doc_lm_perplexity(spark, sf_dir).select("doc_id", "ppl")
     e = doc_token_entropy(spark, sf_dir).select("doc_id", "entropy_bits")
-    joined = q.join(p, "doc_id").join(e, "doc_id")
+    joined = q.join(p, "doc_id", "left").join(e, "doc_id", "left")
     reasons = F.array_sort(
         F.filter(
             F.array(
                 F.when(F.col("quality_score") < MIN_QUALITY, "low_quality"),
                 F.when(F.col("ppl") > MAX_PPL, "high_perplexity"),
                 F.when(F.col("entropy_bits") < MIN_ENTROPY_BITS, "low_entropy"),
+                F.when(
+                    F.col("ppl").isNull() | F.col("entropy_bits").isNull(),
+                    "too_short",
+                ),
             ),
             lambda x: x.isNotNull(),
         )
@@ -104,24 +116,7 @@ def corpus_curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH d AS (
       SELECT doc_id, verdict, reasons
-      FROM (
-        SELECT q.doc_id,
-               CASE WHEN len(r.reasons) = 0 THEN 'keep' ELSE 'drop' END AS verdict,
-               COALESCE(array_to_string(r.reasons, ','), '') AS reasons
-        FROM (SELECT doc_id, quality_score FROM ({_sig("doc_quality_scores")})) q
-        JOIN (SELECT doc_id, ppl FROM ({_sig("doc_lm_perplexity")})) p
-          ON q.doc_id = p.doc_id
-        JOIN (SELECT doc_id, entropy_bits FROM ({_sig("doc_token_entropy")})) e
-          ON q.doc_id = e.doc_id
-        CROSS JOIN LATERAL (
-          SELECT list_sort(
-            [x FOR x IN [
-              CASE WHEN q.quality_score < {MIN_QUALITY} THEN 'low_quality' END,
-              CASE WHEN p.ppl > {MAX_PPL} THEN 'high_perplexity' END,
-              CASE WHEN e.entropy_bits < {MIN_ENTROPY_BITS} THEN 'low_entropy' END
-            ] IF x IS NOT NULL]) AS reasons
-        ) r
-      )
+      FROM ({_sig("corpus_curation_decisions")})
     )
     SELECT doc.source,
            COUNT(*) AS n_docs,

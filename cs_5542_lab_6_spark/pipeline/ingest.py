@@ -92,7 +92,12 @@ def build_corpus(
             # production pattern for per-stage telemetry — row count,
             # null keys in the leading column, and an approximate key
             # cardinality (observe() only admits deterministic
-            # aggregates, so approx_count_distinct, not count_distinct)
+            # aggregates, so approx_count_distinct, not count_distinct).
+            # ADVISORY metrics: on a real cluster, task retries and
+            # speculative execution can double-count observed rows, so
+            # rows_written may exceed the on-disk count below — the
+            # parquet re-count stays the authoritative S9 receipt and
+            # the observed values are telemetry, not assertions.
             key = df.columns[0]
             obs = Observation(f"build_{name}")
             df = df.observe(

@@ -143,13 +143,19 @@ def _spread16(x):
 
 def zorder_value(a, b, a_min: int, a_max: int, b_min: int, b_max: int):
     """Interleaved 32-bit Morton code of two numeric columns, each
-    min/max-scaled to 16 bits. Deterministic given the bounds."""
+    min/max-scaled to 16 bits. Deterministic given the bounds. NULL
+    values scale to bucket 0 (nulls-first) — without the explicit
+    branch they would fall through ``least``'s null-skipping to bucket
+    65535 and co-locate with the max values, poisoning the top
+    row-group's min/max envelope."""
 
     def scale(c, mn, mx):
-        if mx <= mn:
+        if mn is None or mx is None or mx <= mn:
             return F.lit(0).cast("long")
         scaled = ((c.cast("double") - float(mn)) * (65535.0 / (float(mx) - float(mn))))
-        return F.least(F.floor(scaled).cast("long"), F.lit(65535).cast("long"))
+        return F.when(c.isNull(), F.lit(0)).otherwise(
+            F.least(F.floor(scaled).cast("long"), F.lit(65535).cast("long"))
+        )
 
     return _spread16(scale(a, a_min, a_max)).bitwiseOR(
         F.shiftleft(_spread16(scale(b, b_min, b_max)), 1)
@@ -260,3 +266,100 @@ def read_snapshot(spark: SparkSession, snap_root: str, version: int | None = Non
     if v > read_current_version(snap_root):
         raise ValueError(f"snapshot v={v} is not committed")
     return spark.read.parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff as a registry query (driver-checkable time travel)
+# ---------------------------------------------------------------------------
+
+SNAP_CUT_V1 = "1995-06-01"
+SNAP_CUT_V2 = "1996-06-01"
+
+
+def _register_snapshot_diff() -> None:
+    # local import: registry imports this module, so the decorator import
+    # happens lazily to avoid a cycle at module-load time
+    from ..registry import query
+    from ..sources.tables import load_table
+
+    @query(
+        "corpus_snapshot_diff",
+        oracle=f"""
+        WITH v1 AS (SELECT * FROM orders WHERE o_orderdate < DATE '{SNAP_CUT_V1}'),
+        v2 AS (SELECT * FROM orders WHERE o_orderdate < DATE '{SNAP_CUT_V2}'),
+        added AS (
+          SELECT o_orderstatus, COUNT(*) AS n_orders
+          FROM v2 WHERE o_orderkey NOT IN (SELECT o_orderkey FROM v1)
+          GROUP BY o_orderstatus
+        ),
+        removed AS (
+          SELECT o_orderstatus, COUNT(*) AS n_orders
+          FROM v1 WHERE o_orderkey NOT IN (SELECT o_orderkey FROM v2)
+          GROUP BY o_orderstatus
+        )
+        SELECT 'added' AS change, o_orderstatus, CAST(n_orders AS BIGINT) AS n_orders
+        FROM added
+        UNION ALL
+        SELECT 'removed' AS change, o_orderstatus, CAST(n_orders AS BIGINT) AS n_orders
+        FROM removed
+        ORDER BY change, o_orderstatus
+        """,
+    )
+    def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> "DataFrame":
+        """Time travel made driver-checkable: materialize the orders table
+        at two points of its ingest history (everything before
+        {SNAP_CUT_V1}, then before {SNAP_CUT_V2}), commit each as an
+        immutable copy-on-write snapshot (v=1, v=2 with the atomic
+        ``_CURRENT_VERSION`` pointer), then diff the two FROZEN versions
+        through the ``read_snapshot`` reader — per-status counts of
+        orders added/removed between versions. The oracle recomputes the
+        same diff relationally from the base table, so the whole
+        snapshot-write → pointer-commit → versioned-read path is
+        value-checked, not just unit-tested.
+
+        Scale shape: at 100 TB a snapshot records the file manifest
+        instead of copying bytes (see ``snapshot_table``), and the diff
+        is a left-anti join per direction on the snapshot key — shuffle
+        on o_orderkey, map-side-combinable count agg. Fixture-scale
+        copies here keep the read path identical."""
+        import shutil
+        import tempfile
+
+        o = load_table(spark, sf_dir, "orders")
+        root = tempfile.mkdtemp(prefix="snap_diff_")
+        table_path = os.path.join(root, "orders_live")
+        snap_root = os.path.join(root, "snaps")
+        try:
+            o.filter(F.col("o_orderdate") < SNAP_CUT_V1).write.mode(
+                "overwrite"
+            ).parquet(table_path)
+            v1 = snapshot_table(spark, table_path, snap_root)
+            o.filter(F.col("o_orderdate") < SNAP_CUT_V2).write.mode(
+                "overwrite"
+            ).parquet(table_path)
+            v2 = snapshot_table(spark, table_path, snap_root)
+            s1 = read_snapshot(spark, snap_root, v1)
+            s2 = read_snapshot(spark, snap_root, v2)
+
+            def _counts(df, label):
+                return df.groupBy("o_orderstatus").agg(
+                    F.count("*").cast("long").alias("n_orders")
+                ).select(F.lit(label).alias("change"), "o_orderstatus", "n_orders")
+
+            added = s2.join(s1.select("o_orderkey"), "o_orderkey", "left_anti")
+            removed = s1.join(s2.select("o_orderkey"), "o_orderkey", "left_anti")
+            out = (
+                _counts(added, "added")
+                .unionAll(_counts(removed, "removed"))
+                .orderBy("change", "o_orderstatus")
+            )
+            # materialize before the snapshot files vanish: the caller
+            # (driver/parity harness) collects AFTER this function returns,
+            # when the temp dir is gone — localCheckpoint pins the result
+            out = out.localCheckpoint(eager=True)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+        return out
+
+
+_register_snapshot_diff()

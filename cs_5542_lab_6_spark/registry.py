@@ -37,92 +37,71 @@ _REGISTRY: dict[str, Q] = {}
 # Driver-facing registration order. The correctness harness evaluates a
 # bounded prefix of ``queries()`` (50 entries), so ordering IS the
 # verification budget. The window ROTATES across rounds (VERDICT r4
-# item 4; VERDICT r5 item 1): rounds 1-4 checked the reference-parity
-# corpus/agent/SQL surface; round 5 rotated in streaming/ranking/
-# quality/maintenance; round 6 rotates in EVERY query that has never
-# had a driver CORRECTNESS row (the 35 remaining: decorrelated
-# subqueries, provenance, mixing, graph analytics, retention/anomaly,
-# cogroup, k-means, stragglers) plus 15 regression guards spanning the
-# families that carried fixes in rounds 4-5. After r6, every registered
-# query has appeared green in some round's driver file. Rotated-out
-# queries stay verified every session by tests/test_oracle_parity.py
-# (same rows+schema+value-hash check over all registered oracles).
-# Everything not listed keeps module registration order after the
-# listed prefix.
-#
-# ROUND-7 ROTATION CANDIDATES (queries added mid-round-6, after the
-# window froze — none has a driver CORRECTNESS row yet): the round-6
-# additions bm25_rerank_topk, dedup_clusters_star,
-# min_cost_part_supplier, nation_market_share, product_type_profit,
-# supplier_part_variety, excess_stock_suppliers,
-# sole_late_supplier_orders, events_props_variant,
-# orders_date_spine_gaps, kg_reachability_sql,
-# corpus_duplicate_sentences, events_heavy_hitters_sketch,
-# customer_top_orders_lateral, corpus_bpe_merge_candidates,
-# sql_script_pipe_revenue, doc_token_entropy, events_transition_matrix,
-# corpus_curation_decisions, corpus_bpe_train, curation_by_source,
-# corpus_bpe_tokenize_stats, kg_degree_distribution,
-# customer_rfm_segments, events_hourly_seasonality (doc_lm_perplexity and ann_recall_eval DID
-# make the r6 window). Lead the r7 window with these twenty-five plus the
-# usual regression-guard core.
+# item 4; VERDICT r5 item 1; VERDICT r6 item 1): rounds 1-4 checked the
+# reference-parity corpus/agent/SQL surface; round 5 rotated in
+# streaming/ranking/quality/maintenance; round 6 rotated in the 35
+# then-never-checked queries. Round 7 leads with the 26 queries that
+# STILL lack a driver CORRECTNESS row — the 25 mid-round-6 additions
+# (registered after the r6 window froze) plus orders_approx_stats
+# (rows-only; errored on the r1 canonicalizer and never re-windowed).
+# After r7, every registered query has appeared green in some round's
+# driver file. Rotated-out queries stay verified every session by
+# tests/test_oracle_parity.py (same rows+schema+value-hash check over
+# all registered oracles) and the sf0.1 scale canary
+# (tests/test_scale_canary.py). Everything not listed keeps module
+# registration order after the listed prefix.
 _PRIORITY: tuple[str, ...] = (
-    # --- Never-driver-checked until round 6 (35 queries) ---
-    # Decorrelated-subquery family (§2: correlated scalar/EXISTS/IN
-    # rewritten as joins + pre-aggregations)
-    "small_quantity_part_revenue",
-    "large_order_customers",
-    "national_supplier_share",
-    "top_supplier_revenue",
-    "quiet_wealthy_customers",
-    "customer_order_presence",
-    "order_priority_exists_counts",
-    "customer_order_count_histogram",
-    "promo_revenue_share",
-    "discounted_bulk_revenue",
-    "nation_trade_flows",
-    "returned_item_customers",
-    "nation_price_medians",
-    # Source provenance family
-    "source_quality_profile",
-    "source_blocklist_filter",
-    "source_overlap_matrix",
-    "corpus_datasheet",
-    # Data mixing / sampling family
-    "corpus_stratified_sample",
-    "corpus_mixture_plan",
-    "doc_sequence_packing",
-    "doc_token_familiarity",
-    "corpus_weighted_sample",
-    # Graph analytics + clustering
-    "kg_pagerank",
-    "kg_triangle_stats",
-    "embedding_kmeans",
-    # Dedup extensions
-    "dedup_incremental",
-    "contamination_purge_counts",
-    # Event analytics
-    "events_retention_cohorts",
-    "events_daily_anomaly",
-    # Cogrouped merge + streaming straggler
-    "user_click_purchase_cogroup",
-    "stream_user_enriched_counts",
-    # Text / window / agent stragglers
-    "language_id_confusion",
-    "customer_order_value_extremes",
-    "chunk_windows_demo",
-    "agent_paper_details",
-    # --- Regression guards (15): one per family that carried a fix ---
+    # --- Never-driver-checked (26): the mid-round-6 additions + the
+    # --- rows-only straggler. One green row each closes rotation debt.
+    # BPE tokenizer family
+    "corpus_bpe_merge_candidates",
+    "corpus_bpe_train",
+    "corpus_bpe_tokenize_stats",
+    # Curation capstone
+    "corpus_curation_decisions",
+    "curation_by_source",
+    # Ranking two-stage
+    "bm25_rerank_topk",
+    # Dedup large-star/small-star clustering
+    "dedup_clusters_star",
+    # TPC-H Q2/Q8/Q9/Q16/Q20/Q21 shapes
+    "min_cost_part_supplier",
+    "nation_market_share",
+    "product_type_profit",
+    "supplier_part_variety",
+    "excess_stock_suppliers",
+    "sole_late_supplier_orders",
+    # Semi-structured / calendar / recursion
+    "events_props_variant",
+    "orders_date_spine_gaps",
+    "kg_reachability_sql",
+    # Text quality stragglers
+    "corpus_duplicate_sentences",
+    "doc_token_entropy",
+    # Sketches (rows-only: probabilistic, error-envelope unit-tested)
+    "events_heavy_hitters_sketch",
+    "orders_approx_stats",
+    # Correlated LATERAL + pipe-syntax SQL script
+    "customer_top_orders_lateral",
+    "sql_script_pipe_revenue",
+    # Event analytics additions
+    "events_transition_matrix",
+    "events_hourly_seasonality",
+    # Graph + window additions
+    "kg_degree_distribution",
+    "customer_rfm_segments",
+    # --- New in round 7 (registered this round; first driver check) ---
+    "corpus_snapshot_diff",
+    # --- Regression guards: one per family that carried a fix, plus the
+    # --- flagship. Fill the remainder of the 50-entry window.
     "chunks_build",            # corpus chunker (pure-Catalyst UDTF twin)
     "kg_edges_build",          # co-occurrence self-join
     "kg_two_hop",              # frontier-below-aggregation fix (r2)
     "vector_topk",             # flagship retrieval
-    "doc_lm_perplexity",       # NEW r6: bigram-LM perplexity (ranking/quality;
-                               #   bm25_doc_topk rotates out — driver-green r5
-                               #   AND Hypothesis-replica-covered this round)
+    "doc_lm_perplexity",       # bigram-LM perplexity (Hypothesis-pinned)
     "dedup_minhash_lsh",       # LSH banding
     "dedup_clusters",          # iterative label propagation
-    "ann_recall_eval",         # NEW r6: recall@k eval composing ALL three ANN
-                               #   tiers (subsumes the ann_ivf_topk guard)
+    "ann_recall_eval",         # recall@k eval composing all three ANN tiers
     "doc_quality_filter_funnel",  # quality pipeline
     "multimodal_decode_features",  # multimodal family
     "orders_merge_upsert",     # warehouse lifecycle
@@ -130,6 +109,14 @@ _PRIORITY: tuple[str, ...] = (
     "events_session_windows",  # sessionization
     "stream_tumbling_daily",   # real Structured Streaming
     "stream_user_stats_stateful",  # applyInPandasWithState
+    "user_click_purchase_cogroup",  # bucketed cogroup
+    "kg_pagerank",             # iterative graph analytics
+    "embedding_kmeans",        # iterative clustering
+    "source_overlap_matrix",   # provenance family
+    "doc_sequence_packing",    # mixing family
+    "contamination_purge_counts",  # contamination family
+    "events_retention_cohorts",    # event analytics
+    "language_id_confusion",   # text-quality eval
 )
 
 
@@ -199,7 +186,7 @@ def _load_all_modules() -> None:
         windows,
     )
     from . import agent_api  # noqa: F401
-    from .pipeline import corpus  # noqa: F401
+    from .pipeline import corpus, maintenance  # noqa: F401
     from .sources import sql_runner  # noqa: F401
     from .streaming import batch_twins, stream  # noqa: F401
 

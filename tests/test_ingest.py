@@ -139,7 +139,13 @@ def test_build_report_carries_observed_metrics(spark, sf_dir, tmp_path):
     """Fresh stages carry Observation-API metrics captured during the
     write pass: observed row count equals the on-disk count, leading
     keys are never null, and the approximate cardinality is sane.
-    Resumed stages (second build) skip the pass and carry none."""
+    Resumed stages (second build) skip the pass and carry none.
+
+    The observed metrics are ADVISORY (ingest.py): on a real cluster
+    task retries / speculation can overcount them, so production code
+    treats the on-disk count as authoritative. local[*] never retries,
+    so exact equality is a valid assertion HERE — it pins that the
+    observation covers every row of the write pass exactly once."""
     out = str(tmp_path / "wh_obs")
     report = build_corpus(spark, sf_dir, out, resume=False)
     for name, entry in report.items():

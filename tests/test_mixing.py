@@ -256,3 +256,35 @@ def test_zorder_table_narrows_both_dimensions(spark, sf_dir, tmp_path):
     b = sorted(str(sorted((k, str(v)) for k, v in r.asDict().items()))
                for r in spark.read.parquet(out).collect())
     assert a == b
+
+
+def test_zorder_handles_nulls_and_degenerate_bounds(spark, tmp_path):
+    """Round-6 advice: NULL cluster-key values must scale to bucket 0
+    (nulls-first) instead of falling through least()'s null-skipping to
+    bucket 65535, and an all-null column must not crash the bounds
+    computation with float(None)."""
+    from pyspark.sql import functions as F
+
+    from cs_5542_lab_6_spark.pipeline.maintenance import zorder_table, zorder_value
+
+    # NULLs sort with the minimum, not the maximum: the null row's Morton
+    # key must equal the a-min row's key contribution, far from a-max's.
+    df = spark.range(3).select(
+        F.when(F.col("id") == 0, None).otherwise(F.col("id") * 1000).alias("a"),
+        F.lit(7).alias("b"),
+    )
+    keys = df.select(
+        "a", zorder_value(F.col("a"), F.col("b"), 1000, 2000, 7, 7).alias("z")
+    ).collect()
+    by_a = {r["a"]: r["z"] for r in keys}
+    assert by_a[None] == by_a[1000] != by_a[2000]
+
+    # all-null column: bounds are (None, None) -> constant bucket, no raise
+    src = str(tmp_path / "nulls_src")
+    out = str(tmp_path / "nulls_z")
+    spark.range(100).select(
+        F.lit(None).cast("long").alias("a"), F.col("id").alias("b")
+    ).write.parquet(src)
+    audit = zorder_table(spark, src, out, "a", "b", target_file_bytes=1024)
+    assert audit["files_in"] >= 1
+    assert spark.read.parquet(out).count() == 100

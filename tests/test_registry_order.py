@@ -1,8 +1,8 @@
 """Registry ordering contract: the driver correctness harness checks a
 bounded prefix of ``queries()`` (50 entries observed in round 1), so the
 priority prefix must (a) reference only registered names, (b) actually
-lead the returned dict, and (c) put every reference-parity query inside
-the first 50 slots."""
+lead the returned dict, and (c) put every query owed a driver
+CORRECTNESS row inside the first 50 slots."""
 
 from __future__ import annotations
 
@@ -11,49 +11,45 @@ from cs_5542_lab_6_spark.registry import all_oracles, all_queries
 
 DRIVER_WINDOW = 50
 
-# The window rotates across rounds (VERDICT r4 item 4; r5 item 1) so
-# every family gets a driver CORRECTNESS row at least once; rotated-out
-# queries stay verified by test_oracle_parity.py. Round 6's contract:
-# every query that had never appeared in a driver CORRECTNESS file
-# (rounds 1-5) must sit inside the checked prefix, closing the
-# "89/118 ever driver-checked" gap, plus a regression-guard core.
+# The window rotates across rounds (VERDICT r4 item 4; r5 item 1; r6
+# item 1) so every family gets a driver CORRECTNESS row at least once;
+# rotated-out queries stay verified by test_oracle_parity.py and the
+# sf0.1 scale canary. Round 7's contract: every query that has never
+# appeared in any round's driver CORRECTNESS file (the 25 mid-round-6
+# additions plus the rows-only orders_approx_stats, which errored on the
+# r1 canonicalizer before its scalar-column fix) must sit inside the
+# checked prefix — after r7 the cumulative driver coverage is 100% —
+# plus a regression-guard core that stays in every window.
 REFERENCE_PARITY = [
-    # never driver-checked in rounds 1-5 (VERDICT r5 item 1 list)
-    "small_quantity_part_revenue",
-    "large_order_customers",
-    "national_supplier_share",
-    "top_supplier_revenue",
-    "quiet_wealthy_customers",
-    "customer_order_presence",
-    "order_priority_exists_counts",
-    "customer_order_count_histogram",
-    "promo_revenue_share",
-    "discounted_bulk_revenue",
-    "nation_trade_flows",
-    "returned_item_customers",
-    "nation_price_medians",
-    "source_quality_profile",
-    "source_blocklist_filter",
-    "source_overlap_matrix",
-    "corpus_datasheet",
-    "corpus_stratified_sample",
-    "corpus_mixture_plan",
-    "doc_sequence_packing",
-    "doc_token_familiarity",
-    "corpus_weighted_sample",
-    "kg_pagerank",
-    "kg_triangle_stats",
-    "embedding_kmeans",
-    "dedup_incremental",
-    "contamination_purge_counts",
-    "events_retention_cohorts",
-    "events_daily_anomaly",
-    "user_click_purchase_cogroup",
-    "stream_user_enriched_counts",
-    "language_id_confusion",
-    "customer_order_value_extremes",
-    "chunk_windows_demo",
-    "agent_paper_details",
+    # never driver-checked through round 6 (VERDICT r6 item 1 list)
+    "corpus_bpe_merge_candidates",
+    "corpus_bpe_train",
+    "corpus_bpe_tokenize_stats",
+    "corpus_curation_decisions",
+    "curation_by_source",
+    "bm25_rerank_topk",
+    "dedup_clusters_star",
+    "min_cost_part_supplier",
+    "nation_market_share",
+    "product_type_profit",
+    "supplier_part_variety",
+    "excess_stock_suppliers",
+    "sole_late_supplier_orders",
+    "events_props_variant",
+    "orders_date_spine_gaps",
+    "kg_reachability_sql",
+    "corpus_duplicate_sentences",
+    "doc_token_entropy",
+    "events_heavy_hitters_sketch",
+    "orders_approx_stats",
+    "customer_top_orders_lateral",
+    "sql_script_pipe_revenue",
+    "events_transition_matrix",
+    "events_hourly_seasonality",
+    "kg_degree_distribution",
+    "customer_rfm_segments",
+    # new in round 7 — first driver check
+    "corpus_snapshot_diff",
     # regression guards that must stay in every window
     "chunks_build",
     "kg_edges_build",
@@ -61,6 +57,13 @@ REFERENCE_PARITY = [
     "eval_metrics_log",
     "stream_tumbling_daily",
 ]
+
+# The two sketch queries are deliberately rows-only (probabilistic
+# output DuckDB can't reproduce; error envelopes pinned by
+# test_skew_approx.py). They sit inside the r7 window ON PURPOSE — the
+# rotation's goal is a driver row for every registered query, and the
+# driver records a weaker rows-only check for these two.
+ROWS_ONLY_ALLOWED = {"events_heavy_hitters_sketch", "orders_approx_stats"}
 
 
 def test_priority_names_all_registered():
@@ -75,17 +78,22 @@ def test_priority_prefix_leads_registry():
     assert ordered[: len(registry._PRIORITY)] == list(registry._PRIORITY)
 
 
+def test_priority_fills_the_window():
+    """The driver checks exactly DRIVER_WINDOW slots; an underfull
+    prefix would hand slots to arbitrary module-import order."""
+    assert len(registry._PRIORITY) == DRIVER_WINDOW
+
+
 def test_reference_parity_inside_driver_window():
     window = list(all_queries())[:DRIVER_WINDOW]
     outside = [n for n in REFERENCE_PARITY if n not in window]
-    assert not outside, f"reference-parity queries outside window: {outside}"
+    assert not outside, f"rotation-debt queries outside window: {outside}"
 
 
 def test_window_queries_are_oracle_backed():
-    """Everything inside the checked prefix carries a DuckDB oracle —
-    every one of the driver's 50 slots is hash-checkable (the rows-only
-    sketch query sits outside the window, pinned by its unit test)."""
+    """Everything inside the checked prefix carries a DuckDB oracle
+    except the two explicitly-allowlisted rows-only sketches."""
     oracles = all_oracles()
     window = list(all_queries())[:DRIVER_WINDOW]
-    missing = [n for n in window if n not in oracles]
+    missing = [n for n in window if n not in oracles and n not in ROWS_ONLY_ALLOWED]
     assert not missing, f"window queries without oracles: {missing}"
