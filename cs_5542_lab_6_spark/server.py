@@ -31,6 +31,10 @@ from .pipeline.corpus import papers_build
 
 WSGIApp = Callable[[dict, Callable], list[bytes]]
 
+# GET /papers serves at most this many rows unless the caller asks
+# otherwise; limit=0 requests the reference's unbounded full dump.
+PAPERS_DEFAULT_LIMIT = 1000
+
 # Browser chat UI (reference frontend/app.py:40-106, Streamlit): chat
 # history render, assistant answers with a collapsible "View Citations &
 # Tools Used" expander listing "[i] title (Score: x.xxx)", section,
@@ -263,12 +267,13 @@ def create_app(
 
         if method == "GET" and path == "/papers":
             # backend/app.py:122-136: SELECT * FROM RAW.PAPERS — the
-            # reference dumps every row; with no params this does the
-            # same. limit/offset query params page the scan instead
-            # (VERDICT r5 item 7): at scale a full-table collect through
-            # the driver is the wrong default for an HTTP endpoint, so
-            # pagination pushes a deterministic order + offset window
-            # into the engine and collects only the page.
+            # reference dumps every row. limit/offset query params page
+            # the scan (VERDICT r5 item 7), and with no params the
+            # endpoint now serves the FIRST PAGE of PAPERS_DEFAULT_LIMIT
+            # rows instead of collecting the whole table through the
+            # driver (VERDICT r6 item 5) — at scale an unbounded HTTP
+            # dump is the wrong default. The reference's full-dump
+            # behavior stays reachable explicitly via limit=0.
             params = dict(
                 p.split("=", 1)
                 for p in environ.get("QUERY_STRING", "").split("&")
@@ -276,7 +281,11 @@ def create_app(
             )
             papers = papers_build(spark, sf_dir)
             try:
-                limit = int(params["limit"]) if "limit" in params else None
+                limit = (
+                    int(params["limit"])
+                    if "limit" in params
+                    else PAPERS_DEFAULT_LIMIT
+                )
                 offset = int(params.get("offset", 0))
             except ValueError:
                 return _json(
@@ -284,12 +293,11 @@ def create_app(
                     "400 Bad Request",
                     {"error": "limit/offset must be integers"},
                 )
-            if limit is not None or offset:
-                papers = papers.orderBy("paper_id")
-                if offset:
-                    papers = papers.offset(offset)
-                if limit is not None:
-                    papers = papers.limit(limit)
+            papers = papers.orderBy("paper_id")
+            if offset:
+                papers = papers.offset(offset)
+            if limit > 0:
+                papers = papers.limit(limit)
             rows = [r.asDict() for r in papers.collect()]
             return _json(start_response, "200 OK", rows)
 

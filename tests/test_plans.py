@@ -192,6 +192,20 @@ def test_mixing_and_clustering_plans(spark, sf_dir):
     assert "BroadcastHashJoin" in plan_of(spark, sf_dir, "corpus_stratified_sample")
 
 
+def test_rfm_has_no_global_window(spark, sf_dir):
+    """customer_rfm_segments (VERDICT r6 item 3): the three quartile
+    rankings must run as per-partition windows over the frozen range
+    exchange — no ntile over an empty partition spec, no SinglePartition
+    exchange funneling the rollup through one task. Every Window node in
+    the plan must be partitioned by the stamped __pid column."""
+    plan = plan_of(spark, sf_dir, "customer_rfm_segments")
+    assert "ntile" not in plan
+    assert "SinglePartition" not in plan
+    assert "windowspecdefinition" in plan  # the ranks ARE window-computed
+    for frag in plan.split("windowspecdefinition(")[1:]:
+        assert frag.startswith("__pid"), "unpartitioned window in RFM plan"
+
+
 def test_subquery_shapes_decorrelate_to_hash_joins(spark, sf_dir):
     """Decorrelated-subquery family (Q11/Q15/Q17/Q18/Q22 shapes): the
     fact-side joins must be hash joins (shuffled or broadcast) — never a

@@ -115,22 +115,29 @@ def test_reset_clears_agent_history(client):
     assert agent.history == []
 
 
-def test_papers_dumps_all_rows(client, spark, sf_dir):
-    """GET /papers is the SELECT * FROM PAPERS dump (backend/app.py:131-136)."""
+def test_papers_default_capped_and_full_dump_explicit(client, spark, sf_dir):
+    """GET /papers with no params serves at most PAPERS_DEFAULT_LIMIT
+    rows (VERDICT r6 item 5 — an unbounded driver collect is the wrong
+    HTTP default at scale); the reference's SELECT * full dump
+    (backend/app.py:131-136) stays reachable explicitly via limit=0."""
     from cs_5542_lab_6_spark.pipeline.corpus import papers_build
+    from cs_5542_lab_6_spark.server import PAPERS_DEFAULT_LIMIT
 
     c, _, _ = client
+    total = papers_build(spark, sf_dir).count()
     status, rows = c.request("GET", "/papers")
     assert status == 200
-    assert len(rows) == papers_build(spark, sf_dir).count()
+    assert len(rows) == min(total, PAPERS_DEFAULT_LIMIT)
     assert {"paper_id", "title"} <= set(rows[0])
+    status, rows = c.request("GET", "/papers?limit=0")
+    assert status == 200
+    assert len(rows) == total
 
 
 def test_papers_pagination(client, spark, sf_dir):
     """limit/offset page the papers dump deterministically (VERDICT r5
     item 7): pages are disjoint, ordered by paper_id, cover the table,
-    and bad params are a 400 — while the param-less call keeps the
-    reference's full-dump behavior."""
+    and bad params are a 400."""
     from cs_5542_lab_6_spark.pipeline.corpus import papers_build
 
     c, _, _ = client
