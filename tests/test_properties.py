@@ -545,3 +545,86 @@ def test_lm_perplexity_counts_and_fold_match_replica(spark, texts):
         assert gnb == nb
         assert abs(gavg - round(total / nb, 4)) <= 1e-4 * 0.51, (i, gavg, total / nb)
         assert abs(gppl - round(math.exp(total / nb), 2)) <= 1e-2 * 0.51
+
+
+# ---------------------------------------------------------------------------
+# BPE trainer vs pure-Python replica (VERDICT r6 item 8)
+# ---------------------------------------------------------------------------
+
+_BPE_WORD = st.text(
+    alphabet=st.sampled_from("abcx"), min_size=1, max_size=5
+)
+_BPE_DOC = st.lists(_BPE_WORD, min_size=0, max_size=8).map(" ".join)
+
+
+def _py_bpe(texts: list[str], rounds: int):
+    """Exact replica of _bpe_iterate: word-count vocabulary, weighted
+    adjacent-pair counts, argmax with (n DESC, a ASC, b ASC) tiebreak,
+    greedy left-to-right merge fold. Returns (merges, weighted symbol
+    total after the final round, weighted symbol total before)."""
+    counts: dict[str, int] = {}
+    for t in texts:
+        for w in _py_words(t.lower()):
+            counts[w] = counts.get(w, 0) + 1
+    vocab = [(list(w), c) for w, c in counts.items()]
+    before = sum(len(s) * c for s, c in vocab)
+    merges = []
+    for i in range(1, rounds + 1):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, cnt in vocab:
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + cnt
+        if not pairs:
+            break
+        n = max(pairs.values())
+        a, b = min(k for k, v in pairs.items() if v == n)
+        merges.append((i, a, b, a + b, n))
+
+        def fold(syms):
+            acc: list[str] = []
+            for x in syms:
+                if acc and acc[-1] == a and x == b:
+                    acc[-1] = a + b
+                else:
+                    acc.append(x)
+            return acc
+
+        vocab = [(fold(s), c) for s, c in vocab]
+    after = sum(len(s) * c for s, c in vocab)
+    return merges, after, before
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(_BPE_DOC, min_size=1, max_size=6))
+def test_bpe_trainer_matches_python_replica(spark, texts):
+    """The K-round BPE trainer's merge sequence is bit-identical to the
+    classic sequential algorithm: same argmax tiebreak, same greedy
+    left-to-right re-merge (including the overlap case aa+a and merges
+    whose output participates in later rounds), and the weighted
+    symbol totals (the compression numerator/denominator) agree. The
+    tiny 'abcx' alphabet forces frequent ties and overlaps — exactly
+    the paths where a distributed reimplementation could diverge."""
+    import tempfile
+
+    from cs_5542_lab_6_spark.operators.textstats import _bpe_iterate
+
+    rounds = 3
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        [(i, t, "en", "srcX", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    merges, final_vocab = _bpe_iterate(spark, d, rounds)
+    try:
+        got_after = (
+            final_vocab.select(
+                (F.size("syms") * F.col("cnt")).alias("s")
+            ).agg(F.sum("s")).collect()[0][0]
+        )
+    finally:
+        final_vocab.unpersist()
+
+    want_merges, want_after, _ = _py_bpe(texts, rounds)
+    assert [tuple(m) for m in merges] == want_merges
+    assert (got_after or 0) == want_after
