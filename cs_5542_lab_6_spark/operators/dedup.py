@@ -1217,3 +1217,75 @@ def contamination_purge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup rate by source (dedup clusters × provenance dimension)
+# ---------------------------------------------------------------------------
+
+
+def _register_dedup_rate_by_source() -> None:
+    # all_oracles() composition must happen after dedup_clusters is
+    # registered above — same late-bind pattern as operators/curation.py
+    from ..registry import all_oracles
+
+    @query(
+        "dedup_rate_by_source",
+        oracle=f"""
+        WITH members AS (
+          SELECT CAST(t.x AS BIGINT) AS doc_id, c.cluster_id
+          FROM ({all_oracles()["dedup_clusters"]}) c,
+               unnest(string_split(c.member_ids, ',')) AS t(x)
+        )
+        SELECT d.source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN m.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_near_dup,
+               CAST(SUM(CASE WHEN m.doc_id IS NOT NULL AND m.doc_id <> m.cluster_id
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_would_drop,
+               round(CAST(SUM(CASE WHEN m.doc_id IS NOT NULL AND m.doc_id <> m.cluster_id
+                                   THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4)
+                 AS drop_rate
+        FROM documents d LEFT JOIN members m ON d.doc_id = m.doc_id
+        GROUP BY d.source
+        ORDER BY d.source
+        """,
+    )
+    def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The dedup accountability report: per upstream source, how many
+        documents sit in a near-duplicate cluster and how many the
+        keep-min-doc_id policy would drop — the table that tells a data
+        team WHICH feed is paying for redundant bytes (provenance ×
+        dedup, the composition curation_by_source is for quality
+        signals). Composes dedup_clusters' components (exploded back to
+        per-doc membership) with the documents source dimension; the
+        oracle embeds the clusters query's own registered oracle, so the
+        report can't drift from the clustering it summarizes.
+
+        Scale shape: cluster membership is |near-dup docs|-sized (far
+        smaller than the corpus), left-joined to documents on doc_id and
+        hash-aggregated to |sources| rows."""
+        clusters = dedup_clusters(spark, sf_dir)
+        members = clusters.select(
+            "cluster_id",
+            F.explode(F.split("member_ids", ",")).alias("m"),
+        ).select(F.col("m").cast("long").alias("doc_id"), "cluster_id")
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+        in_cluster = F.col("cluster_id").isNotNull()
+        dropped = in_cluster & (F.col("doc_id") != F.col("cluster_id"))
+        return (
+            docs.join(members, "doc_id", "left")
+            .groupBy("source")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum(in_cluster.cast("long")).cast("long").alias("n_near_dup"),
+                F.sum(dropped.cast("long")).cast("long").alias("n_would_drop"),
+                F.round(
+                    F.sum(dropped.cast("long")).cast("double") / F.count("*"), 4
+                ).alias("drop_rate"),
+            )
+            .orderBy("source")
+        )
+
+
+_register_dedup_rate_by_source()

@@ -1185,3 +1185,163 @@ def corpus_bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_word_occurrences long, symbols_before long, symbols_after long, compression double",
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility by language (BPE apply × language dimension)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tokenizer_fertility_by_lang",
+    oracle=f"""
+    WITH {_DUCK_BPE_ALL_ROUNDS},
+    lang_w AS (
+      SELECT lang, w, COUNT(*) AS cnt FROM (
+        SELECT lang,
+               unnest(CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN CAST([] AS VARCHAR[])
+                      ELSE regexp_split_to_array(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+') END) AS w
+        FROM documents
+      ) GROUP BY lang, w
+    ),
+    tokenized AS (
+      SELECT array_to_string(syms, '') AS w, len(syms) AS n_syms
+      FROM bpe_s{BPE_TRAIN_ROUNDS}
+    )
+    SELECT lang,
+           CAST(SUM(cnt) AS BIGINT) AS n_words,
+           CAST(SUM(cnt * n_syms) AS BIGINT) AS n_tokens,
+           round(CAST(SUM(cnt * n_syms) AS DOUBLE) / SUM(cnt), 4) AS fertility
+    FROM lang_w JOIN tokenized USING (w)
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility (tokens emitted per word) per language under
+    the {BPE_TRAIN_ROUNDS}-round learned BPE — the fairness metric a
+    multilingual tokenizer team tracks: a vocabulary trained mostly on
+    one language fragments the others into more symbols, inflating their
+    effective training cost. Composes the BPE trainer's final vocabulary
+    (merges concatenate adjacent symbols, so joining the symbol stream
+    back to its word is exact: word = concat(syms)) with per-language
+    word counts.
+
+    Scale shape: per-language counts are one hash agg over the exploded
+    token stream; the vocabulary join is |vocab|-sized on the word key —
+    never corpus-sized. The BPE iteration itself is the sanctioned
+    K-round loop (see corpus_bpe_train)."""
+    _, final_vocab = _bpe_iterate(spark, sf_dir, BPE_TRAIN_ROUNDS)
+    try:
+        tokenized = final_vocab.select(
+            F.array_join("syms", "").alias("w"),
+            F.size("syms").alias("n_syms"),
+        )
+        docs = load_table(spark, sf_dir, "documents")
+        lang_w = (
+            docs.select("lang", F.explode(words(F.lower(F.col("text")))).alias("w"))
+            .groupBy("lang", "w")
+            .agg(F.count("*").alias("cnt"))
+        )
+        out = (
+            lang_w.join(tokenized, "w")
+            .groupBy("lang")
+            .agg(
+                F.sum("cnt").cast("long").alias("n_words"),
+                F.sum(F.col("cnt") * F.col("n_syms")).cast("long").alias("n_tokens"),
+                F.round(
+                    F.sum(F.col("cnt") * F.col("n_syms")).cast("double")
+                    / F.sum("cnt"),
+                    4,
+                ).alias("fertility"),
+            )
+            .orderBy("lang")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        final_vocab.unpersist()
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary growth curve (Heaps'-law audit over the ingest order)
+# ---------------------------------------------------------------------------
+
+VOCAB_GROWTH_BUCKETS = 10
+
+
+@query(
+    "corpus_vocab_growth",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN CAST([] AS VARCHAR[])
+                    ELSE regexp_split_to_array(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+') END) AS tok
+      FROM documents
+    ),
+    firsts AS (SELECT tok, MIN(doc_id) AS first_doc FROM toks GROUP BY tok),
+    bounds AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents),
+    bucketed AS (
+      SELECT least({VOCAB_GROWTH_BUCKETS - 1},
+                   CAST(floor((first_doc - lo) * {VOCAB_GROWTH_BUCKETS}.0 / (hi - lo + 1)) AS INTEGER)
+             ) AS bucket
+      FROM firsts CROSS JOIN bounds
+    ),
+    per_bucket AS (
+      SELECT bucket, COUNT(*) AS new_types FROM bucketed GROUP BY bucket
+    )
+    SELECT bucket,
+           CAST(new_types AS BIGINT) AS new_types,
+           CAST(SUM(new_types) OVER (ORDER BY bucket) AS BIGINT) AS cum_types
+    FROM per_bucket
+    ORDER BY bucket
+    """,
+)
+def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve over the ingest order (Heaps'-law audit):
+    how many NEW word types each tenth of the corpus contributes, plus
+    the running vocabulary size. A flattening curve says additional data
+    from the same sources stops buying lexical diversity — the signal a
+    data-acquisition team reads before paying for more of a feed.
+
+    Scale shape: first occurrence per type is one map-side-combinable
+    MIN agg over the exploded token stream (the 100 TB-safe way to get
+    'new at position k' — no sort, no window over the corpus); the
+    bucket histogram is {VOCAB_GROWTH_BUCKETS} rows, and the running
+    sum is a window over those {VOCAB_GROWTH_BUCKETS} rows only. The
+    1-row bounds broadcast is a sanctioned scalar join."""
+    docs = load_table(spark, sf_dir, "documents")
+    firsts = (
+        docs.select("doc_id", F.explode(words(F.lower(F.col("text")))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    bounds = docs.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    )
+    n_b = VOCAB_GROWTH_BUCKETS
+    bucket = F.least(
+        F.lit(n_b - 1),
+        F.floor(
+            (F.col("first_doc") - F.col("lo")) * float(n_b)
+            / (F.col("hi") - F.col("lo") + 1)
+        ).cast("int"),
+    )
+    per_bucket = (
+        firsts.crossJoin(F.broadcast(bounds))
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("new_types"))
+    )
+    from pyspark.sql import Window as W
+
+    # running sum over a VOCAB_GROWTH_BUCKETS-row relation: bounded by a
+    # constant, so one partition is correct by construction — the
+    # explicit lit(0) partition key states that (and avoids the
+    # unpartitioned-window warning meant for unbounded inputs)
+    cum = F.sum("new_types").over(W.partitionBy(F.lit(0)).orderBy("bucket"))
+    return per_bucket.select(
+        "bucket",
+        F.col("new_types").cast("long").alias("new_types"),
+        cum.cast("long").alias("cum_types"),
+    ).orderBy("bucket")

@@ -92,6 +92,9 @@ _PRIORITY: tuple[str, ...] = (
     "customer_rfm_segments",
     # --- New in round 7 (registered this round; first driver check) ---
     "corpus_snapshot_diff",
+    "dedup_rate_by_source",
+    "tokenizer_fertility_by_lang",
+    "corpus_vocab_growth",
     # --- Regression guards: one per family that carried a fix, plus the
     # --- flagship. Fill the remainder of the 50-entry window.
     "chunks_build",            # corpus chunker (pure-Catalyst UDTF twin)
@@ -114,9 +117,6 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_kmeans",        # iterative clustering
     "source_overlap_matrix",   # provenance family
     "doc_sequence_packing",    # mixing family
-    "contamination_purge_counts",  # contamination family
-    "events_retention_cohorts",    # event analytics
-    "language_id_confusion",   # text-quality eval
 )
 
 

@@ -254,6 +254,7 @@ _BNLJ_ALLOWED = {
     "corpus_curation_decisions": 1,    # composes doc_lm_perplexity's vocab scalar
     "curation_by_source": 1,           # same composed scalar, one level up
     "customer_top_orders_lateral": 1,  # decorrelated lateral may plan a domain join
+    "corpus_vocab_growth": 1,          # 1-row doc_id bounds scalar
 }
 
 # Iterative/streaming queries whose plan construction executes multi-round
@@ -262,8 +263,10 @@ _BNLJ_ALLOWED = {
 _SWEEP_SKIP = {
     "corpus_bpe_train",   # K argmax collects during construction
     "corpus_bpe_tokenize_stats",  # same iteration, plus the final aggregate
+    "tokenizer_fertility_by_lang",  # same BPE iteration feeding the join
     "dedup_clusters",
     "dedup_clusters_star",
+    "dedup_rate_by_source",  # composes dedup_clusters' iteration
     "stream_tumbling_daily",
     "stream_tumbling_daily_append",
     "stream_dedup_events",

@@ -50,6 +50,9 @@ REFERENCE_PARITY = [
     "customer_rfm_segments",
     # new in round 7 — first driver check
     "corpus_snapshot_diff",
+    "dedup_rate_by_source",
+    "tokenizer_fertility_by_lang",
+    "corpus_vocab_growth",
     # regression guards that must stay in every window
     "chunks_build",
     "kg_edges_build",
