@@ -493,3 +493,96 @@ def write_metrics_stream_idempotent(spark: SparkSession, sf_dir: str, out_dir: s
     )
     q.awaitTermination()
     return len(batches)
+
+
+TOP_PURCHASES_K = 3
+
+
+@query(
+    "stream_user_top_purchases",
+    oracle=f"""
+    WITH p AS (
+      SELECT user_id, value FROM events WHERE event_type = 'purchase'
+    ),
+    ranked AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY value DESC) AS rk
+      FROM p
+    )
+    SELECT user_id,
+           COUNT(*) AS n_purchases,
+           MAX(CASE WHEN rk = 1 THEN value END) AS top1,
+           MAX(CASE WHEN rk = 2 THEN value END) AS top2,
+           MAX(CASE WHEN rk = 3 THEN value END) AS top3
+    FROM ranked
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def stream_user_top_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running top-{TOP_PURCHASES_K} purchase values as custom
+    streaming state — bounded-top-k state semantics, a different shape
+    from stream_user_stats_stateful's monotone counters.
+
+    Two physical paths, one contract (functions/tws.py):
+
+    - ``transformWithStateInPandas`` (Spark 4's successor stateful API):
+      a ``StatefulProcessor`` holding TYPED state — a ValueState counter
+      plus a ListState of the running top values. This is the production
+      path; its per-batch emission logic is unit-tested against the
+      contract directly (tests/test_streaming.py). The API's Python
+      driver worker requires protobuf, which this container lacks, so
+      the path is gated on importability and exercised when available.
+    - ``applyInPandasWithState`` fallback with the IDENTICAL emission
+      contract (same update function, tuple-encoded state) — what runs
+      here, keeping the query driver-checkable end to end.
+
+    Determinism under availableNow batching: the counter and every
+    top-k slot are monotone nondecreasing across emissions (new rows
+    only grow the count and push top values up), so the per-user MAX
+    over emissions equals the drained-stream final state regardless of
+    batching — the oracle is an exact batch ranking.
+
+    At scale: state is one counter + {TOP_PURCHASES_K} doubles per user,
+    partitioned by the grouping key; RocksDB-backed with changelog
+    checkpointing in production, eviction via ttlDurationMs/timers."""
+    from ..functions.tws import (
+        TOP_PURCHASES_SCHEMA,
+        top_purchases_processor,
+        tws_available,
+        update_top_purchases,
+    )
+
+    purchases = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "value")
+    )
+    if tws_available():
+        emitted = purchases.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=top_purchases_processor(),
+            outputStructType=TOP_PURCHASES_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    else:
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        emitted = purchases.groupBy("user_id").applyInPandasWithState(
+            update_top_purchases,
+            outputStructType=TOP_PURCHASES_SCHEMA,
+            stateStructType="n long, v1 double, v2 double, v3 double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    out = _run_to_memory(emitted, "stream_top_purchases", "update")
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.max("n_purchases").alias("n_purchases"),
+            F.max("top1").alias("top1"),
+            F.max("top2").alias("top2"),
+            F.max("top3").alias("top3"),
+        )
+        .orderBy("user_id")
+    )

@@ -274,6 +274,7 @@ _SWEEP_SKIP = {
     "stream_user_stats_stateful",
     "stream_click_purchase_join",
     "stream_user_enriched_counts",
+    "stream_user_top_purchases",
 }
 
 

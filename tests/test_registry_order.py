@@ -53,6 +53,7 @@ REFERENCE_PARITY = [
     "dedup_rate_by_source",
     "tokenizer_fertility_by_lang",
     "corpus_vocab_growth",
+    "stream_user_top_purchases",
     # regression guards that must stay in every window
     "chunks_build",
     "kg_edges_build",

@@ -99,3 +99,102 @@ def test_idempotent_sink_drops_stale_batch_tail(spark, sf_dir, tmp_path):
         tuple(r) for r in spark.read.parquet(out).drop("batch_id").collect()
     )
     assert after == clean
+
+
+def test_tws_processor_and_fallback_emit_identically():
+    """stream_user_top_purchases' two stateful paths (functions/tws.py):
+    the transformWithStateInPandas StatefulProcessor and the
+    applyInPandasWithState update function must emit the SAME rows for
+    the same micro-batch sequence. The processor runs against fake typed
+    handles here because the real TWS driver worker needs protobuf
+    (absent from this container); the registered query's oracle checks
+    whichever path executes."""
+    import pandas as pd
+
+    from cs_5542_lab_6_spark.functions.tws import (
+        top_purchases_processor,
+        tws_available,
+        update_top_purchases,
+    )
+
+    batches = [
+        pd.DataFrame({"value": [5.0, 1.0]}),
+        pd.DataFrame({"value": [9.5, 2.0, 0.5]}),
+        pd.DataFrame({"value": [7.25]}),
+    ]
+
+    # --- applyInPandasWithState twin with a fake GroupState ----------
+    class FakeGroupState:
+        def __init__(self):
+            self._v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    gs = FakeGroupState()
+    fallback_rows = [
+        next(update_top_purchases((42,), iter([b]), gs)) for b in batches
+    ]
+
+    # --- StatefulProcessor with fake typed handles --------------------
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    class FakeListState:
+        def __init__(self):
+            self._rows = []
+
+        def get(self):
+            return iter(self._rows)
+
+        def clear(self):
+            self._rows = []
+
+        def put(self, rows):
+            self._rows = list(rows)
+
+    class FakeHandle:
+        def __init__(self):
+            self.states = {}
+
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            return self.states.setdefault(name, FakeValueState())
+
+        def getListState(self, name, schema, ttlDurationMs=None):
+            return self.states.setdefault(name, FakeListState())
+
+    proc = top_purchases_processor()
+    proc.init(FakeHandle())
+    tws_rows = [
+        next(proc.handleInputRows((42,), iter([b]), None)) for b in batches
+    ]
+    proc.close()
+
+    for a, b in zip(fallback_rows, tws_rows):
+        pd.testing.assert_frame_equal(a, b)
+    # final state after the drained sequence: count 6, top-3 of all values
+    final = tws_rows[-1].iloc[0]
+    assert final["n_purchases"] == 6
+    assert [final["top1"], final["top2"], final["top3"]] == [9.5, 7.25, 5.0]
+    # the container gate: this environment lacks protobuf, so the
+    # registered query exercised the fallback; on a protobuf-equipped
+    # cluster the same contract runs through the real TWS worker
+    assert tws_available() in (True, False)
