@@ -197,3 +197,69 @@ def sql_script_pipe_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = run_sql_script(spark, _PIPE_SCRIPT)
     assert result is not None
     return result
+
+
+# Procedural SQL scripting (Spark 4 BEGIN/END compound statements):
+# DECLARE'd session variables, a labeled LOOP with LEAVE, and scalar
+# subqueries driving control flow — the stored-procedure-shaped surface
+# the reference's .sql runner never had. A compound statement contains
+# ';' internally, so it executes as ONE spark.sql call (the statement
+# splitter's per-';' contract is for plain scripts; compound blocks are
+# the parser's job).
+_PROC_SCRIPT = """
+BEGIN
+  DECLARE thr DOUBLE DEFAULT 1000.0;
+  DECLARE n BIGINT DEFAULT 0;
+  search: LOOP
+    SET n = (SELECT COUNT(*)
+             FROM (SELECT o_custkey,
+                          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                            AS total
+                   FROM orders GROUP BY o_custkey)
+             WHERE total > thr);
+    IF n <= 20 THEN LEAVE search; END IF;
+    SET thr = thr * 2.0;
+  END LOOP;
+  SELECT thr AS threshold, n AS n_customers;
+END
+"""
+
+
+@query(
+    "sql_script_procedural_threshold",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders GROUP BY o_custkey
+    ),
+    cand AS (
+      SELECT 1000.0 * power(2.0, k) AS thr FROM generate_series(0, 40) AS t(k)
+    ),
+    counted AS (
+      SELECT thr, (SELECT COUNT(*) FROM spend WHERE total > thr) AS n
+      FROM cand
+    )
+    SELECT thr AS threshold, CAST(n AS BIGINT) AS n_customers
+    FROM counted WHERE n <= 20 ORDER BY thr LIMIT 1
+    """,
+)
+def sql_script_procedural_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4 procedural compound statements) through the
+    S12 surface: a doubling search for the smallest power-of-2 spend
+    threshold that keeps at most 20 top customers — DECLARE'd variables,
+    a labeled LOOP/LEAVE, IF control flow, and a scalar subquery per
+    round. Because the qualifying count is monotone nonincreasing in the
+    threshold, the loop's stopping point equals the smallest qualifying
+    candidate in the doubling sequence, which the oracle finds
+    relationally (generate_series + ORDER BY + LIMIT 1) — iterative
+    control flow, value-checked without iteration.
+
+    Scale: each round is one aggregation job (the same shape as the
+    k-means/BPE driver loops, but expressed IN SQL, no Python between
+    rounds); the doubling bound caps rounds at ~40 regardless of data
+    size. Arithmetic is exact (powers of two in doubles, integer
+    counts), so the result hash-matches."""
+    register_views(spark, sf_dir)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    return spark.sql(_PROC_SCRIPT)

@@ -54,6 +54,7 @@ REFERENCE_PARITY = [
     "tokenizer_fertility_by_lang",
     "corpus_vocab_growth",
     "stream_user_top_purchases",
+    "sql_script_procedural_threshold",
     # regression guards that must stay in every window
     "chunks_build",
     "kg_edges_build",
