@@ -1045,3 +1045,75 @@ def orders_date_spine_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr", "mth")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental materialized-view refresh (partial-aggregate maintenance)
+# ---------------------------------------------------------------------------
+
+MV_REFRESH_CUT = "1997-01-01"
+
+
+@query(
+    "orders_mv_incremental_refresh",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY 1
+    ORDER BY month
+    """,
+)
+def orders_mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: a per-month revenue rollup kept as a
+    MATERIALIZED aggregate and refreshed by merging a new batch's partial
+    aggregate — never re-scanning history. The base state (orders before
+    {MV_REFRESH_CUT}) is aggregated once and written to parquet (the MV);
+    the delta batch (orders on/after the cut) is aggregated separately;
+    the refresh is a union + re-aggregate of the two PARTIAL states,
+    which is exact because COUNT and SUM are commutative monoids (the
+    same algebra Spark's own partial aggregation relies on). The oracle
+    recomputes the rollup from scratch over all orders — incremental
+    refresh must equal full recompute, the IVM correctness contract.
+
+    Scale shape: at 100 TB this is the nightly-ingest pattern — the
+    refresh cost is O(|delta| + |mv|), not O(|history|); both sides are
+    map-side-combinable hash aggs and the merge shuffles only
+    month-grained rows. Decimal accumulation keeps the double surface
+    bit-stable in any merge order."""
+    import os
+    import shutil
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders")
+    month = F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(month).agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev_dec"),
+        )
+
+    root = tempfile.mkdtemp(prefix="mv_refresh_")
+    mv_path = os.path.join(root, "orders_monthly_mv")
+    try:
+        # nightly state: the base aggregate lives ON DISK between refreshes
+        partial(o.filter(F.col("o_orderdate") < MV_REFRESH_CUT)).write.mode(
+            "overwrite"
+        ).parquet(mv_path)
+        base = spark.read.parquet(mv_path)
+        delta = partial(o.filter(F.col("o_orderdate") >= MV_REFRESH_CUT))
+        refreshed = (
+            base.unionByName(delta)
+            .groupBy("month")
+            .agg(
+                F.sum("n_orders").cast("long").alias("n_orders"),
+                F.sum("rev_dec").cast("double").alias("revenue"),
+            )
+            .orderBy("month")
+            .localCheckpoint(eager=True)  # pin before the MV dir vanishes
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return refreshed

@@ -97,6 +97,7 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_vocab_growth",
     "stream_user_top_purchases",
     "sql_script_procedural_threshold",
+    "orders_mv_incremental_refresh",
     # --- Regression guards: one per family that carried a fix, plus the
     # --- flagship. Fill the remainder of the 50-entry window.
     "chunks_build",            # corpus chunker (pure-Catalyst UDTF twin)
@@ -116,7 +117,6 @@ _PRIORITY: tuple[str, ...] = (
     "stream_user_stats_stateful",  # applyInPandasWithState
     "user_click_purchase_cogroup",  # bucketed cogroup
     "kg_pagerank",             # iterative graph analytics
-    "embedding_kmeans",        # iterative clustering
 )
 
 

@@ -55,6 +55,7 @@ REFERENCE_PARITY = [
     "corpus_vocab_growth",
     "stream_user_top_purchases",
     "sql_script_procedural_threshold",
+    "orders_mv_incremental_refresh",
     # regression guards that must stay in every window
     "chunks_build",
     "kg_edges_build",
