@@ -427,3 +427,66 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r", "f", "m")
     )
+
+
+# ---------------------------------------------------------------------------
+# Revenue-concentration Gini per order priority (exact rank statistic)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "priority_price_gini",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderpriority AS priority,
+             CAST(o_totalprice AS DOUBLE) AS x,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS i
+      FROM orders
+    )
+    SELECT priority,
+           COUNT(*) AS n_orders,
+           round(2.0 * SUM(i * x ORDER BY i) / (COUNT(*) * SUM(x ORDER BY i))
+                 - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+    FROM ranked
+    GROUP BY priority
+    ORDER BY priority
+    """,
+)
+def priority_price_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of order value per priority class — the
+    inequality/concentration metric (G = 2·Σ i·x_i / (n·Σ x_i) − (n+1)/n
+    over ascending-sorted values). Exact Gini is a RANK statistic: it
+    needs each group's values in order, so the shape is a per-group
+    ranking window plus position-ordered double folds (the perplexity/
+    entropy idiom — collect, array_sort by rank, sequential fold), which
+    matches DuckDB's SUM(expr ORDER BY i) bit for bit.
+
+    Scale note: groups here are the 5 priority classes, so each group's
+    sort is one task — fine for bounded-cardinality dimensions; for
+    high-cardinality groups or a global Gini at 100 TB you'd bin values
+    (a quantile-sketch Lorenz curve) instead of exact ranks, the same
+    exact-vs-sketch trade-off nation_price_medians documents. A
+    vectorized GROUPED_AGG pandas UDAF computing the same statistic
+    (functions/udafs.py) is unit-tested against this query — the §2.11
+    UDAF surface — but the registered plan stays JVM-side."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    ranked = o.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_totalprice").cast("double").alias("x"),
+        F.row_number().over(w).alias("i"),
+    )
+    grouped = ranked.groupBy("priority").agg(
+        F.count("*").alias("n_orders"),
+        F.array_sort(F.collect_list(F.struct("i", "x"))).alias("terms"),
+    )
+    sxi = F.aggregate(
+        "terms", F.lit(0.0), lambda acc, e: acc + e["i"] * e["x"]
+    )
+    sx = F.aggregate("terms", F.lit(0.0), lambda acc, e: acc + e["x"])
+    n = F.col("n_orders")
+    gini = F.round(2.0 * sxi / (n * sx) - (n + 1.0) / n, 6)
+    return grouped.select(
+        "priority", n.cast("long").alias("n_orders"), gini.alias("gini")
+    ).orderBy("priority")

@@ -43,7 +43,10 @@ _REGISTRY: dict[str, Q] = {}
 # then-never-checked queries. Round 7 leads with the 26 queries that
 # STILL lack a driver CORRECTNESS row — the 25 mid-round-6 additions
 # (registered after the r6 window froze) plus orders_approx_stats
-# (rows-only; errored on the r1 canonicalizer and never re-windowed).
+# (rows-only; errored on the r1 canonicalizer and never re-windowed),
+# then the eight queries ADDED in round 7 (snapshot diff, dedup-rate/
+# fertility/vocab-growth reports, TWS streaming, procedural SQL script,
+# MV refresh, Gini) so nothing new accrues fresh rotation debt.
 # After r7, every registered query has appeared green in some round's
 # driver file. Rotated-out queries stay verified every session by
 # tests/test_oracle_parity.py (same rows+schema+value-hash check over
@@ -98,6 +101,7 @@ _PRIORITY: tuple[str, ...] = (
     "stream_user_top_purchases",
     "sql_script_procedural_threshold",
     "orders_mv_incremental_refresh",
+    "priority_price_gini",
     # --- Regression guards: one per family that carried a fix, plus the
     # --- flagship. Fill the remainder of the 50-entry window.
     "chunks_build",            # corpus chunker (pure-Catalyst UDTF twin)
@@ -116,7 +120,6 @@ _PRIORITY: tuple[str, ...] = (
     "stream_tumbling_daily",   # real Structured Streaming
     "stream_user_stats_stateful",  # applyInPandasWithState
     "user_click_purchase_cogroup",  # bucketed cogroup
-    "kg_pagerank",             # iterative graph analytics
 )
 
 

@@ -56,6 +56,7 @@ REFERENCE_PARITY = [
     "stream_user_top_purchases",
     "sql_script_procedural_threshold",
     "orders_mv_incremental_refresh",
+    "priority_price_gini",
     # regression guards that must stay in every window
     "chunks_build",
     "kg_edges_build",

@@ -66,3 +66,37 @@ def test_python_udtf_matches_jvm_posexplode(spark):
 
     assert [tuple(r) for r in got] == [tuple(r) for r in native]
     assert len(got) == 4  # 3 sentences from d1 + 1 from d2, none from d3
+
+
+def test_grouped_agg_gini_udaf_matches_relational_plan(spark, sf_dir):
+    """§2.11 UDAF surface: the GROUPED_AGG pandas UDF (one Arrow batch
+    per group -> one scalar) computes the same Gini as the registered
+    JVM-side ordered-fold query AND a pure-Python replica, to the
+    rounded surface."""
+    from pyspark.sql import functions as F
+
+    from cs_5542_lab_6_spark.functions.udafs import gini_py, gini_udaf
+    from cs_5542_lab_6_spark.operators.windows import priority_price_gini
+    from cs_5542_lab_6_spark.sources import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    via_udaf = {
+        r["priority"]: round(r["g"], 6)
+        for r in o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(gini_udaf(F.col("o_totalprice").cast("double")).alias("g"))
+        .collect()
+    }
+    via_plan = {
+        r["priority"]: r["gini"]
+        for r in priority_price_gini(spark, sf_dir).collect()
+    }
+    assert via_udaf == via_plan
+    # replica spot check on one group
+    some_priority = next(iter(via_plan))
+    vals = [
+        r["x"]
+        for r in o.filter(F.col("o_orderpriority") == some_priority)
+        .select(F.col("o_totalprice").cast("double").alias("x"))
+        .collect()
+    ]
+    assert round(gini_py(vals), 6) == via_plan[some_priority]
