@@ -75,6 +75,12 @@ HEADLINE = [
     "bm25_rerank_topk",
     "nation_market_share",
     "sole_late_supplier_orders",
+    # round-7 additions: the reworked rank-based RFM, the Heaps-law audit,
+    # the dedup accountability report, and the incremental MV refresh
+    "customer_rfm_segments",
+    "corpus_vocab_growth",
+    "dedup_rate_by_source",
+    "orders_mv_incremental_refresh",
 ]
 
 
