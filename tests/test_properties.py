@@ -628,3 +628,43 @@ def test_bpe_trainer_matches_python_replica(spark, texts):
     want_merges, want_after, _ = _py_bpe(texts, rounds)
     assert [tuple(m) for m in merges] == want_merges
     assert (got_after or 0) == want_after
+
+
+# ---------------------------------------------------------------------------
+# _parallel_ntile vs exact sequential ntile (the RFM rank engine)
+# ---------------------------------------------------------------------------
+
+
+def _py_ntile(n_rows: int, k: int) -> list[int]:
+    """SQL ntile bucket per 1-based rank: first (n % k) buckets take
+    ceil(n/k) rows, the rest floor(n/k)."""
+    big, small, n_big = -(-n_rows // k), n_rows // k, n_rows % k
+    out = []
+    for b in range(1, k + 1):
+        out.extend([b] * (big if b <= n_big else small))
+    return out
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(st.integers(min_value=-10_000, max_value=10_000), min_size=1,
+             max_size=120, unique=True),
+    st.integers(min_value=1, max_value=6),
+)
+def test_parallel_ntile_matches_sequential_ntile(spark, keys, k):
+    """The two-pass rank engine behind customer_rfm_segments
+    (range exchange -> per-partition row_number -> driver prefix-sum ->
+    ntile arithmetic) must assign exactly the buckets SQL ntile(k)
+    assigns under the same total order, for any row count — including
+    n < k, n % k != 0, and single-row inputs."""
+    from pyspark.sql import functions as F
+
+    from cs_5542_lab_6_spark.operators.windows import _parallel_ntile
+
+    df = spark.createDataFrame([(x,) for x in keys], "key long")
+    got = {
+        r["key"]: r["b"]
+        for r in _parallel_ntile(df, k, [F.asc("key")], "key", "b").collect()
+    }
+    want = dict(zip(sorted(keys), _py_ntile(len(keys), k)))
+    assert got == want
