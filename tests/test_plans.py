@@ -297,3 +297,47 @@ def test_registry_wide_no_unjustified_nested_loops(spark, sf_dir):
             "is a 1-row scalar broadcast, add it to _BNLJ_ALLOWED with a "
             "justification; otherwise fix the join"
         )
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """The session enables AQE skew-join handling (session.py) — this
+    pins that it actually FIRES: a join where one key holds ~90% of the
+    fact rows must re-plan at runtime into SortMergeJoin(skew=true) with
+    an 'AQEShuffleRead skewed' child, i.e. the hot partition is split
+    across tasks instead of funneling through one. Thresholds are
+    lowered to make fixture-sized data cross the skew detector; at
+    cluster scale the defaults (256MB advisory) do the same job."""
+    from pyspark.sql import functions as F
+
+    knobs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {}
+    for k, v in knobs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        fact = spark.range(2_000_000).select(
+            F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id") % 100).alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+        )
+        dim = spark.range(100).select(F.col("id").alias("k"), F.lit("x").alias("attr"))
+        j = fact.join(dim, "k").groupBy("attr").count()
+        [row] = j.collect()
+        assert row["count"] == 2_000_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+        assert "AQEShuffleRead skewed" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
