@@ -18,10 +18,14 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 
-def gini_py(values: list[float]) -> float:
+def gini_py(values: list[float]) -> float | None:
     """Sequential-fold replica: G = 2·Σ i·x_i / (n·Σ x_i) − (n+1)/n over
     ascending-sorted values (1-based i), accumulated in sort order so
-    the IEEE result matches the engine's position-ordered fold."""
+    the IEEE result matches the engine's position-ordered fold.
+
+    Degenerate groups (empty, or summing to zero — e.g. an all-zero
+    column) have no defined Gini; return None so the aggregate yields
+    NULL instead of crashing (ADVICE r7)."""
     xs = sorted(float(v) for v in values)
     n = len(xs)
     sxi = 0.0
@@ -29,6 +33,8 @@ def gini_py(values: list[float]) -> float:
     for i, x in enumerate(xs, start=1):
         sxi += i * x
         sx += x
+    if n == 0 or sx == 0.0:
+        return None
     return 2.0 * sxi / (n * sx) - (n + 1.0) / n
 
 

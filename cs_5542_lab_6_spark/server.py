@@ -293,6 +293,16 @@ def create_app(
                     "400 Bad Request",
                     {"error": "limit/offset must be integers"},
                 )
+            if limit < 0 or offset < 0:
+                # A negative limit would slip past the `limit > 0` guard
+                # below and trigger the unbounded full-table collect the
+                # default cap exists to prevent; only limit=0 explicitly
+                # requests the full dump.
+                return _json(
+                    start_response,
+                    "400 Bad Request",
+                    {"error": "limit/offset must be >= 0"},
+                )
             papers = papers.orderBy("paper_id")
             if offset:
                 papers = papers.offset(offset)

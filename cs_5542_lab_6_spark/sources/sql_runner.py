@@ -261,5 +261,15 @@ def sql_script_procedural_threshold(spark: SparkSession, sf_dir: str) -> DataFra
     size. Arithmetic is exact (powers of two in doubles, integer
     counts), so the result hash-matches."""
     register_views(spark, sf_dir)
+    # Scripting must be enabled only while the compound statement is
+    # parsed/executed; restore the prior value so the flag doesn't leak
+    # into every later query on the shared session (ADVICE r7).
+    prev = spark.conf.get("spark.sql.scripting.enabled", None)
     spark.conf.set("spark.sql.scripting.enabled", "true")
-    return spark.sql(_PROC_SCRIPT)
+    try:
+        return spark.sql(_PROC_SCRIPT)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.scripting.enabled")
+        else:
+            spark.conf.set("spark.sql.scripting.enabled", prev)

@@ -158,6 +158,12 @@ def test_papers_pagination(client, spark, sf_dir):
     assert status == 200 and empty == []
     status, body = c.request("GET", "/papers?limit=abc")
     assert status == 400 and "error" in body
+    # negative limit must NOT fall through to the unbounded full dump
+    # (ADVICE r7): only limit=0 explicitly requests it
+    status, body = c.request("GET", "/papers?limit=-1")
+    assert status == 400 and "error" in body
+    status, body = c.request("GET", "/papers?offset=-5")
+    assert status == 400 and "error" in body
 
 
 def test_ui_page_serves_chat_contract(client):

@@ -95,3 +95,29 @@ def test_parameterized_script_binds_named_markers(spark, sf_dir):
         {"status": "F' OR '1'='1"},
     )
     assert evil.collect()[0]["n"] == 0
+
+
+def test_procedural_script_restores_scripting_conf(spark, sf_dir):
+    """sql_script_procedural_threshold must not leak
+    spark.sql.scripting.enabled into the shared session (ADVICE r7):
+    whatever the conf was before the call, it is identical after."""
+    from cs_5542_lab_6_spark.sources.sql_runner import (
+        sql_script_procedural_threshold,
+    )
+
+    key = "spark.sql.scripting.enabled"
+    before = spark.conf.get(key, None)
+    out = sql_script_procedural_threshold(spark, sf_dir)
+    assert out.count() == 1
+    assert spark.conf.get(key, None) == before
+
+    # and with an explicit prior value, that exact value is restored
+    spark.conf.set(key, "false")
+    try:
+        sql_script_procedural_threshold(spark, sf_dir).collect()
+        assert spark.conf.get(key) == "false"
+    finally:
+        if before is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, before)

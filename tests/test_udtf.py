@@ -100,3 +100,26 @@ def test_grouped_agg_gini_udaf_matches_relational_plan(spark, sf_dir):
         .collect()
     ]
     assert round(gini_py(vals), 6) == via_plan[some_priority]
+
+
+def test_gini_degenerate_groups_yield_null(spark):
+    """Degenerate groups (empty / all-zero values) must yield NULL, not
+    ZeroDivisionError, through both the replica and the UDAF (ADVICE
+    r7): gini is a public aggregate usable on arbitrary columns."""
+    from pyspark.sql import functions as F
+
+    from cs_5542_lab_6_spark.functions.udafs import gini_py, gini_udaf
+
+    assert gini_py([]) is None
+    assert gini_py([0.0, 0.0, 0.0]) is None
+    assert gini_py([1.0, 1.0]) == 0.0  # equal shares -> 0, still defined
+
+    df = spark.createDataFrame(
+        [("z", 0.0), ("z", 0.0), ("ok", 1.0), ("ok", 3.0)], "k string, x double"
+    )
+    got = {
+        r["k"]: r["g"]
+        for r in df.groupBy("k").agg(gini_udaf("x").alias("g")).collect()
+    }
+    assert got["z"] is None
+    assert got["ok"] == gini_py([1.0, 3.0])
