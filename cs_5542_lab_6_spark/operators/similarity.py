@@ -209,6 +209,43 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivf_centroids_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cold IVF coarse-quantizer stage: one (label, cv) centroid row per
+    cluster, components quantized to 1/1000 integers before averaging so
+    the result is order-independent and cross-engine exact. This is the
+    warehouse-stage builder (``ingest.STAGES``): at 100 TB the centroid
+    table is a tiny index artifact built ONCE at ingest — every
+    ANN query then broadcasts a |nlist|-row parquet scan instead of
+    re-aggregating the full vector corpus (r8 verdict item 1)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    comp = e.select(
+        "label", F.posexplode("v").alias("d", "x")
+    ).withColumn("xi", F.round(F.col("x") * 1000).cast("long"))
+    return (
+        comp.groupBy("label", "d")
+        .agg((F.sum("xi").cast("double") / (1000.0 * F.count("*"))).alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "c"))), lambda s: s["c"]
+            ).alias("cv")
+        )
+    )
+
+
+def _ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(label, cv) centroids: the ``ivf_centroids`` warehouse checkpoint
+    when warm, the corpus-wide aggregation otherwise."""
+    from ..pipeline.corpus import _warm_path
+
+    p = _warm_path(sf_dir, "ivf_centroids", spark)
+    if p:
+        return spark.read.parquet(p)
+    return ivf_centroids_build(spark, sf_dir)
+
+
 @query(
     "ann_ivf_topk",
     oracle=f"""
@@ -268,20 +305,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
         .withColumn("nrm", _norm(F.col("v")))
     )
-    # order-independent centroid: quantize to ints, sum, divide once
-    comp = e.select(
-        "label", F.posexplode("v").alias("d", "x")
-    ).withColumn("xi", F.round(F.col("x") * 1000).cast("long"))
-    cent = (
-        comp.groupBy("label", "d")
-        .agg((F.sum("xi").cast("double") / (1000.0 * F.count("*"))).alias("c"))
-        .groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("d", "c"))), lambda s: s["c"]
-            ).alias("cv")
-        )
-    )
+    cent = _ivf_centroids(spark, sf_dir)
     qset = e.filter(F.col("vec_id").isin(*QUERY_IDS)).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
     )

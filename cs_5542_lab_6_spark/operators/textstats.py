@@ -1062,9 +1062,66 @@ def corpus_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("round")
 
 
+def _bpe_rounds_local(
+    vocab: list[tuple[list[str], int]], rounds: int
+) -> tuple[list[tuple[int, str, str, str, int]], list[tuple[list[str], int]]]:
+    """Driver-local BPE merge rounds over a collected (syms, cnt)
+    vocabulary: same weighted pair counts, same (n DESC, a ASC, b ASC)
+    argmax tiebreak (Python tuple order == Spark's UTF8 binary order for
+    valid UTF-8), same greedy left-to-right merge fold — bit-identical
+    to the distributed rounds (Hypothesis-pinned in
+    tests/test_properties.py). Returns (merges, final vocabulary)."""
+    merges: list[tuple[int, str, str, str, int]] = []
+    for i in range(1, rounds + 1):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, cnt in vocab:
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + cnt
+        if not pairs:
+            break
+        n = max(pairs.values())
+        a, b = min(k for k, v in pairs.items() if v == n)
+        merged = a + b
+        merges.append((i, a, b, merged, n))
+        nxt = []
+        for syms, cnt in vocab:
+            acc: list[str] = []
+            for x in syms:
+                if acc and acc[-1] == a and x == b:
+                    acc[-1] = merged
+                else:
+                    acc.append(x)
+            nxt.append((acc, cnt))
+        vocab = nxt
+    return merges, vocab
+
+
+# Hybrid cutover threshold (r8 verdict item 2): after the first hash-agg
+# the corpus collapses to the (word, count) vocabulary; once |vocab| fits
+# this bound, the remaining merge rounds run driver-local — O(1) Spark
+# jobs total instead of one 1-row argmax collect() per round (a
+# production 32k-merge vocabulary would otherwise mean 32k Spark jobs).
+# A collected row costs ~2x its text bytes; 500k rows is tens of MB on a
+# driver sized for a 1000-executor cluster. 0 forces the distributed
+# path (used by the property suite to pin both paths to one oracle).
+BPE_LOCAL_VOCAB_MAX = 500_000
+
+
+def _bpe_local_max() -> int:
+    import os
+
+    return int(os.environ.get("SPARK_GRAFT_BPE_LOCAL_MAX", BPE_LOCAL_VOCAB_MAX))
+
+
 def _bpe_iterate(spark: SparkSession, sf_dir: str, rounds: int):
     """Run ``rounds`` greedy merge rounds; returns (merge list, the
-    FINAL cached (syms, cnt) vocabulary — caller must unpersist)."""
+    FINAL cached (syms, cnt) vocabulary — caller must unpersist).
+
+    Scale: the first hash-agg is corpus-sized and always distributed;
+    every later round is vocabulary-sized. When the vocabulary fits
+    ``_bpe_local_max()`` rows it is collected ONCE and the rounds finish
+    driver-local (zero further Spark jobs); otherwise each round is one
+    explode + map-side-combinable agg + a 1-row argmax collect."""
     docs = load_table(spark, sf_dir, "documents")
     vocab = (
         docs.select(F.explode(words(F.lower(F.col("text")))).alias("w"))
@@ -1074,6 +1131,15 @@ def _bpe_iterate(spark: SparkSession, sf_dir: str, rounds: int):
         .cache()
     )
     merges: list[tuple[int, str, str, str, int]] = []
+    n_vocab = vocab.count()  # also materializes the cache for both paths
+    if n_vocab <= _bpe_local_max():
+        rows = [(list(r["syms"]), int(r["cnt"])) for r in vocab.collect()]
+        vocab.unpersist()
+        merges, final_rows = _bpe_rounds_local(rows, rounds)
+        final_vocab = spark.createDataFrame(
+            [(s, c) for s, c in final_rows], "syms array<string>, cnt long"
+        )
+        return merges, final_vocab
     prev_cached = vocab
     try:
         cur = vocab

@@ -30,10 +30,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
+    dedup_clusters_build,
     doc_minhash_build,
     doc_shingles_build,
     doc_simhash_build,
 )
+from ..operators.similarity import ivf_centroids_build
 from .corpus import (
     chunks_with_embeddings_df,
     kg_edges_build,
@@ -58,6 +60,14 @@ STAGES: tuple[tuple[str, Callable[[SparkSession, str], DataFrame], tuple[str, ..
     ("doc_shingles", doc_shingles_build, ()),
     ("doc_minhash", doc_minhash_build, ()),
     ("doc_simhash", doc_simhash_build, ()),
+    # index ARTIFACTS (r8 verdict item 1): built once at ingest, queried
+    # many times — dedup components (consumed by dedup_rate_by_source /
+    # curation) and the IVF coarse quantizer (consumed by every ANN
+    # query). The cluster build reads the doc_minhash checkpoint above,
+    # so stage order matters; both remain derivable cold when no
+    # warehouse is configured (the driver's hermetic path).
+    ("dedup_clusters", dedup_clusters_build, ()),
+    ("ivf_centroids", ivf_centroids_build, ()),
 )
 
 

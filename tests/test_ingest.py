@@ -42,6 +42,8 @@ def test_build_checkpoint_resume_verify(spark, sf_dir, tmp_path):
         "doc_shingles",
         "doc_minhash",
         "doc_simhash",
+        "dedup_clusters",
+        "ivf_centroids",
     }
     assert all(v["status"] == "OK" for v in report.values())
     assert not any(v["skipped"] for v in report.values())
@@ -91,6 +93,10 @@ def test_warm_warehouse_queries_equal_cold(spark, sf_dir, tmp_path, monkeypatch)
         "dedup_clusters",
         "dedup_simhash",
         "contamination_scan",
+        # index-artifact stages (r8): served from the materialized
+        # dedup_clusters / ivf_centroids checkpoints when warm
+        "dedup_rate_by_source",
+        "ann_ivf_topk",
         # verification/audit queries count the checkpoints when warm
         "corpus_verify",
         "corpus_delete_cascade",
@@ -105,6 +111,8 @@ def test_warm_warehouse_queries_equal_cold(spark, sf_dir, tmp_path, monkeypatch)
     build_corpus(spark, sf_dir, out, resume=False)
     monkeypatch.setenv(C.WAREHOUSE_ENV, str(root))
     assert C._warm_path(sf_dir, "chunks") is not None  # warm path engaged
+    assert C._warm_path(sf_dir, "dedup_clusters") is not None
+    assert C._warm_path(sf_dir, "ivf_centroids") is not None
     warm = {n: sorted(map(tuple, qs[n](spark, sf_dir).collect())) for n in names}
 
     assert warm == cold
