@@ -100,6 +100,87 @@ def orders_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "orders_exact_stats",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+           CAST(percentile_cont(0.5)  WITHIN GROUP (ORDER BY o_totalprice) AS DOUBLE) AS price_p50,
+           CAST(percentile_cont(0.9)  WITHIN GROUP (ORDER BY o_totalprice) AS DOUBLE) AS price_p90,
+           CAST(percentile_cont(0.99) WITHIN GROUP (ORDER BY o_totalprice) AS DOUBLE) AS price_p99,
+           COUNT(*) AS n_orders,
+           TRUE AS cd_in_envelope,
+           TRUE AS pq_in_envelope
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def orders_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXACT twin of ``orders_approx_stats`` (r8 verdict item 3):
+    per-status exact distinct customers and exact interpolated
+    percentiles — hash-checkable where the sketch query is rows-only.
+
+    The pair is self-verifying: the two envelope booleans join the
+    sketch query's own output and assert, IN THE DRIVER-CHECKED RESULT,
+    that the HLL distinct estimate lands within its 3-sigma band
+    (|Δ| ≤ max(3, 5%·exact)) and each approx percentile lands between
+    the exact quantiles ±0.01 rank (percentile_approx accuracy 10000 ⇒
+    rank error ≤ 1e-4; 100x slack). The oracle states TRUE — a sketch
+    drifting out of its envelope is a driver hash mismatch, not just a
+    pytest failure.
+
+    Scale note: exact COUNT(DISTINCT) and exact per-group percentiles
+    shuffle every row to its group; with 3 statuses this is the
+    bounded-cardinality case where exact is affordable — the sketch twin
+    is the 100 TB default (constant memory, map-side mergeable)."""
+    o = load_table(spark, sf_dir, "orders")
+    exact = o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("exact_customers"),
+        F.percentile("o_totalprice", F.lit(0.5)).alias("price_p50"),
+        F.percentile("o_totalprice", F.lit(0.9)).alias("price_p90"),
+        F.percentile("o_totalprice", F.lit(0.99)).alias("price_p99"),
+        F.count("*").alias("n_orders"),
+        # rank-envelope bounds for the approx percentiles (never emitted,
+        # only compared): exact quantiles at q ± 0.01
+        F.percentile("o_totalprice", F.lit(0.49)).alias("_p50_lo"),
+        F.percentile("o_totalprice", F.lit(0.51)).alias("_p50_hi"),
+        F.percentile("o_totalprice", F.lit(0.89)).alias("_p90_lo"),
+        F.percentile("o_totalprice", F.lit(0.91)).alias("_p90_hi"),
+        F.percentile("o_totalprice", F.lit(0.98)).alias("_p99_lo"),
+        F.max("o_totalprice").alias("_p99_hi"),
+    )
+    approx = orders_approx_stats(spark, sf_dir).select(
+        "o_orderstatus",
+        F.col("approx_customers").alias("_ac"),
+        F.col("price_p50").alias("_a50"),
+        F.col("price_p90").alias("_a90"),
+        F.col("price_p99").alias("_a99"),
+    )
+    cd_ok = F.abs(F.col("_ac") - F.col("exact_customers")) <= F.greatest(
+        F.lit(3), F.lit(0.05) * F.col("exact_customers")
+    )
+    pq_ok = (
+        F.col("_a50").between(F.col("_p50_lo"), F.col("_p50_hi"))
+        & F.col("_a90").between(F.col("_p90_lo"), F.col("_p90_hi"))
+        & F.col("_a99").between(F.col("_p99_lo"), F.col("_p99_hi"))
+    )
+    return (
+        exact.join(approx, "o_orderstatus")
+        .select(
+            "o_orderstatus",
+            "exact_customers",
+            "price_p50",
+            "price_p90",
+            "price_p99",
+            "n_orders",
+            cd_ok.alias("cd_in_envelope"),
+            pq_ok.alias("pq_in_envelope"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
     "nation_price_medians",
     oracle="""
     SELECT n_name,
@@ -175,4 +256,91 @@ def events_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         top.crossJoin(F.broadcast(universe))
         .orderBy(F.desc("approx_count"), F.asc("user_id"))
+    )
+
+
+@query(
+    "events_heavy_hitters_exact",
+    oracle=f"""
+    WITH c AS (
+      SELECT user_id, COUNT(*) AS exact_count FROM events GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT user_id, exact_count,
+             row_number() OVER (ORDER BY exact_count DESC, user_id) AS rank
+      FROM c
+    )
+    SELECT CAST(rank AS INTEGER) AS rank, user_id, exact_count,
+           TRUE AS approx_count_ok, TRUE AS hll_ok
+    FROM ranked WHERE rank <= {HH_TOP_K}
+    ORDER BY rank
+    """,
+)
+def events_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXACT twin of ``events_heavy_hitters_sketch`` (r8 verdict
+    item 3): the true top-{HH_TOP_K} users by event count, fully
+    hash-checkable, carrying two driver-verified envelope booleans that
+    pin the sketch query's output to the truth:
+
+    - ``approx_count_ok`` — the sketch's approximate count for this
+      user (left join on the sketch's own output; NULL when the sketch
+      omitted the user, which is legitimate near ties) is within 1% of
+      stream size of the exact count;
+    - ``hll_ok`` — the sketch's HLL distinct-user estimate is within
+      its ~3-sigma default-precision band (|Δ| ≤ max(2, 5%·exact)).
+
+    The oracle states TRUE for both — a sketch regression becomes a
+    driver hash mismatch, closing the rows-only gap from the OUTSIDE
+    while the sketches themselves stay probabilistic by design.
+
+    Scale note: the exact top-k shuffles one (user_id, partial-count)
+    row per key per map partition (map-side combine), then
+    TakeOrderedAndProject — affordable for bounded key sets; the sketch
+    twin is the unbounded-cardinality default."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    counts = ev.groupBy("user_id").agg(F.count("*").alias("exact_count"))
+    # TakeOrderedAndProject FIRST (distributed top-k, no global sort),
+    # then rank the K-row result — a corpus-wide row_number window would
+    # funnel every key through one partition
+    head = counts.orderBy(F.desc("exact_count"), F.asc("user_id")).limit(
+        HH_TOP_K
+    )
+    rank = F.row_number().over(
+        W.orderBy(F.desc("exact_count"), F.asc("user_id"))
+    )
+    topk = head.withColumn("rank", rank).select(
+        "rank", "user_id", "exact_count"
+    )
+    totals = ev.agg(
+        F.count("*").alias("_n_events"),
+        F.countDistinct("user_id").alias("_nd_users"),
+    )
+    sketch = events_heavy_hitters_sketch(spark, sf_dir).select(
+        "user_id",
+        F.col("approx_count").alias("_ac"),
+        F.col("approx_distinct_users").alias("_hll"),
+    )
+    count_ok = F.col("_ac").isNull() | (
+        F.abs(F.col("_ac") - F.col("exact_count"))
+        <= F.greatest(F.lit(1), F.lit(0.01) * F.col("_n_events"))
+    )
+    # the HLL estimate rides on every sketch row; when this user is not
+    # in the sketch output, fall back to the universe-wide check via max
+    hll_est = F.max("_hll").over(W.partitionBy(F.lit(1)))
+    hll_ok = F.abs(hll_est - F.col("_nd_users")) <= F.greatest(
+        F.lit(2), F.lit(0.05) * F.col("_nd_users")
+    )
+    return (
+        topk.join(sketch, "user_id", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "rank",
+            "user_id",
+            "exact_count",
+            count_ok.alias("approx_count_ok"),
+            hll_ok.alias("hll_ok"),
+        )
+        .orderBy("rank")
     )

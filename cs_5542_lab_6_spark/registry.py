@@ -37,89 +37,74 @@ _REGISTRY: dict[str, Q] = {}
 # Driver-facing registration order. The correctness harness evaluates a
 # bounded prefix of ``queries()`` (50 entries), so ordering IS the
 # verification budget. The window ROTATES across rounds (VERDICT r4
-# item 4; VERDICT r5 item 1; VERDICT r6 item 1): rounds 1-4 checked the
-# reference-parity corpus/agent/SQL surface; round 5 rotated in
-# streaming/ranking/quality/maintenance; round 6 rotated in the 35
-# then-never-checked queries. Round 7 leads with the 26 queries that
-# STILL lack a driver CORRECTNESS row — the 25 mid-round-6 additions
-# (registered after the r6 window froze) plus orders_approx_stats
-# (rows-only; errored on the r1 canonicalizer and never re-windowed),
-# then the eight queries ADDED in round 7 (snapshot diff, dedup-rate/
-# fertility/vocab-growth reports, TWS streaming, procedural SQL script,
-# MV refresh, Gini) so nothing new accrues fresh rotation debt.
-# After r7, every registered query has appeared green in some round's
-# driver file. Rotated-out queries stay verified every session by
-# tests/test_oracle_parity.py (same rows+schema+value-hash check over
-# all registered oracles) and the sf0.1 scale canary
-# (tests/test_scale_canary.py). Everything not listed keeps module
-# registration order after the listed prefix.
+# item 4; r5 item 1; r6 item 1; r7 item 4): after round 7 every
+# registered query has a green driver row in some round's CORRECTNESS
+# file, so round 8's contract shifts from debt-closing to FRESHNESS —
+# lead with the queries REGISTERED this round (first driver check the
+# same round they land, the r7 discipline), then re-window the
+# least-recently driver-checked queries (the r1- and r4-vintage rows,
+# now 4-7 rounds stale) plus the permanent regression-guard core.
+# Rotated-out queries stay verified every session by
+# tests/test_oracle_parity.py (rows+schema+exact-value over all
+# registered oracles) and at sf0.1 by tests/test_scale_canary.py.
 _PRIORITY: tuple[str, ...] = (
-    # --- Never-driver-checked (26): the mid-round-6 additions + the
-    # --- rows-only straggler. One green row each closes rotation debt.
-    # BPE tokenizer family
-    "corpus_bpe_merge_candidates",
-    "corpus_bpe_train",
-    "corpus_bpe_tokenize_stats",
-    # Curation capstone
-    "corpus_curation_decisions",
-    "curation_by_source",
-    # Ranking two-stage
-    "bm25_rerank_topk",
-    # Dedup large-star/small-star clustering
-    "dedup_clusters_star",
-    # TPC-H Q2/Q8/Q9/Q16/Q20/Q21 shapes
-    "min_cost_part_supplier",
-    "nation_market_share",
-    "product_type_profit",
-    "supplier_part_variety",
-    "excess_stock_suppliers",
-    "sole_late_supplier_orders",
-    # Semi-structured / calendar / recursion
-    "events_props_variant",
-    "orders_date_spine_gaps",
-    "kg_reachability_sql",
-    # Text quality stragglers
-    "corpus_duplicate_sentences",
-    "doc_token_entropy",
-    # Sketches (rows-only: probabilistic, error-envelope unit-tested)
-    "events_heavy_hitters_sketch",
-    "orders_approx_stats",
-    # Correlated LATERAL + pipe-syntax SQL script
-    "customer_top_orders_lateral",
-    "sql_script_pipe_revenue",
-    # Event analytics additions
-    "events_transition_matrix",
-    "events_hourly_seasonality",
-    # Graph + window additions
-    "kg_degree_distribution",
-    "customer_rfm_segments",
-    # --- New in round 7 (registered this round; first driver check) ---
-    "corpus_snapshot_diff",
-    "dedup_rate_by_source",
-    "tokenizer_fertility_by_lang",
-    "corpus_vocab_growth",
-    "stream_user_top_purchases",
-    "sql_script_procedural_threshold",
-    "orders_mv_incremental_refresh",
-    "priority_price_gini",
-    # --- Regression guards: one per family that carried a fix, plus the
-    # --- flagship. Fill the remainder of the 50-entry window.
+    # --- New in round 8 (registered this round; first driver check):
+    # --- exact hash-checked twins of the two rows-only sketches, each
+    # --- carrying driver-verified sketch-vs-exact envelope booleans
+    "orders_exact_stats",
+    "events_heavy_hitters_exact",
+    # --- r1-vintage driver rows (15): last checked seven rounds ago
+    "active_customer_keys",
+    "order_fill_status",
+    "order_status_priority_cube",
+    "orders_per_month",
+    "part_catalog_slugs",
+    "pricing_summary",
+    "regional_customer_revenue",
+    "returnflag_pivot",
+    "revenue_forecast",
+    "single_status_customers",
+    "status_priority_grouping_sets",
+    "supplier_running_revenue",
+    "top_orders_by_revenue",
+    "topk_expensive_orders",
+    "user_event_gaps",
+    # --- r4-vintage driver rows (17)
+    "agent_chunk_context",
+    "ann_lsh_topk",
+    "chunks_view",
+    "chunks_with_embeddings",
+    "corpus_chunk_ratio",
+    "corpus_token_frequencies",
+    "corpus_verify",
+    "dedup_embedding_nn",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "doc_fingerprints",
+    "doc_language_id",
+    "doc_lookup",
+    "doc_token_stats",
+    "papers_build",
+    "sql_script_segment_revenue",
+    "vector_topk_filtered",
+    # --- Regression guards that stay in every window
     "chunks_build",            # corpus chunker (pure-Catalyst UDTF twin)
-    "kg_edges_build",          # co-occurrence self-join
-    "kg_two_hop",              # frontier-below-aggregation fix (r2)
+    "kg_edges_build",          # co-occurrence one-shuffle expansion
     "vector_topk",             # flagship retrieval
-    "doc_lm_perplexity",       # bigram-LM perplexity (Hypothesis-pinned)
-    "dedup_minhash_lsh",       # LSH banding
-    "dedup_clusters",          # iterative label propagation
-    "ann_recall_eval",         # recall@k eval composing all three ANN tiers
-    "doc_quality_filter_funnel",  # quality pipeline
-    "multimodal_decode_features",  # multimodal family
-    "orders_merge_upsert",     # warehouse lifecycle
     "eval_metrics_log",        # JSON sink (red in r4, fixed r5)
-    "events_session_windows",  # sessionization
     "stream_tumbling_daily",   # real Structured Streaming
-    "stream_user_stats_stateful",  # applyInPandasWithState
-    "user_click_purchase_cogroup",  # bucketed cogroup
+    # --- Oldest r5-vintage rows: fill the remainder of the 50 window
+    "agent_search_papers",
+    "ann_brute_force_topk",
+    "ann_ivf_topk",            # r8: warm ivf_centroids seam touched this
+    "bm25_doc_topk",
+    "chunk_vector_topk",
+    "contamination_scan",
+    "corpus_delete_cascade",
+    "customer_balance_distribution",
+    "dedup_exact",
+    "doc_pii_scrub",
+    "doc_quality_scores",
 )
 
 

@@ -12,64 +12,32 @@ from cs_5542_lab_6_spark.registry import all_oracles, all_queries
 DRIVER_WINDOW = 50
 
 # The window rotates across rounds (VERDICT r4 item 4; r5 item 1; r6
-# item 1) so every family gets a driver CORRECTNESS row at least once;
-# rotated-out queries stay verified by test_oracle_parity.py and the
-# sf0.1 scale canary. Round 7's contract: every query that has never
-# appeared in any round's driver CORRECTNESS file (the 25 mid-round-6
-# additions plus the rows-only orders_approx_stats, which errored on the
-# r1 canonicalizer before its scalar-column fix) must sit inside the
-# checked prefix — after r7 the cumulative driver coverage is 100% —
-# plus a regression-guard core that stays in every window.
+# item 1; r7 item 4) so every family gets a driver CORRECTNESS row at
+# least once; rotated-out queries stay verified by test_oracle_parity.py
+# and the sf0.1 scale canary. After round 7 cumulative driver coverage
+# is 100%, so round 8's contract is FRESHNESS: (a) every query
+# registered in round 8 gets its first driver check the same round it
+# lands, and (b) the window refreshes the stalest driver rows (r1/r4
+# vintage) plus the permanent regression-guard core.
 REFERENCE_PARITY = [
-    # never driver-checked through round 6 (VERDICT r6 item 1 list)
-    "corpus_bpe_merge_candidates",
-    "corpus_bpe_train",
-    "corpus_bpe_tokenize_stats",
-    "corpus_curation_decisions",
-    "curation_by_source",
-    "bm25_rerank_topk",
-    "dedup_clusters_star",
-    "min_cost_part_supplier",
-    "nation_market_share",
-    "product_type_profit",
-    "supplier_part_variety",
-    "excess_stock_suppliers",
-    "sole_late_supplier_orders",
-    "events_props_variant",
-    "orders_date_spine_gaps",
-    "kg_reachability_sql",
-    "corpus_duplicate_sentences",
-    "doc_token_entropy",
-    "events_heavy_hitters_sketch",
-    "orders_approx_stats",
-    "customer_top_orders_lateral",
-    "sql_script_pipe_revenue",
-    "events_transition_matrix",
-    "events_hourly_seasonality",
-    "kg_degree_distribution",
-    "customer_rfm_segments",
-    # new in round 7 — first driver check
-    "corpus_snapshot_diff",
-    "dedup_rate_by_source",
-    "tokenizer_fertility_by_lang",
-    "corpus_vocab_growth",
-    "stream_user_top_purchases",
-    "sql_script_procedural_threshold",
-    "orders_mv_incremental_refresh",
-    "priority_price_gini",
+    # new in round 8 — first driver check (r8 verdict items 3+4)
+    "orders_exact_stats",
+    "events_heavy_hitters_exact",
     # regression guards that must stay in every window
     "chunks_build",
     "kg_edges_build",
     "vector_topk",
     "eval_metrics_log",
     "stream_tumbling_daily",
+    # families touched by round-8 changes: re-window a representative
+    "ann_ivf_topk",  # warm ivf_centroids seam (cold path driver-checked)
 ]
 
-# The two sketch queries are deliberately rows-only (probabilistic
-# output DuckDB can't reproduce; error envelopes pinned by
-# test_skew_approx.py). They sit inside the r7 window ON PURPOSE — the
-# rotation's goal is a driver row for every registered query, and the
-# driver records a weaker rows-only check for these two.
+# The two sketch queries stay registered as rows-only by design
+# (probabilistic output DuckDB can't reproduce); since r8 each has an
+# exact hash-checked twin in the window (orders_exact_stats /
+# events_heavy_hitters_exact) whose envelope booleans pin sketch-vs-
+# exact agreement in the driver check itself.
 ROWS_ONLY_ALLOWED = {"events_heavy_hitters_sketch", "orders_approx_stats"}
 
 

@@ -82,3 +82,32 @@ def test_heavy_hitters_sketch_error_envelope(spark, sf_dir):
     true_top = sorted(exact, key=lambda u: (-exact[u], u))[: HH_TOP_K // 2]
     sketch_set = {r["user_id"] for r in got}
     assert set(true_top) <= sketch_set
+
+
+def test_exact_twins_carry_true_envelopes(spark, sf_dir):
+    """The r8 exact twins must (a) agree with their own oracles on the
+    exact values (driver-checked too) and (b) emit TRUE for every
+    sketch-vs-exact envelope boolean — the in-query assertion that turns
+    a sketch regression into a driver hash mismatch."""
+    from cs_5542_lab_6_spark.operators.skew import (
+        HH_TOP_K,
+        events_heavy_hitters_exact,
+        orders_exact_stats,
+    )
+
+    stats = orders_exact_stats(spark, sf_dir).collect()
+    assert len(stats) >= 1
+    for r in stats:
+        assert r["cd_in_envelope"] is True
+        assert r["pq_in_envelope"] is True
+        assert r["price_p50"] <= r["price_p90"] <= r["price_p99"]
+        assert r["exact_customers"] <= r["n_orders"]
+
+    hh = events_heavy_hitters_exact(spark, sf_dir).collect()
+    assert 1 <= len(hh) <= HH_TOP_K
+    assert [r["rank"] for r in hh] == list(range(1, len(hh) + 1))
+    counts = [r["exact_count"] for r in hh]
+    assert counts == sorted(counts, reverse=True)
+    for r in hh:
+        assert r["approx_count_ok"] is True
+        assert r["hll_ok"] is True
