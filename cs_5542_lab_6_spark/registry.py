@@ -53,6 +53,9 @@ _PRIORITY: tuple[str, ...] = (
     # --- carrying driver-verified sketch-vs-exact envelope booleans
     "orders_exact_stats",
     "events_heavy_hitters_exact",
+    # --- also new in r8: COUNT(DISTINCT) MV maintenance (key-set merge
+    # --- + driver-checked HLL-union envelope)
+    "orders_mv_distinct_refresh",
     # --- r1-vintage driver rows (15): last checked seven rounds ago
     "active_customer_keys",
     "order_fill_status",
@@ -104,7 +107,6 @@ _PRIORITY: tuple[str, ...] = (
     "customer_balance_distribution",
     "dedup_exact",
     "doc_pii_scrub",
-    "doc_quality_scores",
 )
 
 

@@ -20,9 +20,10 @@ DRIVER_WINDOW = 50
 # lands, and (b) the window refreshes the stalest driver rows (r1/r4
 # vintage) plus the permanent regression-guard core.
 REFERENCE_PARITY = [
-    # new in round 8 — first driver check (r8 verdict items 3+4)
+    # new in round 8 — first driver check (r8 verdict items 3, 4, 8)
     "orders_exact_stats",
     "events_heavy_hitters_exact",
+    "orders_mv_distinct_refresh",
     # regression guards that must stay in every window
     "chunks_build",
     "kg_edges_build",
