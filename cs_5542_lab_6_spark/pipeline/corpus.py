@@ -162,6 +162,7 @@ def _chunk_documents(
     overlap: int = CHUNK_OVERLAP,
     min_words: int = MIN_CHUNK_WORDS,
     with_abstract: bool = True,
+    with_tokens: bool = False,
 ) -> DataFrame:
     """Word-window chunker (reference: data/ingestion.py:173-185,200-222).
 
@@ -174,7 +175,16 @@ def _chunk_documents(
     Implementation: ``sequence`` builds the start offsets, ``explode``
     fans them out, ``slice`` takes each window — one row in, many rows
     out with no Python and no shuffle.
-    """
+
+    ``with_tokens=True`` additionally carries the window's word ARRAY
+    (``toks``) next to the joined string. ``text_content`` is
+    ``array_join(toks, ' ')`` and the words contain no whitespace, so
+    ``words(text_content) == toks`` definitionally
+    (tests/test_corpus_invariants.py pins the equivalence). Note:
+    exploding ``toks`` directly measured ~2x SLOWER than the
+    join+re-split on the cold 10x corpus (Generate over a computed
+    array pays per-row array copying), so chunk_entities_df
+    deliberately keeps the string path — see its inline note."""
     step = size - overlap
     c = cleaned_documents(spark, sf_dir, spread=True).select(
         "paper_id", words("text").alias("w")
@@ -193,9 +203,7 @@ def _chunk_documents(
             (F.expr(f"s div {step}") + (1 if with_abstract else 0))
             .cast("int")
             .alias("chunk_index"),
-            F.array_join(F.slice("w", F.col("s") + 1, F.lit(size)), " ").alias(
-                "text_content"
-            ),
+            F.slice("w", F.col("s") + 1, F.lit(size)).alias("toks"),
             F.least(F.lit(size), F.col("n") - F.col("s")).cast("int").alias("word_count"),
         )
     )
@@ -205,7 +213,7 @@ def _chunk_documents(
             F.lit("abstract").alias("section_name"),
             F.lit(0).alias("widx"),
             F.lit(0).alias("chunk_index"),
-            F.array_join(F.slice("w", 1, ABSTRACT_WORDS), " ").alias("text_content"),
+            F.slice("w", 1, ABSTRACT_WORDS).alias("toks"),
             F.least(F.lit(ABSTRACT_WORDS), F.col("n")).cast("int").alias("word_count"),
         )
         out = abstract.unionByName(body)
@@ -224,7 +232,8 @@ def _chunk_documents(
             "paper_id",
             "chunk_index",
             "section_name",
-            "text_content",
+            F.array_join("toks", " ").alias("text_content"),
+            *(["toks"] if with_tokens else []),
             "word_count",
             F.lit(INGESTED_AT).cast("timestamp").alias("ingested_at"),
         )
@@ -506,6 +515,15 @@ def chunk_entities_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalize → length-filter → first-seen contract is shared."""
     from ..functions.ner import extract_mentions_udf, ner_active
 
+    # NOTE (r8 profile): exploding the chunker's token ARRAY directly
+    # (with_tokens=True, posexplode(toks)) looks like it should beat the
+    # array_join + words() re-split — Catalyst even prunes the join from
+    # the plan — but measured CONSISTENTLY ~2x slower on the cold 10x
+    # corpus (14.4s vs 7.6s min-of-3, interleaved): Generate over a
+    # computed array column pays per-row UnsafeArrayData copying that
+    # the compact-string split does not. The re-split stays on purpose;
+    # words(text_content) == toks is pinned in
+    # tests/test_corpus_invariants.py should this trade-off be revisited.
     chunks = _chunk_documents(spark, sf_dir)
     mentions = (
         extract_mentions_udf("text_content")
@@ -521,15 +539,32 @@ def chunk_entities_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     normed = toks.withColumn("name_normalized", normalize_entity("token")).filter(
         F.length("name_normalized") >= KG_MIN_NAME_LENGTH
     )
-    # first-seen-per-(chunk, entity) as min_by HASH AGG, not a
-    # row_number window: the agg partially combines map-side, so the
-    # shuffle carries one row per distinct entity mention instead of
-    # every token occurrence (the window shape sorted the full token
-    # stream through the exchange — measured ~25% slower on the cold
-    # 10x build). pos is unique within a chunk, so min_by is
-    # deterministic and row-identical to the windowed form (the DuckDB
-    # oracle keeps the row_number formulation; values match exactly).
-    firsts = normed.groupBy("chunk_id", "name_normalized").agg(
+    # first-seen-per-(chunk, entity) in TWO aggregations, not one
+    # min_by(struct) — a struct/string aggregation buffer is not
+    # hash-aggregable, so the single-agg form planned as SortAggregate
+    # and SORTED THE ENTIRE TOKEN STREAM on both sides of the exchange
+    # (n·log n per map task + sort-spill risk on 100 TB token streams).
+    # Stage 1 groups by the token too and keeps only min(pos) — an INT
+    # buffer, so it plans as HashAggregate with map-side partials
+    # (asserted in tests/test_plans.py): the exchange carries one row
+    # per distinct mention, never the raw stream, and nothing sorts at
+    # token scale. Stage 2 resolves name-normalized collisions
+    # (different raw tokens, same normalized form) with min_by over the
+    # already-deduped, entity-sized relation — its SortAggregate sorts
+    # |entities| rows, not |tokens|. Measured wall-clock parity with the
+    # single agg on the 10x local fixture (hash build ≈ in-memory sort
+    # at this size); the hash shape is chosen for the scale regime,
+    # where aggregation hash maps partial-combine and spill gracefully
+    # while a pre-agg sort of raw tokens cannot. paper_id/chunk_index
+    # are chunk-level constants, so adding them to stage 1's keys
+    # changes no groups. pos is unique within a chunk, so the
+    # composition is deterministic and row-identical to the windowed
+    # form (the DuckDB oracle keeps the row_number formulation; values
+    # match exactly).
+    per_token = normed.groupBy(
+        "chunk_id", "paper_id", "chunk_index", "name_normalized", "token"
+    ).agg(F.min("pos").alias("pos"))
+    firsts = per_token.groupBy("chunk_id", "name_normalized").agg(
         F.min_by(F.struct("paper_id", "chunk_index", "pos", "token"), "pos").alias(
             "s"
         )

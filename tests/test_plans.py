@@ -341,3 +341,28 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_entity_dedup_token_stream_hash_aggregates(spark, sf_dir):
+    """The first-seen entity dedup must consume the raw token stream
+    through a HashAggregate (int min(pos) buffer, map-side partials) —
+    never a SortAggregate, which would sort every token on both sides
+    of the exchange (r8: sort-spill risk at 100 TB). The residual
+    SortAggregate (min_by struct buffer) may only see the already-
+    deduped entity-sized relation."""
+    from cs_5542_lab_6_spark.pipeline.corpus import chunk_entities_df
+
+    plan = (
+        chunk_entities_df(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    lines = plan.split("\n")
+    hash_lines = [ln for ln in lines if "HashAggregate" in ln]
+    sort_lines = [ln for ln in lines if "SortAggregate" in ln]
+    # stage 1 (partial + final) hash-aggregates on the token-level keys
+    assert any("token" in ln and "pos" in ln for ln in hash_lines), plan
+    # stage 2's SortAggregate carries the min_by only — keyed WITHOUT the
+    # raw token, i.e. it runs on the deduped relation
+    assert sort_lines and all("min_by" in ln for ln in sort_lines), plan
