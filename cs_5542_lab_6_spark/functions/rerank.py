@@ -61,12 +61,53 @@ def _hash_score(pairs: list[tuple[str, str]]) -> np.ndarray:
     )
 
 
+def _load_artifact_scorer(path: str):
+    """Cross-encoder loaded from a local ``.npz`` artifact (``weights``
+    matrix of shape (n_buckets, dim)) — the same from-disk non-fake
+    branch the embedding seam has (functions/embedding.py): both sides
+    of the pair hash-bag into the projection, the score is the pair's
+    cosine mapped to [0, 1]. Real file I/O, per-worker lazy init, batch
+    matmul — everything the library path does except the network."""
+    data = np.load(path)
+    weights = np.asarray(data["weights"], dtype=np.float64)
+    n_buckets, _dim = weights.shape
+
+    def embed(text: str) -> np.ndarray:
+        toks = (text or "").lower().split()
+        if not toks:
+            return np.zeros(weights.shape[1])
+        rows = np.fromiter(
+            (
+                (int.from_bytes(hashlib.sha256(t.encode()).digest()[:8], "big") >> 4)
+                % n_buckets
+                for t in toks
+            ),
+            dtype=np.int64,
+            count=len(toks),
+        )
+        return weights[rows].sum(axis=0)
+
+    def score(pairs: list[tuple[str, str]]) -> np.ndarray:
+        out = np.zeros(len(pairs))
+        for i, (q, t) in enumerate(pairs):
+            a, b = embed(q), embed(t[:_HEAD_CHARS])
+            na, nb = np.linalg.norm(a), np.linalg.norm(b)
+            out[i] = 0.5 * (1.0 + a @ b / (na * nb)) if na > 0 and nb > 0 else 0.0
+        return out
+
+    return score
+
+
 def _load_real_scorer():
     """Real cross-encoder when $SPARK_GRAFT_RERANK_MODEL is set; None
-    otherwise (the hash scorer stays in charge)."""
+    otherwise (the hash scorer stays in charge). A path to an existing
+    ``.npz`` file loads the from-disk artifact scorer; any other value
+    is treated as a sentence-transformers CrossEncoder name."""
     name = os.environ.get(RERANK_MODEL_ENV)
     if not name:
         return None
+    if name.endswith(".npz") and os.path.exists(name):
+        return _load_artifact_scorer(name)
     from sentence_transformers import CrossEncoder  # lazy heavy import
 
     model = CrossEncoder(name)
