@@ -81,6 +81,12 @@ HEADLINE = [
     "corpus_vocab_growth",
     "dedup_rate_by_source",
     "orders_mv_incremental_refresh",
+    # round-8 additions: the exact sketch twins (each recomputes its
+    # paired sketch for the in-query envelope) and the COUNT(DISTINCT)
+    # MV maintenance
+    "orders_exact_stats",
+    "events_heavy_hitters_exact",
+    "orders_mv_distinct_refresh",
 ]
 
 

@@ -106,9 +106,85 @@ def bm25_doc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bm25_postings_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cold inverted-index stage: (token, doc_id, tf) term frequencies
+    over the whole corpus — the postings relation every text-retrieval
+    system materializes ONCE at ingest (warehouse stage
+    ``bm25_postings``). Repartitioned by token at write so a query-term
+    predicate prunes parquet row groups instead of scanning the corpus;
+    tf is an exact integer, so index-served scores are bit-identical to
+    the cold tokenize-per-query derivation (r8 verdict item 1: indexes
+    are build-once/query-many artifacts)."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select(
+        "doc_id", F.explode(words(F.lower(F.col("text")))).alias("token")
+    )
+    return (
+        toks.groupBy("token", "doc_id")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .repartition(F.col("token"))
+        .sortWithinPartitions("token", "doc_id")
+    )
+
+
+def bm25_doclen_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cold doc-length stage (warehouse stage ``bm25_doclen``): one
+    (doc_id, dl) row per document — the BM25 normalizer, kept separate
+    from the postings so the per-query plan never scans full postings
+    just to recover lengths."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select(
+        "doc_id", F.explode(words(F.lower(F.col("text")))).alias("token")
+    )
+    return toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+
+
 def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, score, n_terms_hit) — raw BM25 totals for every document
-    matching ≥1 query term (shared by bm25_doc_topk and hybrid_rrf_topk)."""
+    matching ≥1 query term (shared by bm25_doc_topk, hybrid_rrf_topk and
+    bm25_rerank_topk).
+
+    Warm: served from the ``bm25_postings`` / ``bm25_doclen`` index
+    stages — the per-query work drops to a token-pruned postings scan +
+    broadcast joins, never re-tokenizing the corpus (warm ≡ cold
+    asserted in tests/test_ingest.py). Cold: the full derivation."""
+    from ..pipeline.corpus import _warm_path
+
+    post_p = _warm_path(sf_dir, "bm25_postings", spark)
+    dl_p = _warm_path(sf_dir, "bm25_doclen", spark)
+    if post_p and dl_p:
+        qterms = spark.createDataFrame(
+            [(t,) for t in sorted(set(BM25_QUERY_TERMS))], "term string"
+        )
+        doclen = spark.read.parquet(dl_p)
+        stats = doclen.agg(
+            F.count("*").alias("n_docs"),
+            F.avg(F.col("dl").cast("double")).alias("avgdl"),
+        )
+        tf = (
+            spark.read.parquet(post_p)
+            .filter(F.col("token").isin(*sorted(set(BM25_QUERY_TERMS))))
+            .join(F.broadcast(qterms), F.col("token") == F.col("term"))
+            .select("doc_id", "term", "tf")
+        )
+        df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+        idf = F.log(
+            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        )
+        denom = F.col("tf") + BM25_K1 * (
+            1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+        )
+        scored = (
+            tf.join(F.broadcast(df_), "term")
+            .join(doclen, "doc_id")
+            .crossJoin(F.broadcast(stats))
+            .select(
+                "doc_id",
+                "term",
+                (idf * (F.col("tf") * (BM25_K1 + 1.0)) / denom).alias("s"),
+            )
+        )
+        return bm25_totals(scored)
     docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
     return bm25_totals(bm25_scored_terms(spark, docs, BM25_QUERY_TERMS))
 

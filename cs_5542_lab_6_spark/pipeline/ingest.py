@@ -35,6 +35,7 @@ from ..operators.dedup import (
     doc_shingles_build,
     doc_simhash_build,
 )
+from ..operators.ranking import bm25_doclen_build, bm25_postings_build
 from ..operators.similarity import ivf_centroids_build
 from .corpus import (
     chunks_with_embeddings_df,
@@ -68,6 +69,8 @@ STAGES: tuple[tuple[str, Callable[[SparkSession, str], DataFrame], tuple[str, ..
     # warehouse is configured (the driver's hermetic path).
     ("dedup_clusters", dedup_clusters_build, ()),
     ("ivf_centroids", ivf_centroids_build, ()),
+    ("bm25_postings", bm25_postings_build, ()),
+    ("bm25_doclen", bm25_doclen_build, ()),
 )
 
 

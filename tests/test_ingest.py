@@ -44,6 +44,8 @@ def test_build_checkpoint_resume_verify(spark, sf_dir, tmp_path):
         "doc_simhash",
         "dedup_clusters",
         "ivf_centroids",
+        "bm25_postings",
+        "bm25_doclen",
     }
     assert all(v["status"] == "OK" for v in report.values())
     assert not any(v["skipped"] for v in report.values())
@@ -94,9 +96,13 @@ def test_warm_warehouse_queries_equal_cold(spark, sf_dir, tmp_path, monkeypatch)
         "dedup_simhash",
         "contamination_scan",
         # index-artifact stages (r8): served from the materialized
-        # dedup_clusters / ivf_centroids checkpoints when warm
+        # dedup_clusters / ivf_centroids / bm25_postings+doclen
+        # checkpoints when warm
         "dedup_rate_by_source",
         "ann_ivf_topk",
+        "bm25_doc_topk",
+        "bm25_rerank_topk",
+        "hybrid_rrf_topk",
         # verification/audit queries count the checkpoints when warm
         "corpus_verify",
         "corpus_delete_cascade",

@@ -30,10 +30,9 @@ def test_manifest_roundtrip_and_replica_equality(spark, sf_dir, tmp_path):
     a = _build(spark, sf_dir, tmp_path / "wh_a")
     b = _build(spark, sf_dir, tmp_path / "wh_b")
     ma, mb = write_manifest(spark, a), write_manifest(spark, b)
-    assert set(ma) == {
-        "papers", "chunks", "kg_nodes", "kg_edges", "kg_map",
-        "doc_shingles", "doc_minhash", "doc_simhash",
-    }
+    from cs_5542_lab_6_spark.pipeline.ingest import STAGES
+
+    assert set(ma) == {name for name, _, _ in STAGES}
     assert read_manifest(a) == ma
     # two builds of the same fixture are content-identical replicas
     # (ingested_at is excluded from checksums by design)
