@@ -251,6 +251,8 @@ _BNLJ_ALLOWED = {
     "doc_lm_perplexity": 1,        # 1-row vocabulary-size scalar
     "ann_recall_eval": 3,          # composes the three tiers' scalar broadcasts
     "events_heavy_hitters_sketch": 1,  # 1-row HLL universe scalar
+    "events_heavy_hitters_exact": 2,   # its own 1-row totals scalar + the
+                                       # composed sketch's HLL scalar
     "corpus_curation_decisions": 1,    # composes doc_lm_perplexity's vocab scalar
     "curation_by_source": 1,           # same composed scalar, one level up
     "customer_top_orders_lateral": 1,  # decorrelated lateral may plan a domain join
