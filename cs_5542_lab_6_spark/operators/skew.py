@@ -134,20 +134,38 @@ def orders_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded-cardinality case where exact is affordable — the sketch twin
     is the 100 TB default (constant memory, map-side mergeable)."""
     o = load_table(spark, sf_dir, "orders")
-    exact = o.groupBy("o_orderstatus").agg(
-        F.countDistinct("o_custkey").alias("exact_customers"),
-        F.percentile("o_totalprice", F.lit(0.5)).alias("price_p50"),
-        F.percentile("o_totalprice", F.lit(0.9)).alias("price_p90"),
-        F.percentile("o_totalprice", F.lit(0.99)).alias("price_p99"),
-        F.count("*").alias("n_orders"),
-        # rank-envelope bounds for the approx percentiles (never emitted,
-        # only compared): exact quantiles at q ± 0.01
-        F.percentile("o_totalprice", F.lit(0.49)).alias("_p50_lo"),
-        F.percentile("o_totalprice", F.lit(0.51)).alias("_p50_hi"),
-        F.percentile("o_totalprice", F.lit(0.89)).alias("_p90_lo"),
-        F.percentile("o_totalprice", F.lit(0.91)).alias("_p90_hi"),
-        F.percentile("o_totalprice", F.lit(0.98)).alias("_p99_lo"),
-        F.max("o_totalprice").alias("_p99_hi"),
+    # ONE array-percentile aggregate, not eight scalar ones: each
+    # F.percentile call is its own aggregate function (its own sort of
+    # the group's values); the array form computes every quantile —
+    # including the rank-envelope bounds at q ± 0.01, never emitted,
+    # only compared — from a single per-group ordering (measured 3.7s →
+    # ~1s at sf0.1, it was the #2 bench entry as eight aggregates)
+    pq = F.percentile(
+        "o_totalprice",
+        F.array(*[F.lit(x) for x in (0.5, 0.9, 0.99, 0.49, 0.51, 0.89, 0.91, 0.98)]),
+    )
+    exact = (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("exact_customers"),
+            pq.alias("_pq"),
+            F.count("*").alias("n_orders"),
+            F.max("o_totalprice").alias("_p99_hi"),
+        )
+        .select(
+            "o_orderstatus",
+            "exact_customers",
+            F.element_at("_pq", 1).alias("price_p50"),
+            F.element_at("_pq", 2).alias("price_p90"),
+            F.element_at("_pq", 3).alias("price_p99"),
+            "n_orders",
+            F.element_at("_pq", 4).alias("_p50_lo"),
+            F.element_at("_pq", 5).alias("_p50_hi"),
+            F.element_at("_pq", 6).alias("_p90_lo"),
+            F.element_at("_pq", 7).alias("_p90_hi"),
+            F.element_at("_pq", 8).alias("_p99_lo"),
+            "_p99_hi",
+        )
     )
     approx = orders_approx_stats(spark, sf_dir).select(
         "o_orderstatus",
