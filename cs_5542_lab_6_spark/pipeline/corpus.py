@@ -524,7 +524,20 @@ def chunk_entities_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the compact-string split does not. The re-split stays on purpose;
     # words(text_content) == toks is pinned in
     # tests/test_corpus_invariants.py should this trade-off be revisited.
-    chunks = _chunk_documents(spark, sf_dir)
+    #
+    # Warm: entity extraction starts from the materialized ``chunks``
+    # checkpoint (a 4-column pruned parquet scan) instead of re-cleaning
+    # and re-chunking raw documents — this also accelerates the
+    # warehouse build itself, since the KG stages run after the chunks
+    # stage in ingest.STAGES (warm ≡ cold via test_ingest.py).
+    p = _warm_path(sf_dir, "chunks", spark)
+    chunks = (
+        spark.read.parquet(p).select(
+            "chunk_id", "paper_id", "chunk_index", "text_content"
+        )
+        if p
+        else _chunk_documents(spark, sf_dir)
+    )
     mentions = (
         extract_mentions_udf("text_content")
         if ner_active()

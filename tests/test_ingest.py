@@ -103,6 +103,11 @@ def test_warm_warehouse_queries_equal_cold(spark, sf_dir, tmp_path, monkeypatch)
         "bm25_doc_topk",
         "bm25_rerank_topk",
         "hybrid_rrf_topk",
+        # KG builders: entity extraction starts from the warm chunks
+        # checkpoint (r8) — must stay row-identical to the raw derive
+        "kg_nodes_build",
+        "kg_edges_build",
+        "kg_map_build",
         # verification/audit queries count the checkpoints when warm
         "corpus_verify",
         "corpus_delete_cascade",
