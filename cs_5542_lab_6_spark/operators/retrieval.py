@@ -140,3 +140,95 @@ def doc_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") == 42)
         .select("doc_id", "text", "lang", "source", "n_chars")
     )
+
+
+# ---------------------------------------------------------------------------
+# Trigram-indexed substring search (beyond ref — the pg_trgm shape)
+# ---------------------------------------------------------------------------
+
+SUBSTR_PATTERN = "hash value"  # constant query pattern (no LIKE wildcards)
+
+
+def _pattern_trigrams(pattern: str) -> list[str]:
+    return sorted({pattern[i : i + 3] for i in range(len(pattern) - 2)})
+
+
+def trigram_postings_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cold trigram-index stage (warehouse stage ``trigram_postings``):
+    one (gram, doc_id) row per distinct lowercase character 3-gram per
+    document — the pg_trgm/Lucene-ngram shape that turns LIKE
+    '%pattern%' from a full corpus scan into an equi-join on the
+    pattern's grams. Repartitioned by gram at write so a pattern's gram
+    IN-list prunes parquet row groups. Built once at ingest; size is
+    O(total chars) before dedup, O(distinct grams per doc) after."""
+    from ..sources import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    t = F.lower(F.col("text"))
+    grams = F.expr(
+        "transform(sequence(1, greatest(length(lower(text)) - 2, 0)),"
+        " i -> substring(lower(text), i, 3))"
+    )
+    return (
+        docs.select("doc_id", F.explode(F.array_distinct(grams)).alias("gram"))
+        .repartition(F.col("gram"))
+        .sortWithinPartitions("gram", "doc_id")
+    )
+
+
+@query(
+    "doc_substring_search",
+    oracle=f"""
+    SELECT doc_id, source,
+           CAST(strpos(lower(text), '{SUBSTR_PATTERN}') AS INTEGER) AS match_pos
+    FROM documents
+    WHERE strpos(lower(text), '{SUBSTR_PATTERN}') > 0
+    ORDER BY doc_id
+    """,
+)
+def doc_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring search ('%{SUBSTR_PATTERN}%') via trigram candidate
+    pruning — the index-backed shape every warehouse needs for LIKE at
+    100 TB, where a raw contains() scan reads every byte of text:
+
+    1. candidate generation: a document qualifies only if its trigram
+       set contains EVERY trigram of the pattern (a superset of the
+       true matches, never a miss) — an equi-join between the postings
+       relation and the broadcast pattern-gram list, counted per doc;
+    2. verification: ``instr`` runs only on the candidates' text (a
+       doc_id equi-join back to documents), never the corpus.
+
+    Warm, the postings come from the ``trigram_postings`` index stage
+    (gram-pruned parquet scan); cold they derive inline — same relation,
+    same result (warm ≡ cold in tests/test_ingest.py). The DuckDB
+    oracle is the plain full-scan strpos filter: candidate pruning must
+    be output-invisible, exactly like the MinHash-banding dedup
+    contract (operators/dedup.py)."""
+    from ..pipeline.corpus import _warm_path
+
+    grams = _pattern_trigrams(SUBSTR_PATTERN)
+    p = _warm_path(sf_dir, "trigram_postings", spark)
+    postings = (
+        spark.read.parquet(p)
+        if p
+        else trigram_postings_build(spark, sf_dir)
+    )
+    gset = spark.createDataFrame([(g,) for g in grams], "gram string")
+    cand = (
+        postings.filter(F.col("gram").isin(*grams))
+        .join(F.broadcast(gset), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("_ng"))
+        .filter(F.col("_ng") == len(grams))
+        .select("doc_id")
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    pos = F.instr(F.lower(F.col("text")), SUBSTR_PATTERN)
+    return (
+        docs.join(cand, "doc_id")
+        .select("doc_id", "source", pos.cast("int").alias("match_pos"))
+        .filter(F.col("match_pos") > 0)
+        .orderBy("doc_id")
+    )

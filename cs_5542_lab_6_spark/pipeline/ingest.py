@@ -36,6 +36,7 @@ from ..operators.dedup import (
     doc_simhash_build,
 )
 from ..operators.ranking import bm25_doclen_build, bm25_postings_build
+from ..operators.retrieval import trigram_postings_build
 from ..operators.similarity import ivf_centroids_build
 from .corpus import (
     chunks_with_embeddings_df,
@@ -71,6 +72,7 @@ STAGES: tuple[tuple[str, Callable[[SparkSession, str], DataFrame], tuple[str, ..
     ("ivf_centroids", ivf_centroids_build, ()),
     ("bm25_postings", bm25_postings_build, ()),
     ("bm25_doclen", bm25_doclen_build, ()),
+    ("trigram_postings", trigram_postings_build, ()),
 )
 
 

@@ -56,6 +56,9 @@ _PRIORITY: tuple[str, ...] = (
     # --- also new in r8: COUNT(DISTINCT) MV maintenance (key-set merge
     # --- + driver-checked HLL-union envelope)
     "orders_mv_distinct_refresh",
+    # --- also new in r8: trigram-indexed substring search (index-pruned
+    # --- LIKE with a full-scan oracle)
+    "doc_substring_search",
     # --- r1-vintage driver rows (15): last checked seven rounds ago
     "active_customer_keys",
     "order_fill_status",
@@ -106,7 +109,6 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_delete_cascade",
     "customer_balance_distribution",
     "dedup_exact",
-    "doc_pii_scrub",
 )
 
 

@@ -46,6 +46,7 @@ def test_build_checkpoint_resume_verify(spark, sf_dir, tmp_path):
         "ivf_centroids",
         "bm25_postings",
         "bm25_doclen",
+        "trigram_postings",
     }
     assert all(v["status"] == "OK" for v in report.values())
     assert not any(v["skipped"] for v in report.values())
@@ -108,6 +109,8 @@ def test_warm_warehouse_queries_equal_cold(spark, sf_dir, tmp_path, monkeypatch)
         "kg_nodes_build",
         "kg_edges_build",
         "kg_map_build",
+        # trigram index: LIKE search candidates from the warm postings
+        "doc_substring_search",
         # verification/audit queries count the checkpoints when warm
         "corpus_verify",
         "corpus_delete_cascade",

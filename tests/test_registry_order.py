@@ -24,6 +24,7 @@ REFERENCE_PARITY = [
     "orders_exact_stats",
     "events_heavy_hitters_exact",
     "orders_mv_distinct_refresh",
+    "doc_substring_search",
     # regression guards that must stay in every window
     "chunks_build",
     "kg_edges_build",
