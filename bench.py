@@ -87,6 +87,7 @@ HEADLINE = [
     "orders_exact_stats",
     "events_heavy_hitters_exact",
     "orders_mv_distinct_refresh",
+    "doc_substring_search",
 ]
 
 

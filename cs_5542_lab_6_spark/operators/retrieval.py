@@ -164,13 +164,15 @@ def trigram_postings_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import fan_out
 
     docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
-    t = F.lower(F.col("text"))
     grams = F.expr(
-        "transform(sequence(1, greatest(length(lower(text)) - 2, 0)),"
+        "transform(sequence(1, length(lower(text)) - 2),"
         " i -> substring(lower(text), i, 3))"
     )
     return (
-        docs.select("doc_id", F.explode(F.array_distinct(grams)).alias("gram"))
+        # the length guard matters: sequence(1, 0) DESCENDS in Spark, so
+        # a <3-char document would emit junk sub-3-char "grams"
+        docs.filter(F.length("text") >= 3)
+        .select("doc_id", F.explode(F.array_distinct(grams)).alias("gram"))
         .repartition(F.col("gram"))
         .sortWithinPartitions("gram", "doc_id")
     )

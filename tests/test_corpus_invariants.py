@@ -88,3 +88,31 @@ def test_chunker_token_array_equals_text_resplit(spark, sf_dir):
     assert bad == 0
     # and the default schema is unchanged (no toks leak into chunks_build)
     assert "toks" not in _chunk_documents(spark, sf_dir).columns
+
+
+def test_trigram_search_edge_cases(spark, tmp_path):
+    """Sub-3-char and empty documents flow through the trigram index
+    without junk grams (Spark's sequence(1,0) DESCENDS — the length
+    guard matters), near-miss prefixes are pruned, and the one true
+    match surfaces with its 1-based position."""
+    from cs_5542_lab_6_spark.operators.retrieval import (
+        doc_substring_search,
+        trigram_postings_build,
+    )
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [
+            (0, "ab", "en", "s", 2),
+            (1, "", "en", "s", 0),
+            (2, "the hash value here", "en", "s", 19),
+            (3, "ha", "en", "s", 2),
+            (4, "hash valu", "en", "s", 9),  # near miss: prefix only
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    grams = trigram_postings_build(spark, d).collect()
+    assert grams and all(len(r["gram"]) == 3 for r in grams)
+    got = [(r["doc_id"], r["match_pos"]) for r in doc_substring_search(spark, d).collect()]
+    assert got == [(2, 5)]
