@@ -88,6 +88,8 @@ HEADLINE = [
     "events_heavy_hitters_exact",
     "orders_mv_distinct_refresh",
     "doc_substring_search",
+    "ann_lsh_multiprobe_topk",
+    "contrastive_pair_mining",
 ]
 
 

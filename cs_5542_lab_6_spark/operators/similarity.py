@@ -21,10 +21,12 @@ mirrored exactly by DuckDB list arithmetic (scores rounded to 4)."""
 from __future__ import annotations
 
 import hashlib
+from functools import reduce
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..functions.text import token_hash60
 from ..functions.vectors import dot
 from ..registry import query
 from ..sources import load_table
@@ -197,6 +199,95 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket",
             _cos(F.col("qv"), F.col("v"), F.col("qn"), F.col("nrm")).alias("cosine"),
         )
+    )
+    rank = F.row_number().over(
+        W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    )
+    return (
+        scored.withColumn("rank", rank)
+        .filter(F.col("rank") <= TOP_K)
+        .select("qid", "rank", "vec_id", "label", "bucket", "cosine")
+        .orderBy("qid", "rank")
+    )
+
+
+LSH_PROBE_HAMMING = 1  # probe the query bucket + all codes at Hamming distance 1
+
+
+@query(
+    "ann_lsh_multiprobe_topk",
+    oracle=f"""
+    WITH {_DUCK_EMB},
+    coded AS (SELECT vec_id, label, v, nrm, {_DUCK_BUCKET} AS bucket FROM e),
+    qc AS (
+      SELECT q.qid, q.qv, q.qn, c.bucket AS qbucket
+      FROM q JOIN coded c ON c.vec_id = q.qid
+    ),
+    probes AS (
+      SELECT qid, qv, qn,
+             CASE WHEN p = 0 THEN qbucket ELSE xor(qbucket, (1 << (p - 1))) END AS bucket
+      FROM qc, unnest(range(0, {N_PLANES + 1})) AS t(p)
+    ),
+    scored AS (
+      SELECT pr.qid, c.vec_id, c.label, c.bucket,
+             round(list_dot_product(pr.qv, c.v) / (pr.qn * c.nrm), 4) AS cosine
+      FROM probes pr JOIN coded c ON c.bucket = pr.bucket AND c.vec_id <> pr.qid
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT qid, CAST(rank AS INTEGER) AS rank, vec_id, label, bucket, cosine
+    FROM ranked WHERE rank <= {TOP_K}
+    ORDER BY qid, rank
+    """,
+)
+def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH (Lv et al., VLDB'07 idea in its simplest form):
+    each query searches its own bucket PLUS every bucket at Hamming
+    distance {LSH_PROBE_HAMMING} ({N_PLANES}+1 probes total) — the
+    recall dial that widens the candidate set WITHOUT rebuilding the
+    index or adding hash tables. Single-probe LSH misses a true
+    neighbor whenever one hyperplane splits the pair; flipping each bit
+    in turn recovers exactly those one-plane misses.
+
+    Scale shape: identical to ann_lsh_topk — codes computed in the
+    narrow scan, candidates via an equi-join on the bucket key; the
+    probe fan-out multiplies only the tiny broadcast query side
+    ({N_PLANES}+1 rows per query), never the corpus."""
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn("nrm", _norm(F.col("v")))
+        .withColumn("bucket", _spark_bucket(F.col("v")))
+    )
+    qset = e.filter(F.col("vec_id").isin(*QUERY_IDS)).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.col("bucket").alias("qbucket"),
+    )
+    # probe list: the bucket itself plus each single-bit flip
+    probe = F.explode(
+        F.array(
+            F.col("qbucket"),
+            *[
+                F.expr(f"qbucket ^ {1 << p}").cast("int")
+                for p in range(N_PLANES)
+            ],
+        )
+    )
+    probes = qset.select("qid", "qv", "qn", probe.alias("pbucket"))
+    scored = e.join(
+        F.broadcast(probes),
+        (F.col("bucket") == F.col("pbucket")) & (F.col("vec_id") != F.col("qid")),
+    ).select(
+        "qid",
+        "vec_id",
+        "label",
+        "bucket",
+        _cos(F.col("qv"), F.col("v"), F.col("qn"), F.col("nrm")).alias("cosine"),
     )
     rank = F.row_number().over(
         W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
@@ -588,6 +679,7 @@ def _ann_sub(name: str) -> str:
     oracle=f"""
     WITH truth AS (SELECT qid, vec_id FROM ({_ann_sub("ann_brute_force_topk")}) t),
     lsh AS (SELECT qid, vec_id FROM ({_ann_sub("ann_lsh_topk")}) t),
+    lshmp AS (SELECT qid, vec_id FROM ({_ann_sub("ann_lsh_multiprobe_topk")}) t),
     ivf AS (SELECT qid, vec_id FROM ({_ann_sub("ann_ivf_topk")}) t),
     hits AS (
       SELECT t.qid, 'ivf' AS method, COUNT(i.vec_id) AS n_hits
@@ -597,6 +689,10 @@ def _ann_sub(name: str) -> str:
       SELECT t.qid, 'lsh' AS method, COUNT(l.vec_id) AS n_hits
       FROM truth t LEFT JOIN lsh l ON t.qid = l.qid AND t.vec_id = l.vec_id
       GROUP BY t.qid
+      UNION ALL
+      SELECT t.qid, 'lsh_mp' AS method, COUNT(m.vec_id) AS n_hits
+      FROM truth t LEFT JOIN lshmp m ON t.qid = m.qid AND t.vec_id = m.vec_id
+      GROUP BY t.qid
     )
     SELECT qid, method, CAST(n_hits AS BIGINT) AS n_hits,
            round(CAST(n_hits AS DOUBLE) / {TOP_K}, 4) AS recall_at_k
@@ -605,8 +701,9 @@ def _ann_sub(name: str) -> str:
     """,
 )
 def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@{TOP_K} of each approximate tier against the exact
-    brute-force ranking — the evaluation loop an ANN deployment runs
+    """Recall@{TOP_K} of each approximate tier (IVF, single-probe LSH,
+    multi-probe LSH) against the exact brute-force ranking — the
+    evaluation loop an ANN deployment runs
     before trading recall for candidate-set size (the FAISS/IVF tuning
     workflow, expressed as one query).
 
@@ -621,6 +718,7 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = {
         "ivf": ann_ivf_topk(spark, sf_dir).select("qid", "vec_id"),
         "lsh": ann_lsh_topk(spark, sf_dir).select("qid", "vec_id"),
+        "lsh_mp": ann_lsh_multiprobe_topk(spark, sf_dir).select("qid", "vec_id"),
     }
     per_method = [
         truth.join(df.withColumn("hit", F.lit(1)), ["qid", "vec_id"], "left")
@@ -629,10 +727,168 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", F.lit(method).alias("method"), "n_hits")
         for method, df in sorted(approx.items())
     ]
-    hits = per_method[0].unionByName(per_method[1])
+    hits = reduce(lambda a, b: a.unionByName(b), per_method)
     return hits.select(
         "qid",
         "method",
         F.col("n_hits").cast("long").alias("n_hits"),
         F.round(F.col("n_hits").cast("double") / TOP_K, 4).alias("recall_at_k"),
     ).orderBy("qid", "method")
+
+# ---------------------------------------------------------------------------
+# Contrastive training-pair mining: positives + hard/random negatives
+# ---------------------------------------------------------------------------
+
+CPM_POS = 2    # positives: exact top-P neighbors
+CPM_HARD = 3   # hard negatives: same LSH bucket, outside the exact top-k
+CPM_RAND = 3   # random negatives: hash-priority draw from other buckets
+
+_DUCK_CPM_PRI = "CAST(concat('0x', substr(sha256('cpm|' || CAST(qc.qid AS VARCHAR) || '|' || CAST(c.vec_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+
+@query(
+    "contrastive_pair_mining",
+    oracle=f"""
+    WITH {_DUCK_EMB},
+    coded AS (SELECT vec_id, label, v, nrm, {_DUCK_BUCKET} AS bucket FROM e),
+    qc AS (
+      SELECT q.qid, q.qv, q.qn, c.bucket AS qbucket
+      FROM q JOIN coded c ON c.vec_id = q.qid
+    ),
+    truth AS (SELECT qid, rank, vec_id, label, cosine
+              FROM ({_ann_sub("ann_brute_force_topk")}) t),
+    pos AS (
+      SELECT qid, 'pos' AS role, CAST(rank AS INTEGER) AS role_rank,
+             vec_id, label, cosine
+      FROM truth WHERE rank <= {CPM_POS}
+    ),
+    hardc AS (
+      SELECT qc.qid, c.vec_id, c.label,
+             round(list_dot_product(qc.qv, c.v) / (qc.qn * c.nrm), 4) AS cosine
+      FROM qc JOIN coded c ON c.bucket = qc.qbucket AND c.vec_id <> qc.qid
+      WHERE NOT EXISTS (SELECT 1 FROM truth t
+                        WHERE t.qid = qc.qid AND t.vec_id = c.vec_id)
+    ),
+    hard AS (
+      SELECT qid, 'hard_neg' AS role,
+             CAST(row_number() OVER (
+               PARTITION BY qid ORDER BY cosine DESC, vec_id) AS INTEGER
+             ) AS role_rank,
+             vec_id, label, cosine
+      FROM hardc
+    ),
+    randc AS (
+      SELECT qc.qid, c.vec_id, c.label,
+             round(list_dot_product(qc.qv, c.v) / (qc.qn * c.nrm), 4) AS cosine,
+             {_DUCK_CPM_PRI} AS pri
+      FROM qc JOIN coded c
+        ON c.bucket <> qc.qbucket AND c.vec_id <> qc.qid
+      WHERE NOT EXISTS (SELECT 1 FROM truth t
+                        WHERE t.qid = qc.qid AND t.vec_id = c.vec_id)
+    ),
+    rnd AS (
+      SELECT qid, 'rand_neg' AS role,
+             CAST(row_number() OVER (
+               PARTITION BY qid ORDER BY pri ASC, vec_id) AS INTEGER
+             ) AS role_rank,
+             vec_id, label, cosine
+      FROM randc
+    )
+    SELECT * FROM pos
+    UNION ALL
+    SELECT * FROM hard WHERE role_rank <= {CPM_HARD}
+    UNION ALL
+    SELECT * FROM rnd WHERE role_rank <= {CPM_RAND}
+    ORDER BY qid, role, role_rank
+    """,
+)
+def contrastive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pair generator for contrastive embedding-model training
+    (the DPR / E5 data shape): for each query vector emit
+    {CPM_POS} positives (the exact nearest neighbors), {CPM_HARD} HARD
+    negatives (same LSH bucket — geometrically close — but outside the
+    exact top-{TOP_K}; the "near but not nearest" examples that teach
+    the margin), and {CPM_RAND} random negatives drawn by deterministic
+    hash priority from OTHER buckets (the easy in-batch-negative
+    substitute, rand-free so reruns and engines agree).
+
+    Scale shape: positives ride the already-indexed exact/ANN tier;
+    hard negatives are the same bucket equi-join as ann_lsh_topk with a
+    left-anti exclusion of the top-k (candidate-sized, never corpus²);
+    random negatives are one linear scan scored against the tiny
+    broadcast query set with a per-query top-R by hash priority — the
+    priority-sampling idiom of corpus_weighted_sample, so no
+    shuffle-the-corpus randomness anywhere. At 100 TB each piece is one
+    narrow scan + a candidate-sized ranking."""
+    bf = ann_brute_force_topk(spark, sf_dir)
+    pos = bf.filter(F.col("rank") <= CPM_POS).select(
+        "qid",
+        F.lit("pos").alias("role"),
+        F.col("rank").alias("role_rank"),
+        "vec_id",
+        "label",
+        "cosine",
+    )
+    topk = bf.select("qid", "vec_id")
+
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+        )
+        .withColumn("nrm", _norm(F.col("v")))
+        .withColumn("bucket", _spark_bucket(F.col("v")))
+    )
+    qset = e.filter(F.col("vec_id").isin(*QUERY_IDS)).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cos = _cos(F.col("qv"), F.col("v"), F.col("qn"), F.col("nrm"))
+
+    hard_rank = F.row_number().over(
+        W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    )
+    hard = (
+        e.join(
+            F.broadcast(qset),
+            (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("qid")),
+        )
+        .join(topk, ["qid", "vec_id"], "left_anti")
+        .select("qid", "vec_id", "label", cos.alias("cosine"))
+        .withColumn("role_rank", hard_rank)
+        .filter(F.col("role_rank") <= CPM_HARD)
+        .select("qid", F.lit("hard_neg").alias("role"), "role_rank",
+                "vec_id", "label", "cosine")
+    )
+
+    pri = token_hash60(
+        F.concat(
+            F.lit("cpm|"),
+            F.col("qid").cast("string"),
+            F.lit("|"),
+            F.col("vec_id").cast("string"),
+        )
+    )
+    rand_rank = F.row_number().over(
+        W.partitionBy("qid").orderBy(F.asc("pri"), F.asc("vec_id"))
+    )
+    rnd = (
+        e.join(
+            F.broadcast(qset),
+            (F.col("bucket") != F.col("qbucket")) & (F.col("vec_id") != F.col("qid")),
+        )
+        .join(topk, ["qid", "vec_id"], "left_anti")
+        .select("qid", "vec_id", "label", cos.alias("cosine"), pri.alias("pri"))
+        .withColumn("role_rank", rand_rank)
+        .filter(F.col("role_rank") <= CPM_RAND)
+        .select("qid", F.lit("rand_neg").alias("role"), "role_rank",
+                "vec_id", "label", "cosine")
+    )
+
+    return (
+        pos.unionByName(hard)
+        .unionByName(rnd)
+        .orderBy("qid", "role", "role_rank")
+    )

@@ -441,14 +441,16 @@ def sole_late_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     {LATE_GRACE_DAYS} days after the order date; the schema has no
     receipt/commit dates). The classic EXISTS + NOT-EXISTS pair over the
     same table decorrelates into ONE aggregation: per (order, supplier)
-    lateness flags roll up per order into (n_suppliers, n_late_suppliers),
-    and the filter "late AND n_suppliers > 1 AND n_late_suppliers = 1"
-    replaces both correlated subqueries — two fact passes (flags, order
-    rollup) instead of three correlated re-scans.
+    lateness flags roll up per order into (n_suppliers, n_late_suppliers,
+    max late suppkey) — and when n_late_suppliers = 1 that max IS the
+    sole late supplier, so the filter "n_suppliers > 1 AND
+    n_late_suppliers = 1" replaces both correlated subqueries with ZERO
+    self-joins: the flags relation is never revisited, unlike the
+    textbook EXISTS/NOT-EXISTS plan that rescans the fact three times.
 
-    Scale shape: the flags relation is one join + hash agg on the fact;
-    the order rollup is a second hash agg on the same key, so the
-    shuffle partitioning carries over; supplier broadcasts at the end."""
+    Scale shape: one fact join + two hash aggs chained on the same
+    l_orderkey shuffle partitioning (the second agg is exchange-free);
+    supplier broadcasts at the end. No join is order×order sized."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     s = load_table(spark, sf_dir, "supplier")
@@ -465,15 +467,15 @@ def sole_late_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_order = lines.groupBy("ok").agg(
         F.count("*").alias("n_supps"),
         F.sum("is_late").alias("n_late"),
+        F.max(F.when(F.col("is_late") == 1, F.col("l_suppkey"))).alias(
+            "late_supp"
+        ),
     )
+    # n_late == 1 makes late_supp the unique late supplier on the order —
+    # no join back to `lines` needed.
     sole = (
-        lines.join(per_order, "ok")
-        .filter(
-            (F.col("is_late") == 1)
-            & (F.col("n_supps") > 1)
-            & (F.col("n_late") == 1)
-        )
-        .select("l_suppkey")
+        per_order.filter((F.col("n_supps") > 1) & (F.col("n_late") == 1))
+        .select(F.col("late_supp").alias("l_suppkey"))
     )
     return (
         sole.join(F.broadcast(s), sole["l_suppkey"] == s["s_suppkey"])

@@ -59,6 +59,12 @@ _PRIORITY: tuple[str, ...] = (
     # --- also new in r8: trigram-indexed substring search (index-pruned
     # --- LIKE with a full-scan oracle)
     "doc_substring_search",
+    # --- also new in r8: multi-probe LSH (recall dial on the same index),
+    # --- the recall harness extended to score it (output changed r8 →
+    # --- re-window), and contrastive pos/hard-neg/rand-neg pair mining
+    "ann_lsh_multiprobe_topk",
+    "ann_recall_eval",
+    "contrastive_pair_mining",
     # --- r1-vintage driver rows (15): last checked seven rounds ago
     "active_customer_keys",
     "order_fill_status",
@@ -106,9 +112,6 @@ _PRIORITY: tuple[str, ...] = (
     "bm25_doc_topk",
     "chunk_vector_topk",
     "contamination_scan",
-    "corpus_delete_cascade",
-    "customer_balance_distribution",
-    "dedup_exact",
 )
 
 

@@ -79,9 +79,16 @@ def test_build_checkpoint_resume_verify(spark, sf_dir, tmp_path):
 def test_warm_warehouse_queries_equal_cold(spark, sf_dir, tmp_path, monkeypatch):
     """The query layer served from materialized checkpoints must be
     row-identical to the cold raw-text derivation — the warm path is a
-    cache, never a semantic fork (reference chunk cache, agent.py:44-63)."""
+    cache, never a semantic fork (reference chunk cache, agent.py:44-63).
+
+    Cache hygiene: the cold and warm halves cache DISTINCT logical plans
+    for the shared relations (raw-derived vs checkpoint-derived), so this
+    test drains the session CacheManager on exit — otherwise a later
+    module inheriting the session (the oracle-parity ledger sweep) would
+    start over the documented shared-cache cap."""
     from cs_5542_lab_6_spark.pipeline import corpus as C
     from cs_5542_lab_6_spark.registry import all_queries
+    from cs_5542_lab_6_spark.session import clear_caches
 
     names = [
         "chunk_vector_topk",
@@ -117,19 +124,26 @@ def test_warm_warehouse_queries_equal_cold(spark, sf_dir, tmp_path, monkeypatch)
     ]
     qs = all_queries()
 
-    monkeypatch.delenv(C.WAREHOUSE_ENV, raising=False)
-    cold = {n: sorted(map(tuple, qs[n](spark, sf_dir).collect())) for n in names}
+    try:
+        monkeypatch.delenv(C.WAREHOUSE_ENV, raising=False)
+        cold = {
+            n: sorted(map(tuple, qs[n](spark, sf_dir).collect())) for n in names
+        }
 
-    root = tmp_path / "wh"
-    out = str(root / os.path.basename(sf_dir.rstrip("/")))
-    build_corpus(spark, sf_dir, out, resume=False)
-    monkeypatch.setenv(C.WAREHOUSE_ENV, str(root))
-    assert C._warm_path(sf_dir, "chunks") is not None  # warm path engaged
-    assert C._warm_path(sf_dir, "dedup_clusters") is not None
-    assert C._warm_path(sf_dir, "ivf_centroids") is not None
-    warm = {n: sorted(map(tuple, qs[n](spark, sf_dir).collect())) for n in names}
+        root = tmp_path / "wh"
+        out = str(root / os.path.basename(sf_dir.rstrip("/")))
+        build_corpus(spark, sf_dir, out, resume=False)
+        monkeypatch.setenv(C.WAREHOUSE_ENV, str(root))
+        assert C._warm_path(sf_dir, "chunks") is not None  # warm path engaged
+        assert C._warm_path(sf_dir, "dedup_clusters") is not None
+        assert C._warm_path(sf_dir, "ivf_centroids") is not None
+        warm = {
+            n: sorted(map(tuple, qs[n](spark, sf_dir).collect())) for n in names
+        }
 
-    assert warm == cold
+        assert warm == cold
+    finally:
+        clear_caches(spark)
 
 
 def test_partitioned_checkpoint_scan_prunes_directories(spark, sf_dir, tmp_path):

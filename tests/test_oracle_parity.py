@@ -71,6 +71,18 @@ def _n_cached(spark) -> int:
     return spark._jsparkSession.sharedState().cacheManager().cachedData().size()
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _clean_cache_ledger(spark):
+    """Start the ledger sweep from a drained CacheManager so the
+    contract below is order-independent: earlier modules (warehouse
+    builds, warm/cold comparisons) may legitimately leave their own
+    cached plan variants behind in the shared session."""
+    from cs_5542_lab_6_spark.session import clear_caches
+
+    clear_caches(spark)
+    yield
+
+
 @pytest.mark.parametrize("name,fn,sql", _pairs(), ids=[p[0] for p in _pairs()])
 def test_query_matches_oracle(spark, sf_dir, oracle, name, fn, sql):
     cached_before = _n_cached(spark)

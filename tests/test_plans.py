@@ -249,7 +249,13 @@ _BNLJ_ALLOWED = {
     "top_supplier_revenue": 1,     # 1-row max revenue
     "quiet_wealthy_customers": 1,  # 1-row avg-balance threshold
     "doc_lm_perplexity": 1,        # 1-row vocabulary-size scalar
-    "ann_recall_eval": 3,          # composes the three tiers' scalar broadcasts
+    "ann_recall_eval": 4,          # the brute-force truth subtree (1 scalar
+                                   # broadcast) is re-instantiated per method
+                                   # branch (3 since multiprobe) + ivf's 1
+    "contrastive_pair_mining": 4,  # brute-force subtree ×3 (pos + two top-k
+                                   # anti-joins) + the rand-neg bucket<>qbucket
+                                   # join itself: a 3-row broadcast NLJ by
+                                   # design (non-equi membership test)
     "events_heavy_hitters_sketch": 1,  # 1-row HLL universe scalar
     "events_heavy_hitters_exact": 2,   # its own 1-row totals scalar + the
                                        # composed sketch's HLL scalar

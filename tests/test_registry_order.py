@@ -25,6 +25,9 @@ REFERENCE_PARITY = [
     "events_heavy_hitters_exact",
     "orders_mv_distinct_refresh",
     "doc_substring_search",
+    "ann_lsh_multiprobe_topk",
+    "ann_recall_eval",        # output gained the multiprobe tier in r8
+    "contrastive_pair_mining",
     # regression guards that must stay in every window
     "chunks_build",
     "kg_edges_build",
