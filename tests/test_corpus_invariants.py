@@ -116,3 +116,45 @@ def test_trigram_search_edge_cases(spark, tmp_path):
     assert grams and all(len(r["gram"]) == 3 for r in grams)
     got = [(r["doc_id"], r["match_pos"]) for r in doc_substring_search(spark, d).collect()]
     assert got == [(2, 5)]
+
+
+def test_contrastive_pairs_margin_and_disjointness(spark, sf_dir):
+    """Semantic contract of the training-pair miner: per query the role
+    sets are disjoint, counts respect the (pos, hard, rand) budget, every
+    hard negative sits OUTSIDE the exact top-k yet scores no higher than
+    the weakest positive (the margin the contrastive loss will learn),
+    and random negatives are likewise excluded from the exact top-k
+    (their different-bucket sourcing is pinned by the DuckDB oracle)."""
+    from collections import defaultdict
+
+    from cs_5542_lab_6_spark.operators.similarity import (
+        CPM_HARD,
+        CPM_POS,
+        CPM_RAND,
+        ann_brute_force_topk,
+        contrastive_pair_mining,
+    )
+
+    rows = contrastive_pair_mining(spark, sf_dir).collect()
+    truth = defaultdict(set)
+    for r in ann_brute_force_topk(spark, sf_dir).collect():
+        truth[r["qid"]].add(r["vec_id"])
+
+    by_q = defaultdict(lambda: defaultdict(list))
+    for r in rows:
+        by_q[r["qid"]][r["role"]].append(r)
+
+    for qid, roles in by_q.items():
+        ids = [r["vec_id"] for rs in roles.values() for r in rs]
+        assert len(ids) == len(set(ids)), f"{qid}: overlapping roles"
+        assert len(roles["pos"]) == CPM_POS
+        assert len(roles["hard_neg"]) <= CPM_HARD
+        assert len(roles["rand_neg"]) <= CPM_RAND
+        worst_pos = min(r["cosine"] for r in roles["pos"])
+        for r in roles["hard_neg"]:
+            assert r["vec_id"] not in truth[qid]
+            assert r["cosine"] <= worst_pos, (
+                f"{qid}: hard negative {r['vec_id']} outscores a positive"
+            )
+        for r in roles["rand_neg"]:
+            assert r["vec_id"] not in truth[qid]
