@@ -90,6 +90,8 @@ HEADLINE = [
     "doc_substring_search",
     "ann_lsh_multiprobe_topk",
     "contrastive_pair_mining",
+    "corpus_drift_psi",
+    "events_k_anonymity",
 ]
 
 

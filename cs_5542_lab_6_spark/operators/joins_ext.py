@@ -473,3 +473,66 @@ def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_of_week", "hour_of_day")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit over quasi-identifiers
+# ---------------------------------------------------------------------------
+
+K_ANON_THRESHOLDS = (2, 5, 10, 20)
+
+
+@query(
+    "events_k_anonymity",
+    oracle=f"""
+    WITH classes AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             COUNT(DISTINCT user_id) AS class_users
+      FROM events
+      GROUP BY 1, 2
+    ),
+    ks(k) AS (VALUES {", ".join(f"({k})" for k in K_ANON_THRESHOLDS)})
+    SELECT CAST(k AS INTEGER) AS k,
+           COUNT(*) AS n_classes,
+           CAST(SUM(CASE WHEN class_users < k THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_small_classes,
+           CAST(SUM(CASE WHEN class_users < k THEN class_users ELSE 0 END)
+                AS BIGINT) AS n_users_at_risk
+    FROM classes CROSS JOIN ks
+    GROUP BY k
+    ORDER BY k
+    """,
+)
+def events_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit before releasing or training on event data
+    (Sweeney 2002): every (event_type, day) quasi-identifier class is
+    sized by DISTINCT users, and for each candidate k the report counts
+    classes below k plus the users those small classes expose — the
+    privacy twin of the PII scrub (re-identification risk comes from
+    rare attribute combinations, not from explicit identifiers).
+
+    Scale shape: one exact count-distinct per class (two-phase hash
+    agg, map-side partials); the class relation collapses to |QI
+    combinations| rows, and the k expansion is a broadcast of
+    {len(K_ANON_THRESHOLDS)} literal rows against that already-tiny
+    relation — never against the raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    classes = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count_distinct("user_id").alias("class_users"))
+    ks = spark.createDataFrame(
+        [(k,) for k in K_ANON_THRESHOLDS], schema="k int"
+    )
+    small = F.col("class_users") < F.col("k")
+    return (
+        classes.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.count("*").alias("n_classes"),
+            F.sum(small.cast("long")).alias("n_small_classes"),
+            F.sum(F.when(small, F.col("class_users")).otherwise(0)).alias(
+                "n_users_at_risk"
+            ),
+        )
+        .orderBy("k")
+    )

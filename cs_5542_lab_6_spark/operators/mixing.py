@@ -422,3 +422,168 @@ def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("priority"), F.asc("doc_id"))
         .limit(PPS_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift between splits (PSI)
+# ---------------------------------------------------------------------------
+
+PSI_BIN_WIDTH = 200   # n_chars per bin
+PSI_MAX_BIN = 15      # lengths >= WIDTH*MAX collapse into the tail bin
+
+from .ranking import DUCK_SPLIT_CASE, split_assignment  # noqa: E402
+
+
+@query(
+    "corpus_drift_psi",
+    oracle=f"""
+    WITH labeled AS (
+      SELECT {DUCK_SPLIT_CASE.format(id="doc_id")} AS split,
+             LEAST(n_chars // {PSI_BIN_WIDTH}, {PSI_MAX_BIN}) AS bin
+      FROM documents
+    ),
+    counts AS (SELECT split, bin, COUNT(*) AS c FROM labeled GROUP BY 1, 2),
+    totals AS (SELECT split, SUM(c) AS t FROM counts GROUP BY 1),
+    ref AS (SELECT bin, c AS rc FROM counts WHERE split = 'train'),
+    rt AS (SELECT t AS rt FROM totals WHERE split = 'train'),
+    cmp AS (SELECT split, bin, c FROM counts WHERE split <> 'train'),
+    ct AS (SELECT split, t AS ct FROM totals WHERE split <> 'train'),
+    joined AS (
+      SELECT cmp.split, cmp.bin,
+             CAST(cmp.c AS DOUBLE) / ct.ct AS q,
+             CAST(ref.rc AS DOUBLE) / rt.rt AS p
+      FROM cmp
+      JOIN ct USING (split)
+      JOIN ref USING (bin)
+      CROSS JOIN rt
+    ),
+    psi AS (
+      SELECT split,
+             COUNT(*) AS n_bins_common,
+             round(SUM((q - p) * ln(q / p) ORDER BY bin), 6) AS psi
+      FROM joined GROUP BY split
+    ),
+    ref_only AS (
+      SELECT s.split, COUNT(*) AS n
+      FROM (SELECT DISTINCT split FROM cmp) s
+      CROSS JOIN ref
+      LEFT JOIN cmp ON cmp.split = s.split AND cmp.bin = ref.bin
+      WHERE cmp.bin IS NULL
+      GROUP BY s.split
+    ),
+    cmp_only AS (
+      SELECT cmp.split, COUNT(*) AS n
+      FROM cmp LEFT JOIN ref USING (bin)
+      WHERE ref.bin IS NULL
+      GROUP BY cmp.split
+    )
+    SELECT p.split,
+           CAST(p.n_bins_common AS INTEGER) AS n_bins_common,
+           CAST(COALESCE(r.n, 0) AS INTEGER) AS n_bins_ref_only,
+           CAST(COALESCE(c.n, 0) AS INTEGER) AS n_bins_cmp_only,
+           p.psi
+    FROM psi p
+    LEFT JOIN ref_only r USING (split)
+    LEFT JOIN cmp_only c USING (split)
+    ORDER BY p.split
+    """,
+)
+def corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the document-length distribution,
+    valid/test vs the train reference — the production drift monitor
+    (PSI > 0.25 conventionally means "distribution moved, investigate")
+    applied to the dataset's own hash split, where a healthy random
+    split shows PSI ≈ 0 and a biased split or skewed ingest batch
+    lights up. Composes the REGISTERED split definition
+    (split_assignment in ranking.py), so a threshold change can never
+    fork the audited split.
+
+    Length histograms bin n_chars at {PSI_BIN_WIDTH}-char width with a
+    tail bin at {PSI_MAX_BIN}; bins present in only one side cannot
+    enter the (q-p)·ln(q/p) sum (ln of 0 or ∞) and are reported as
+    ref-only / cmp-only counts instead — visible, not silently skipped.
+    The per-split sum folds in bin order (the perplexity/BM25 idiom) so
+    the double total is reproducible under any partitioning and matches
+    DuckDB's SUM(... ORDER BY bin) to the rounded digit.
+
+    Scale shape: one narrow scan + hash agg to |splits|×|bins| rows
+    (≤ 48); everything after is broadcast-sized. At 100 TB the drift
+    check costs one pass regardless of corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = docs.select(
+        split_assignment("doc_id").alias("split"),
+        F.least(
+            F.expr(f"n_chars div {PSI_BIN_WIDTH}"), F.lit(PSI_MAX_BIN)
+        ).alias("bin"),
+    )
+    counts = labeled.groupBy("split", "bin").agg(F.count("*").alias("c"))
+    totals = counts.groupBy("split").agg(F.sum("c").alias("t"))
+
+    ref = counts.filter(F.col("split") == "train").select(
+        "bin", F.col("c").alias("rc")
+    )
+    rt = totals.filter(F.col("split") == "train").select(F.col("t").alias("rt"))
+    cmp = counts.filter(F.col("split") != "train")
+    ct = totals.filter(F.col("split") != "train").select(
+        "split", F.col("t").alias("ct")
+    )
+
+    joined = (
+        cmp.join(ct, "split")
+        .join(ref, "bin")
+        .crossJoin(F.broadcast(rt))
+        .select(
+            "split",
+            "bin",
+            (F.col("c").cast("double") / F.col("ct")).alias("q"),
+            (F.col("rc").cast("double") / F.col("rt")).alias("p"),
+        )
+    )
+    psi = joined.groupBy("split").agg(
+        F.count("*").alias("n_bins_common"),
+        F.round(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "bin",
+                            ((F.col("q") - F.col("p")) * F.log(F.col("q") / F.col("p"))).alias("contrib"),
+                        )
+                    )
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x["contrib"],
+            ),
+            6,
+        ).alias("psi"),
+    )
+
+    cmp_splits = cmp.select("split").distinct()
+    ref_only = (
+        cmp_splits.crossJoin(F.broadcast(ref))
+        .join(cmp.select("split", "bin"), ["split", "bin"], "left_anti")
+        .groupBy("split")
+        .agg(F.count("*").alias("n_ref_only"))
+    )
+    cmp_only = (
+        cmp.join(ref.select("bin"), "bin", "left_anti")
+        .groupBy("split")
+        .agg(F.count("*").alias("n_cmp_only"))
+    )
+
+    return (
+        psi.join(ref_only, "split", "left")
+        .join(cmp_only, "split", "left")
+        .select(
+            "split",
+            F.col("n_bins_common").cast("int").alias("n_bins_common"),
+            F.coalesce(F.col("n_ref_only"), F.lit(0)).cast("int").alias(
+                "n_bins_ref_only"
+            ),
+            F.coalesce(F.col("n_cmp_only"), F.lit(0)).cast("int").alias(
+                "n_bins_cmp_only"
+            ),
+            "psi",
+        )
+        .orderBy("split")
+    )

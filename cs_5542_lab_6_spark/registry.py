@@ -65,6 +65,9 @@ _PRIORITY: tuple[str, ...] = (
     "ann_lsh_multiprobe_topk",
     "ann_recall_eval",
     "contrastive_pair_mining",
+    # --- also new in r8: split-drift PSI monitor + k-anonymity audit
+    "corpus_drift_psi",
+    "events_k_anonymity",
     # --- r1-vintage driver rows (15): last checked seven rounds ago
     "active_customer_keys",
     "order_fill_status",
@@ -106,8 +109,6 @@ _PRIORITY: tuple[str, ...] = (
     "eval_metrics_log",        # JSON sink (red in r4, fixed r5)
     "stream_tumbling_daily",   # real Structured Streaming
     # --- Oldest r5-vintage rows: fill the remainder of the 50 window
-    "agent_search_papers",
-    "ann_brute_force_topk",
     "ann_ivf_topk",            # r8: warm ivf_centroids seam touched this
     "bm25_doc_topk",
     "chunk_vector_topk",

@@ -256,6 +256,10 @@ _BNLJ_ALLOWED = {
                                    # anti-joins) + the rand-neg bucket<>qbucket
                                    # join itself: a 3-row broadcast NLJ by
                                    # design (non-equi membership test)
+    "events_k_anonymity": 1,       # 4-row k-threshold literals × the already-
+                                   # aggregated QI-class relation
+    "corpus_drift_psi": 2,         # 1-row train-total scalar + the ≤16-row
+                                   # ref-bin set × 2 comparison splits
     "events_heavy_hitters_sketch": 1,  # 1-row HLL universe scalar
     "events_heavy_hitters_exact": 2,   # its own 1-row totals scalar + the
                                        # composed sketch's HLL scalar

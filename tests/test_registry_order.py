@@ -28,6 +28,8 @@ REFERENCE_PARITY = [
     "ann_lsh_multiprobe_topk",
     "ann_recall_eval",        # output gained the multiprobe tier in r8
     "contrastive_pair_mining",
+    "corpus_drift_psi",
+    "events_k_anonymity",
     # regression guards that must stay in every window
     "chunks_build",
     "kg_edges_build",
