@@ -69,6 +69,48 @@ q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM e WHERE vec_id IN (%s))
 """ % _QUERY_IN
 
 
+def lsh_codes_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cold LSH vector-index stage (warehouse stage ``lsh_codes``): the
+    embeddings table augmented with its L2 norm and {N_PLANES}-bit
+    hyperplane bucket code, repartitioned by bucket at write so a
+    probe's bucket predicate prunes parquet row groups instead of
+    scanning and re-coding the whole collection per query. Codes are
+    pure functions of the vector (sha-derived hyperplane literals), so
+    index-served search is bit-identical to the cold per-query coding —
+    the build-once/query-many vector-store shape (FAISS/SCaNN ingest
+    side) 100 TB retrieval requires."""
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+        )
+        .withColumn("nrm", _norm(F.col("v")))
+        .withColumn("bucket", _spark_bucket(F.col("v")))
+        .repartition(F.col("bucket"))
+        .sortWithinPartitions("bucket", "vec_id")
+    )
+
+
+def _coded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, v, nrm, bucket) — the coded vector collection
+    every similarity query starts from. Warm: one scan of the
+    ``lsh_codes`` index stage (bucket-clustered, norm/code precomputed).
+    Cold: derived in the scan projection, identical values."""
+    from ..pipeline.corpus import _warm_path
+
+    p = _warm_path(sf_dir, "lsh_codes", spark)
+    if p:
+        return spark.read.parquet(p)
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+        )
+        .withColumn("nrm", _norm(F.col("v")))
+        .withColumn("bucket", _spark_bucket(F.col("v")))
+    )
+
+
 @query(
     "ann_brute_force_topk",
     oracle=f"""
@@ -95,11 +137,7 @@ def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB the scan dominates and parallelizes perfectly; the shuffle
     moves only (qid, vec_id, score) triples — never the vectors."""
-    e = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
-        .withColumn("nrm", _norm(F.col("v")))
-    )
+    e = _coded(spark, sf_dir).drop("bucket")
     qset = e.filter(F.col("vec_id").isin(*QUERY_IDS)).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
     )
@@ -175,12 +213,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the bucket code is computed in the scan (narrow); search
     becomes an equi-join on the bucket key — the vector analogue of
     partition pruning. More planes or multi-probe widen recall."""
-    e = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
-        .withColumn("nrm", _norm(F.col("v")))
-        .withColumn("bucket", _spark_bucket(F.col("v")))
-    )
+    e = _coded(spark, sf_dir)
     qset = e.filter(F.col("vec_id").isin(*QUERY_IDS)).select(
         F.col("vec_id").alias("qid"),
         F.col("v").alias("qv"),
@@ -256,12 +289,7 @@ def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow scan, candidates via an equi-join on the bucket key; the
     probe fan-out multiplies only the tiny broadcast query side
     ({N_PLANES}+1 rows per query), never the corpus."""
-    e = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
-        .withColumn("nrm", _norm(F.col("v")))
-        .withColumn("bucket", _spark_bucket(F.col("v")))
-    )
+    e = _coded(spark, sf_dir)
     qset = e.filter(F.col("vec_id").isin(*QUERY_IDS)).select(
         F.col("vec_id").alias("qid"),
         F.col("v").alias("qv"),
@@ -838,14 +866,7 @@ def contrastive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     topk = bf.select("qid", "vec_id")
 
-    e = (
-        load_table(spark, sf_dir, "embeddings")
-        .select(
-            "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
-        )
-        .withColumn("nrm", _norm(F.col("v")))
-        .withColumn("bucket", _spark_bucket(F.col("v")))
-    )
+    e = _coded(spark, sf_dir)
     qset = e.filter(F.col("vec_id").isin(*QUERY_IDS)).select(
         F.col("vec_id").alias("qid"),
         F.col("v").alias("qv"),

@@ -44,6 +44,7 @@ def test_build_checkpoint_resume_verify(spark, sf_dir, tmp_path):
         "doc_simhash",
         "dedup_clusters",
         "ivf_centroids",
+        "lsh_codes",
         "bm25_postings",
         "bm25_doclen",
         "trigram_postings",
@@ -108,6 +109,13 @@ def test_warm_warehouse_queries_equal_cold(spark, sf_dir, tmp_path, monkeypatch)
         # checkpoints when warm
         "dedup_rate_by_source",
         "ann_ivf_topk",
+        # LSH-code vector-index stage (r8): the whole similarity family
+        # starts from the warm coded collection when available
+        "ann_brute_force_topk",
+        "ann_lsh_topk",
+        "ann_lsh_multiprobe_topk",
+        "ann_recall_eval",
+        "contrastive_pair_mining",
         "bm25_doc_topk",
         "bm25_rerank_topk",
         "hybrid_rrf_topk",
@@ -137,6 +145,7 @@ def test_warm_warehouse_queries_equal_cold(spark, sf_dir, tmp_path, monkeypatch)
         assert C._warm_path(sf_dir, "chunks") is not None  # warm path engaged
         assert C._warm_path(sf_dir, "dedup_clusters") is not None
         assert C._warm_path(sf_dir, "ivf_centroids") is not None
+        assert C._warm_path(sf_dir, "lsh_codes") is not None
         warm = {
             n: sorted(map(tuple, qs[n](spark, sf_dir).collect())) for n in names
         }
