@@ -92,6 +92,7 @@ HEADLINE = [
     "contrastive_pair_mining",
     "corpus_drift_psi",
     "events_k_anonymity",
+    "semantic_dedup",
 ]
 
 

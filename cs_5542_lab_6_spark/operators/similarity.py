@@ -647,11 +647,10 @@ def kmeans_points(emb: DataFrame) -> DataFrame:
     )
 
 
-def kmeans_lazy(pts: DataFrame) -> DataFrame:
-    """The full Lloyd iteration as a LAZY plan over ``pts`` — split out
-    so tests can assert broadcast-join shape on the pre-checkpoint plan
-    (embedding_kmeans eagerly cuts the K-row result, leaving only a
-    Scan ExistingRDD behind)."""
+def kmeans_assign_lazy(pts: DataFrame) -> DataFrame:
+    """Final Lloyd assignment (vec_id, cluster, dist) after KMEANS_ITERS
+    rounds, as a LAZY plan over ``pts`` — the shared primitive behind
+    ``embedding_kmeans`` (summary) and ``semantic_dedup`` (row-level)."""
 
     def assign(cent: DataFrame) -> DataFrame:
         d = (
@@ -676,7 +675,15 @@ def kmeans_lazy(pts: DataFrame) -> DataFrame:
             .agg(F.expr("sum(val) div count(*)").alias("cval"))
         )
         asg = assign(cent)
+    return asg
 
+
+def kmeans_lazy(pts: DataFrame) -> DataFrame:
+    """The full Lloyd iteration as a LAZY plan over ``pts`` — split out
+    so tests can assert broadcast-join shape on the pre-checkpoint plan
+    (embedding_kmeans eagerly cuts the K-row result, leaving only a
+    Scan ExistingRDD behind)."""
+    asg = kmeans_assign_lazy(pts)
     return (
             asg.groupBy("cluster")
             .agg(
@@ -687,6 +694,122 @@ def kmeans_lazy(pts: DataFrame) -> DataFrame:
             )
         .orderBy("cluster")
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic deduplication (SemDeDup shape): k-means partition + in-cluster
+# cosine pruning — quadratic work bounded to one cluster, never the corpus
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_TAU = 0.4  # in-cluster cosine above which the higher-id doc drops
+
+
+@query(
+    "semantic_dedup",
+    oracle=f"""
+    WITH {_DUCK_KMEANS_POINTS},
+    cent0 AS (
+      SELECT CAST(vec_id AS INTEGER) AS cluster, dim, val AS cval
+      FROM pts WHERE vec_id < {KMEANS_K}
+    ),
+    {_duck_kmeans_assign("cent0", "asg1")},
+    cent1 AS (
+      SELECT a.cluster, p.dim, SUM(p.val) // COUNT(*) AS cval
+      FROM asg1 a JOIN pts p USING (vec_id)
+      GROUP BY a.cluster, p.dim
+    ),
+    {_duck_kmeans_assign("cent1", "asg2")},
+    e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.cluster, a.vec_id AS keep_id, b.vec_id AS drop_id,
+             round(list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm), 4) AS cosine
+      FROM asg2 a
+      JOIN asg2 b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      JOIN e ea ON ea.vec_id = a.vec_id
+      JOIN e eb ON eb.vec_id = b.vec_id
+      WHERE round(list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm), 4)
+            >= {SEMDEDUP_TAU}
+    )
+    SELECT CAST(drop_id AS BIGINT) AS vec_id,
+           CAST(cluster AS INTEGER) AS cluster,
+           CAST(keep_id AS BIGINT) AS dup_of,
+           cosine
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY drop_id ORDER BY keep_id) AS rn
+      FROM pairs
+    ) WHERE rn = 1
+    ORDER BY vec_id
+    """,
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication (Abbas et al. 2023): k-means
+    partitions the embedding space ({KMEANS_K} clusters, same exact-integer
+    Lloyd rounds as ``embedding_kmeans``), then cosine pruning runs ONLY
+    within a cluster — a doc drops iff a lower-vec_id doc in its cluster
+    scores cosine >= {SEMDEDUP_TAU} (lowest-id keeper wins; the paper
+    orders by centroid distance, this engine uses vec_id so the decision
+    is deterministic and engine-exact). Output: one row per dropped doc
+    with its cluster, keeper, and the keeper cosine.
+
+    The reference dedupes retrieval results only implicitly (first-writer
+    registry, utils.py via corpus build); this is the corpus-curation
+    generalization every LLM data pipeline runs before training.
+
+    Scale shape — the whole point of SemDeDup: the O(n²) cosine scan is
+    confined to a cluster, so cost is sum_c |c|² not (sum_c |c|)², and
+    the in-cluster pair scan is an equi-join on the cluster key (AQE
+    skew-splitting applies when one cluster runs hot; at 100 TB the
+    vectors are written partitioned by cluster id and the pair scan is
+    partition-local). The assignment is the K-row-bounded iterative
+    plan cached once and eagerly cut, so the self-join reads a
+    |corpus|-row checkpoint, not two replays of the Lloyd rounds."""
+    pts = kmeans_points(load_table(spark, sf_dir, "embeddings")).cache()
+    try:
+        asg = (
+            kmeans_assign_lazy(pts)
+            .select("vec_id", "cluster")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        pts.unpersist()
+    e = _coded(spark, sf_dir).select("vec_id", "v", "nrm")
+    a = asg.join(e, "vec_id").select(
+        "cluster",
+        F.col("vec_id").alias("keep_id"),
+        F.col("v").alias("kv"),
+        F.col("nrm").alias("kn"),
+    )
+    b = asg.join(e, "vec_id").select(
+        "cluster",
+        F.col("vec_id").alias("drop_id"),
+        F.col("v").alias("dv"),
+        F.col("nrm").alias("dn"),
+    )
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("keep_id") < F.col("drop_id"))
+        .select(
+            "cluster",
+            "keep_id",
+            "drop_id",
+            _cos(F.col("kv"), F.col("dv"), F.col("kn"), F.col("dn")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= SEMDEDUP_TAU)
+    )
+    first = pairs.groupBy("drop_id").agg(
+        F.min(F.struct("keep_id", "cluster", "cosine")).alias("k")
+    )
+    return first.select(
+        F.col("drop_id").cast("long").alias("vec_id"),
+        F.col("k.cluster").cast("int").alias("cluster"),
+        F.col("k.keep_id").cast("long").alias("dup_of"),
+        F.col("k.cosine").alias("cosine"),
+    ).orderBy("vec_id")
 
 
 # ---------------------------------------------------------------------------

@@ -68,6 +68,9 @@ _PRIORITY: tuple[str, ...] = (
     # --- also new in r8: split-drift PSI monitor + k-anonymity audit
     "corpus_drift_psi",
     "events_k_anonymity",
+    # --- also new in r8: SemDeDup-shaped semantic dedup (k-means
+    # --- partition + in-cluster cosine pruning)
+    "semantic_dedup",
     # --- r1-vintage driver rows (15): last checked seven rounds ago
     "active_customer_keys",
     "order_fill_status",
@@ -112,7 +115,6 @@ _PRIORITY: tuple[str, ...] = (
     "ann_ivf_topk",            # r8: warm ivf_centroids seam touched this
     "bm25_doc_topk",
     "chunk_vector_topk",
-    "contamination_scan",
 )
 
 
