@@ -93,6 +93,7 @@ HEADLINE = [
     "corpus_drift_psi",
     "events_k_anonymity",
     "semantic_dedup",
+    "doc_quality_classifier",
 ]
 
 

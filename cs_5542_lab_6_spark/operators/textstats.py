@@ -473,6 +473,118 @@ def doc_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Model-based quality classifier (hashed n-gram linear scorer)
+# ---------------------------------------------------------------------------
+
+# Hashed-feature weight table size: weight(tok) = hash(tok) % CLS_BUCKETS
+# - CLS_BUCKETS//2, an integer in [-1000, 1000]. A real pipeline loads
+# trained weights; the engine derives them from the shared sha scheme so
+# the plumbing is identical and the score is engine-exact.
+CLS_BUCKETS = 2001
+_CLS_W_DUCK = (
+    f"(({DUCK_TOKEN_HASH.format(t='t')}) % {CLS_BUCKETS} - {CLS_BUCKETS // 2})"
+)
+
+
+@query(
+    "doc_quality_classifier",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, lang,
+             CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+') END AS w
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, source, lang,
+             list_concat(
+               w,
+               list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+             ) AS f
+      FROM toks
+    ),
+    scored AS (
+      SELECT doc_id, source, lang,
+             CAST(len(f) AS INTEGER) AS n_features,
+             CAST(list_sum(list_transform(f, t -> {_CLS_W_DUCK})) AS BIGINT) AS wsum
+      FROM feats
+    ),
+    sq AS (
+      SELECT doc_id, source, lang, n_features,
+             CASE WHEN n_features > 0
+                  THEN CAST(wsum AS DOUBLE) / (n_features * {CLS_BUCKETS // 2}.0)
+                  ELSE 0.0 END AS raw
+      FROM scored
+    )
+    SELECT doc_id, source, lang, n_features,
+           round(0.5 + raw / (2.0 * (1.0 + abs(raw))), 4) AS quality_score,
+           CASE WHEN 0.5 + raw / (2.0 * (1.0 + abs(raw))) >= 0.5
+                THEN 'keep' ELSE 'drop' END AS decision
+    FROM sq
+    ORDER BY doc_id
+    """,
+)
+def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality classifier (the DCLM / FineWeb-edu filter
+    shape): a linear scorer over hashed unigram+bigram features with a
+    rational squash into (0, 1) and a keep/drop decision at 0.5 — the
+    feature-hashing trick (Weinberger et al. 2009) that lets fastText
+    -style quality models run with no vocabulary table at all. Weights
+    here are sha-derived integers (a stand-in for trained weights, same
+    seam discipline as the embedder); scoring arithmetic is exact-integer
+    sum + one IEEE division + basic-op squash, so Spark and DuckDB agree
+    bit-for-bit (no exp/log, whose libm rounding differs per engine).
+
+    Scale shape: the entire classifier is a narrow projection — hashing,
+    weight lookup, and the feature sum run as higher-order array
+    expressions inside whole-stage codegen; zero shuffles, zero Python,
+    cost identical to the scan. At 100 TB this is the cheapest possible
+    model-based filter: one pass, no weight broadcast (weights are a
+    pure function), no UDF serialization."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = words(F.lower(F.col("text")))
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = F.concat(toks, bigrams)
+    wsum = F.aggregate(
+        F.transform(feats, lambda t: token_hash(t) % CLS_BUCKETS - CLS_BUCKETS // 2),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.size(feats).alias("n_features"),
+        wsum.alias("wsum"),
+    )
+    raw = F.when(
+        F.col("n_features") > 0,
+        F.col("wsum").cast("double")
+        / (F.col("n_features") * float(CLS_BUCKETS // 2)),
+    ).otherwise(F.lit(0.0))
+    score = F.lit(0.5) + raw / (F.lit(2.0) * (F.lit(1.0) + F.abs(raw)))
+    return scored.select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_features",
+        F.round(score, 4).alias("quality_score"),
+        F.when(score >= 0.5, F.lit("keep")).otherwise(F.lit("drop")).alias(
+            "decision"
+        ),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # Within-document repetition (Gopher-style duplicate n-gram signal)
 # ---------------------------------------------------------------------------
 

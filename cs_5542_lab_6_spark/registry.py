@@ -69,8 +69,10 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_drift_psi",
     "events_k_anonymity",
     # --- also new in r8: SemDeDup-shaped semantic dedup (k-means
-    # --- partition + in-cluster cosine pruning)
+    # --- partition + in-cluster cosine pruning) and the hashed-feature
+    # --- linear quality classifier
     "semantic_dedup",
+    "doc_quality_classifier",
     # --- r1-vintage driver rows (15): last checked seven rounds ago
     "active_customer_keys",
     "order_fill_status",
@@ -114,7 +116,6 @@ _PRIORITY: tuple[str, ...] = (
     # --- Oldest r5-vintage rows: fill the remainder of the 50 window
     "ann_ivf_topk",            # r8: warm ivf_centroids seam touched this
     "bm25_doc_topk",
-    "chunk_vector_topk",
 )
 
 
