@@ -141,7 +141,9 @@ def test_big_side_joins_still_broadcast_under_default_threshold(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
-@pytest.mark.parametrize("name", ["papers_build", "doc_token_stats"])
+@pytest.mark.parametrize(
+    "name", ["papers_build", "doc_token_stats", "doc_quality_classifier"]
+)
 def test_narrow_builders_have_no_join_or_extra_exchange(spark, sf_dir, name):
     import re
 
@@ -173,6 +175,7 @@ def test_mixing_and_clustering_plans(spark, sf_dir):
         "corpus_weighted_sample",
         "order_priority_exists_counts",
         "customer_order_count_histogram",
+        "semantic_dedup",
     ]:
         plan = plan_of(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name
