@@ -94,6 +94,7 @@ HEADLINE = [
     "events_k_anonymity",
     "semantic_dedup",
     "doc_quality_classifier",
+    "late_interaction_maxsim",
 ]
 
 

@@ -465,6 +465,81 @@ def chunk_vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LI_TOKENS = ("spark", "join", "performance")  # the query, one vector per term
+
+
+@query(
+    "late_interaction_maxsim",
+    oracle=f"""
+    WITH {_DEFAULT_CHUNKS_SQL},
+    {duck_embedding_cte()},
+    scored AS (
+      SELECT c.paper_id,
+             round(list_dot_product(e.embedding::DOUBLE[],
+                                    {duck_qvec_sql(_LI_TOKENS[0])}), 4) AS s0,
+             round(list_dot_product(e.embedding::DOUBLE[],
+                                    {duck_qvec_sql(_LI_TOKENS[1])}), 4) AS s1,
+             round(list_dot_product(e.embedding::DOUBLE[],
+                                    {duck_qvec_sql(_LI_TOKENS[2])}), 4) AS s2
+      FROM chunks c JOIN emb e USING (chunk_id)
+    ),
+    agg AS (
+      SELECT paper_id, max(s0) AS m0, max(s1) AS m1, max(s2) AS m2
+      FROM scored GROUP BY paper_id
+    )
+    SELECT paper_id,
+           m0 AS maxsim_spark, m1 AS maxsim_join, m2 AS maxsim_performance,
+           round(m0 + m1 + m2, 4) AS li_score
+    FROM agg
+    ORDER BY li_score DESC, paper_id
+    LIMIT 5
+    """,
+)
+def late_interaction_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late-interaction retrieval (Khattab & Zaharia 2020):
+    the query decomposes into one vector per term, each term scores
+    MaxSim = max cosine over a paper's chunk vectors, and the paper score
+    is the sum of per-term maxima — matching fine-grained aspects
+    ("spark" AND "join" AND "performance") where single-vector retrieval
+    (chunk_vector_topk) blends them into one direction. Same embedder
+    seam as M3, scores rounded like the reference (tools.py:85).
+
+    Scale shape: NO query-side join at all — each term vector is a
+    broadcast literal folded in the scan projection (3 fused zip_with
+    dot products inside whole-stage codegen), then ONE map-side
+    combinable groupBy(paper_id) of 3 maxima, then a 5-row
+    TakeOrderedAndProject. Cost is one chunk scan regardless of term
+    count; per-term maxima are order-independent and the final sum is a
+    fixed-order 3-term expression, so the result is engine-exact."""
+    from ..functions.vectors import cosine_score
+
+    chunks = chunks_source(spark, sf_dir)
+    scored = chunks.select(
+        "paper_id",
+        *[
+            cosine_score(
+                F.col("embedding"),
+                F.array(*[F.lit(x) for x in embed_query(tok)]).cast("array<float>"),
+            ).alias(f"s{i}")
+            for i, tok in enumerate(_LI_TOKENS)
+        ],
+    )
+    agg = scored.groupBy("paper_id").agg(
+        *[F.max(f"s{i}").alias(f"m{i}") for i in range(len(_LI_TOKENS))]
+    )
+    return (
+        agg.select(
+            "paper_id",
+            F.col("m0").alias("maxsim_spark"),
+            F.col("m1").alias("maxsim_join"),
+            F.col("m2").alias("maxsim_performance"),
+            F.round(F.col("m0") + F.col("m1") + F.col("m2"), 4).alias("li_score"),
+        )
+        .orderBy(F.desc("li_score"), F.asc("paper_id"))
+        .limit(5)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Stage 4 — knowledge-graph extraction (M4 substitute, M7, J5/J6, A1/A2)
 # ---------------------------------------------------------------------------

@@ -73,6 +73,8 @@ _PRIORITY: tuple[str, ...] = (
     # --- linear quality classifier
     "semantic_dedup",
     "doc_quality_classifier",
+    # --- also new in r8: ColBERT-style late-interaction retrieval
+    "late_interaction_maxsim",
     # --- r1-vintage driver rows (15): last checked seven rounds ago
     "active_customer_keys",
     "order_fill_status",
@@ -115,7 +117,6 @@ _PRIORITY: tuple[str, ...] = (
     "stream_tumbling_daily",   # real Structured Streaming
     # --- Oldest r5-vintage rows: fill the remainder of the 50 window
     "ann_ivf_topk",            # r8: warm ivf_centroids seam touched this
-    "bm25_doc_topk",
 )
 
 
