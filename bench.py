@@ -95,6 +95,7 @@ HEADLINE = [
     "semantic_dedup",
     "doc_quality_classifier",
     "late_interaction_maxsim",
+    "mmr_diversified_topk",
 ]
 
 

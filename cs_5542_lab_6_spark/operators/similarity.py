@@ -813,6 +813,149 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# MMR diversified re-ranking (relevance − redundancy greedy selection)
+# ---------------------------------------------------------------------------
+
+MMR_QID = 0  # the query vector
+MMR_CAND = 10  # stage-one candidate pool (brute-force top-k)
+MMR_K = 5  # diversified result size; λ = 0.5 fixed in the formula
+
+
+def _mmr_round_sql(i: int) -> str:
+    """Round i (≥2) of the unrolled greedy: among candidates not yet
+    selected, argmax of 0.5*rel − 0.5*max-sim-to-selected."""
+    prior = " UNION ALL ".join(f"SELECT vec_id FROM sel{j}" for j in range(1, i))
+    return f"""
+sel{i} AS (
+  SELECT {i} AS rank, r.vec_id, r.rel,
+         round(0.5 * r.rel - 0.5 * MAX(s.sim), 5) AS mmr
+  FROM rel r
+  JOIN sims s ON s.a_id = r.vec_id AND s.b_id IN ({prior})
+  WHERE r.vec_id NOT IN ({prior})
+  GROUP BY r.vec_id, r.rel
+  ORDER BY mmr DESC, r.vec_id LIMIT 1
+)"""
+
+
+@query(
+    "mmr_diversified_topk",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    ),
+    q AS (SELECT v AS qv, nrm AS qn FROM e WHERE vec_id = {MMR_QID}),
+    rel AS (
+      SELECT e.vec_id,
+             round(list_dot_product(e.v, q.qv) / (e.nrm * q.qn), 4) AS rel,
+             e.v, e.nrm
+      FROM e, q WHERE e.vec_id <> {MMR_QID}
+      ORDER BY rel DESC, e.vec_id LIMIT {MMR_CAND}
+    ),
+    sims AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS sim
+      FROM rel a JOIN rel b ON a.vec_id <> b.vec_id
+    ),
+    sel1 AS (
+      SELECT 1 AS rank, vec_id, rel, round(0.5 * rel, 5) AS mmr
+      FROM rel ORDER BY rel DESC, vec_id LIMIT 1
+    ),
+    {",".join(_mmr_round_sql(i) for i in range(2, MMR_K + 1))}
+    SELECT CAST(rank AS INTEGER) AS rank, CAST(vec_id AS BIGINT) AS vec_id,
+           rel, mmr
+    FROM ({" UNION ALL ".join(f"SELECT * FROM sel{j}" for j in range(1, MMR_K + 1))})
+    ORDER BY rank
+    """,
+)
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): greedily pick {MMR_K} of the brute-force top-{MMR_CAND}
+    candidates, each round maximizing 0.5·relevance − 0.5·(max cosine to
+    the already-selected set) — the diversity pass RAG stacks run so the
+    context window isn't {MMR_K} copies of the same passage (the
+    reference returns raw top-k, tools.py:45-92; redundancy there is
+    exactly what dedup/diversity post-processing exists to fix).
+
+    The greedy recurrence is inherently sequential, but over a
+    CANDIDATE-sized set: the corpus-scale work (scan + top-{MMR_CAND})
+    is the stage-one ANN query; rounds then compose as {MMR_K} unrolled
+    LAZY argmax plans over an eagerly-checkpointed {MMR_CAND}-row
+    candidate relation and its {MMR_CAND}²-pair sim matrix — no driver
+    loop over data, no job until the caller acts, all arithmetic on
+    4-dec-rounded values with vec_id tiebreaks (engine-exact; the
+    DuckDB twin unrolls the identical rounds as CTEs)."""
+    e = _coded(spark, sf_dir).drop("bucket")
+    q = e.filter(F.col("vec_id") == MMR_QID).select(
+        F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    rel = (
+        e.filter(F.col("vec_id") != MMR_QID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "v",
+            "nrm",
+            _cos(F.col("v"), F.col("qv"), F.col("nrm"), F.col("qn")).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(MMR_CAND)
+        .localCheckpoint(eager=True)
+    )
+    a = rel.select(F.col("vec_id").alias("a_id"), F.col("v").alias("av"), F.col("nrm").alias("an"))
+    b = rel.select(F.col("vec_id").alias("b_id"), F.col("v").alias("bv"), F.col("nrm").alias("bn"))
+    sims = (
+        a.join(b, F.col("a_id") != F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            _cos(F.col("av"), F.col("bv"), F.col("an"), F.col("bn")).alias("sim"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cand = rel.select("vec_id", "rel")
+    selected = (
+        cand.orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(1)
+        .select(
+            F.lit(1).alias("rank"),
+            "vec_id",
+            "rel",
+            F.round(F.lit(0.5) * F.col("rel"), 5).alias("mmr"),
+        )
+    )
+    for i in range(2, MMR_K + 1):
+        prior = selected.select("vec_id")
+        rem = cand.join(prior, "vec_id", "left_anti")
+        pen = (
+            sims.join(prior.withColumnRenamed("vec_id", "b_id"), "b_id")
+            .groupBy("a_id")
+            .agg(F.max("sim").alias("max_sim"))
+        )
+        nxt = (
+            rem.join(pen, rem["vec_id"] == pen["a_id"])
+            .select(
+                "vec_id",
+                "rel",
+                F.round(
+                    F.lit(0.5) * F.col("rel") - F.lit(0.5) * F.col("max_sim"), 5
+                ).alias("mmr"),
+            )
+            .orderBy(F.desc("mmr"), F.asc("vec_id"))
+            .limit(1)
+            .select(F.lit(i).alias("rank"), "vec_id", "rel", "mmr")
+        )
+        selected = selected.unionByName(nxt)
+    return selected.select(
+        F.col("rank").cast("int").alias("rank"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "rel",
+        "mmr",
+    ).orderBy("rank")
+
+
+# ---------------------------------------------------------------------------
 # ANN quality evaluation: recall@k of the approximate tiers vs brute force
 # ---------------------------------------------------------------------------
 

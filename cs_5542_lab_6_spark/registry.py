@@ -73,8 +73,10 @@ _PRIORITY: tuple[str, ...] = (
     # --- linear quality classifier
     "semantic_dedup",
     "doc_quality_classifier",
-    # --- also new in r8: ColBERT-style late-interaction retrieval
+    # --- also new in r8: ColBERT-style late-interaction retrieval and
+    # --- MMR diversified re-ranking
     "late_interaction_maxsim",
+    "mmr_diversified_topk",
     # --- r1-vintage driver rows (15): last checked seven rounds ago
     "active_customer_keys",
     "order_fill_status",
@@ -107,7 +109,8 @@ _PRIORITY: tuple[str, ...] = (
     "doc_lookup",
     "doc_token_stats",
     "papers_build",
-    "sql_script_segment_revenue",
+    # (sql_script_segment_revenue rotated out: its two sibling script
+    # queries hold fresh r7 driver rows, so the family stays covered)
     "vector_topk_filtered",
     # --- Regression guards that stay in every window
     "chunks_build",            # corpus chunker (pure-Catalyst UDTF twin)
@@ -115,8 +118,15 @@ _PRIORITY: tuple[str, ...] = (
     "vector_topk",             # flagship retrieval
     "eval_metrics_log",        # JSON sink (red in r4, fixed r5)
     "stream_tumbling_daily",   # real Structured Streaming
-    # --- Oldest r5-vintage rows: fill the remainder of the 50 window
-    "ann_ivf_topk",            # r8: warm ivf_centroids seam touched this
+    # Family touched by the r8 warm-centroid refactor: cold path driver-
+    # checked this window (REFERENCE_PARITY contract in
+    # tests/test_registry_order.py)
+    "ann_ivf_topk",
+    # (bm25_doc_topk / chunk_vector_topk / contamination_scan /
+    # sql_script_segment_revenue rotated out for the r8 registrations;
+    # each keeps session-level parity coverage, and the warm-index seams
+    # they share are driver-exercised through ann_recall_eval /
+    # bm25_rerank_topk in this window.)
 )
 
 

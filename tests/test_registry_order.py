@@ -30,6 +30,10 @@ REFERENCE_PARITY = [
     "contrastive_pair_mining",
     "corpus_drift_psi",
     "events_k_anonymity",
+    "semantic_dedup",
+    "doc_quality_classifier",
+    "late_interaction_maxsim",
+    "mmr_diversified_topk",
     # regression guards that must stay in every window
     "chunks_build",
     "kg_edges_build",
