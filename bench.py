@@ -96,6 +96,7 @@ HEADLINE = [
     "doc_quality_classifier",
     "late_interaction_maxsim",
     "mmr_diversified_topk",
+    "events_schema_evolution",
 ]
 
 

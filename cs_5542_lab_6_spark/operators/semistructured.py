@@ -142,3 +142,81 @@ def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# Producer-upgrade cut: batches written before this instant carry the v1
+# schema; later batches add the client_ver column (schema evolution).
+SCHEMA_EVOLUTION_CUT = "2024-01-15"
+
+
+@query(
+    "events_schema_evolution",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN ts >= TIMESTAMP '{SCHEMA_EVOLUTION_CUT}'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_with_client_ver,
+           CAST(COUNT(DISTINCT CASE WHEN ts >= TIMESTAMP '{SCHEMA_EVOLUTION_CUT}'
+                    THEN 'v' || CAST(event_id % 3 AS VARCHAR) END) AS BIGINT)
+               AS n_client_versions
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across parquet batches (SURVEY §1.2 schema-on-read,
+    the third leg after map and VARIANT): an old producer wrote events
+    WITHOUT ``client_ver``; an upgraded producer adds the column. The
+    engine lands each batch as parquet with its own schema and reads the
+    whole directory with ``mergeSchema`` — Spark unions the footers into
+    the superset schema and backfills missing columns with NULL, so the
+    consumer aggregates one relation with zero migration of the old
+    files (the reference's fixed-schema loader, data/ingestion.py, would
+    have to rewrite history). The oracle recomputes the same facts from
+    the unevolved table: NULL-backfill must be exactly "column absent
+    before the cut".
+
+    Scale shape: mergeSchema unions footers (schema metadata), not data —
+    the scan stays columnar and NULL backfill is free; the aggregate is
+    one map-side-combinable hash agg. At 100 TB the same pattern handles
+    years of producer upgrades in one read, with per-file pruning
+    untouched."""
+    import os
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    cut = F.lit(SCHEMA_EVOLUTION_CUT).cast("timestamp")
+    root = tempfile.mkdtemp(prefix="schema_evo_")
+    try:
+        # v1 producer: original five columns
+        ev.filter(F.col("ts") < cut).write.mode("overwrite").parquet(
+            os.path.join(root, "batch=v1")
+        )
+        # v2 producer: adds client_ver (deterministic stand-in payload)
+        ev.filter(F.col("ts") >= cut).withColumn(
+            "client_ver", F.concat(F.lit("v"), (F.col("event_id") % 3).cast("string"))
+        ).write.mode("overwrite").parquet(os.path.join(root, "batch=v2"))
+        merged = (
+            spark.read.option("mergeSchema", "true")
+            .option("recursiveFileLookup", "true")
+            .parquet(root)
+        )
+        out = (
+            merged.groupBy("event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.count("client_ver").cast("long").alias("n_with_client_ver"),
+                F.countDistinct("client_ver").cast("long").alias(
+                    "n_client_versions"
+                ),
+            )
+            .orderBy("event_type")
+            .localCheckpoint(eager=True)  # pin before the batch dirs vanish
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out

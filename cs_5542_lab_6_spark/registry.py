@@ -77,6 +77,9 @@ _PRIORITY: tuple[str, ...] = (
     # --- MMR diversified re-ranking
     "late_interaction_maxsim",
     "mmr_diversified_topk",
+    # --- also new in r8: mergeSchema batch evolution (NULL-backfill
+    # --- equals column-absent-before-cut, pinned by the oracle)
+    "events_schema_evolution",
     # --- r1-vintage driver rows (15): last checked seven rounds ago
     "active_customer_keys",
     "order_fill_status",
@@ -106,11 +109,11 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_simhash",
     "doc_fingerprints",
     "doc_language_id",
-    "doc_lookup",
     "doc_token_stats",
     "papers_build",
-    # (sql_script_segment_revenue rotated out: its two sibling script
-    # queries hold fresh r7 driver rows, so the family stays covered)
+    # (sql_script_segment_revenue and doc_lookup rotated out: the script
+    # family holds fresh r7 driver rows and doc_lookup's point-filter
+    # shape is driver-covered via agent_chunk_context this window)
     "vector_topk_filtered",
     # --- Regression guards that stay in every window
     "chunks_build",            # corpus chunker (pure-Catalyst UDTF twin)

@@ -34,6 +34,7 @@ REFERENCE_PARITY = [
     "doc_quality_classifier",
     "late_interaction_maxsim",
     "mmr_diversified_topk",
+    "events_schema_evolution",
     # regression guards that must stay in every window
     "chunks_build",
     "kg_edges_build",
