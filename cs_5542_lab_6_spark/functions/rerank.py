@@ -106,7 +106,14 @@ def _load_real_scorer():
     name = os.environ.get(RERANK_MODEL_ENV)
     if not name:
         return None
-    if name.endswith(".npz") and os.path.exists(name):
+    if name.endswith(".npz"):
+        # a configured .npz path is ALWAYS an artifact path — never fall
+        # through to CrossEncoder (which would surface a confusing
+        # model-download error for what is a missing file)
+        if not os.path.exists(name):
+            raise FileNotFoundError(
+                f"{RERANK_MODEL_ENV} points to a missing artifact: {name}"
+            )
         return _load_artifact_scorer(name)
     from sentence_transformers import CrossEncoder  # lazy heavy import
 

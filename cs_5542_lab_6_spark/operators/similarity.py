@@ -880,12 +880,15 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The greedy recurrence is inherently sequential, but over a
     CANDIDATE-sized set: the corpus-scale work (scan + top-{MMR_CAND})
-    is the stage-one ANN query; rounds then compose as {MMR_K} unrolled
-    LAZY argmax plans over an eagerly-checkpointed {MMR_CAND}-row
-    candidate relation and its {MMR_CAND}²-pair sim matrix — no driver
-    loop over data, no job until the caller acts, all arithmetic on
-    4-dec-rounded values with vec_id tiebreaks (engine-exact; the
-    DuckDB twin unrolls the identical rounds as CTEs)."""
+    is the stage-one ANN query; each round is then a constant-cost
+    argmax plan over the eagerly-checkpointed {MMR_CAND}-row candidate
+    relation and its {MMR_CAND}²-pair sim matrix, with the previously
+    selected ids fed back as LITERALS (each round's single winner is
+    collected to the driver — a tiny job over the checkpoint — so round
+    i never re-executes rounds 1..i-1; cost stays linear in {MMR_K}).
+    All scoring arithmetic stays in Spark (HALF_UP round, vec_id
+    tiebreaks — engine-exact; the DuckDB twin unrolls the identical
+    rounds as CTEs)."""
     e = _coded(spark, sf_dir).drop("bucket")
     q = e.filter(F.col("vec_id") == MMR_QID).select(
         F.col("v").alias("qv"), F.col("nrm").alias("qn")
@@ -915,21 +918,21 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     cand = rel.select("vec_id", "rel")
-    selected = (
-        cand.orderBy(F.desc("rel"), F.asc("vec_id"))
-        .limit(1)
-        .select(
-            F.lit(1).alias("rank"),
-            "vec_id",
-            "rel",
-            F.round(F.lit(0.5) * F.col("rel"), 5).alias("mmr"),
-        )
+    first = cand.orderBy(F.desc("rel"), F.asc("vec_id")).limit(1).select(
+        F.lit(1).alias("rank"),
+        "vec_id",
+        "rel",
+        F.round(F.lit(0.5) * F.col("rel"), 5).alias("mmr"),
     )
+    rounds = [first]
+    # prior selections as collected literals: round i's anti-filter and
+    # max-sim penalty reference a tiny IN-list, not the union of rounds
+    # 1..i-1's plans, so each round executes in constant time
+    ids = [r["vec_id"] for r in first.collect()]
     for i in range(2, MMR_K + 1):
-        prior = selected.select("vec_id")
-        rem = cand.join(prior, "vec_id", "left_anti")
+        rem = cand.filter(~F.col("vec_id").isin(ids))
         pen = (
-            sims.join(prior.withColumnRenamed("vec_id", "b_id"), "b_id")
+            sims.filter(F.col("b_id").isin(ids))
             .groupBy("a_id")
             .agg(F.max("sim").alias("max_sim"))
         )
@@ -946,6 +949,10 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1)
             .select(F.lit(i).alias("rank"), "vec_id", "rel", "mmr")
         )
+        rounds.append(nxt)
+        ids.extend(r["vec_id"] for r in nxt.collect())
+    selected = rounds[0]
+    for nxt in rounds[1:]:
         selected = selected.unionByName(nxt)
     return selected.select(
         F.col("rank").cast("int").alias("rank"),

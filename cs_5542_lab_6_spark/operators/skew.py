@@ -344,15 +344,18 @@ def events_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("_ac") - F.col("exact_count"))
         <= F.greatest(F.lit(1), F.lit(0.01) * F.col("_n_events"))
     )
-    # the HLL estimate rides on every sketch row; when this user is not
-    # in the sketch output, fall back to the universe-wide check via max
-    hll_est = F.max("_hll").over(W.partitionBy(F.lit(1)))
-    hll_ok = F.abs(hll_est - F.col("_nd_users")) <= F.greatest(
+    # the HLL estimate is a property of the sketch output as a whole,
+    # computed as an independent 1-row aggregate and broadcast — it must
+    # not depend on whether any exact top-k user survived the join (a
+    # near-tie miss would otherwise turn hll_ok NULL)
+    hll_agg = sketch.agg(F.max("_hll").alias("_hll_est"))
+    hll_ok = F.abs(F.col("_hll_est") - F.col("_nd_users")) <= F.greatest(
         F.lit(2), F.lit(0.05) * F.col("_nd_users")
     )
     return (
-        topk.join(sketch, "user_id", "left")
+        topk.join(sketch.drop("_hll"), "user_id", "left")
         .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(hll_agg))
         .select(
             "rank",
             "user_id",

@@ -125,11 +125,15 @@ _PRIORITY: tuple[str, ...] = (
     # checked this window (REFERENCE_PARITY contract in
     # tests/test_registry_order.py)
     "ann_ivf_topk",
-    # (bm25_doc_topk / chunk_vector_topk / contamination_scan /
-    # sql_script_segment_revenue rotated out for the r8 registrations;
-    # each keeps session-level parity coverage, and the warm-index seams
-    # they share are driver-exercised through ann_recall_eval /
-    # bm25_rerank_topk in this window.)
+    # Rotated out for the r8 registrations (each keeps session-level
+    # parity coverage at sf0.01 via tests/test_oracle_parity.py, plus
+    # the opt-in sf0.1 scale sweep): bm25_doc_topk, chunk_vector_topk,
+    # contamination_scan, sql_script_segment_revenue — and these former
+    # every-window guards, now relegated to test-suite coverage:
+    # kg_two_hop, dedup_minhash_lsh, doc_lm_perplexity,
+    # orders_merge_upsert, events_session_windows,
+    # stream_user_stats_stateful, user_click_purchase_cogroup,
+    # multimodal_decode_features, doc_quality_filter_funnel.
 )
 
 

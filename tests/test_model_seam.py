@@ -258,3 +258,18 @@ def test_real_cross_encoder_hook_via_fake_module(monkeypatch):
     monkeypatch.delenv(rerank.RERANK_MODEL_ENV)
     assert rerank._get_scorer() is not scorer  # re-resolved to the default
     rerank._SCORER = None
+
+
+def test_missing_npz_artifact_raises_file_not_found(monkeypatch):
+    """A configured-but-missing .npz artifact path must fail fast with
+    FileNotFoundError, never fall through to the CrossEncoder branch
+    (which would surface a confusing model-download error)."""
+    import pytest
+
+    from cs_5542_lab_6_spark.functions import rerank
+
+    monkeypatch.setenv(rerank.RERANK_MODEL_ENV, "/nonexistent/scorer.npz")
+    rerank._SCORER = None
+    with pytest.raises(FileNotFoundError, match="scorer.npz"):
+        rerank._load_real_scorer()
+    rerank._SCORER = None

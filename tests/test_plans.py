@@ -264,8 +264,11 @@ _BNLJ_ALLOWED = {
     "corpus_drift_psi": 2,         # 1-row train-total scalar + the ≤16-row
                                    # ref-bin set × 2 comparison splits
     "events_heavy_hitters_sketch": 1,  # 1-row HLL universe scalar
-    "events_heavy_hitters_exact": 2,   # its own 1-row totals scalar + the
-                                       # composed sketch's HLL scalar
+    "events_heavy_hitters_exact": 4,   # its own 1-row totals scalar + the
+                                       # composed sketch's HLL scalar + the
+                                       # independent 1-row hll-estimate agg
+                                       # (which re-instantiates the sketch
+                                       # subtree, carrying its scalar again)
     "corpus_curation_decisions": 1,    # composes doc_lm_perplexity's vocab scalar
     "curation_by_source": 1,           # same composed scalar, one level up
     "customer_top_orders_lateral": 1,  # decorrelated lateral may plan a domain join
