@@ -476,14 +476,15 @@ def doc_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Model-based quality classifier (hashed n-gram linear scorer)
 # ---------------------------------------------------------------------------
 
-# Hashed-feature weight table size: weight(tok) = hash(tok) % CLS_BUCKETS
+# Hashed-feature weight table size: weight(feature) = hash % CLS_BUCKETS
 # - CLS_BUCKETS//2, an integer in [-1000, 1000]. A real pipeline loads
 # trained weights; the engine derives them from the shared sha scheme so
-# the plumbing is identical and the score is engine-exact.
+# the plumbing is identical and the score is engine-exact. Bigram
+# feature hashes COMPOSE from the unigram hashes ((h1*31 + h2), the
+# Bernstein step) instead of sha-hashing the concatenated pair — one
+# sha256 per token total, no bigram string materialization. h < 2^31 so
+# h*31 + h stays far below 2^63: exact in both engines.
 CLS_BUCKETS = 2001
-_CLS_W_DUCK = (
-    f"(({DUCK_TOKEN_HASH.format(t='t')}) % {CLS_BUCKETS} - {CLS_BUCKETS // 2})"
-)
 
 
 @query(
@@ -495,19 +496,23 @@ _CLS_W_DUCK = (
                   ELSE regexp_split_to_array(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+') END AS w
       FROM documents
     ),
-    feats AS (
+    hs AS (
       SELECT doc_id, source, lang,
-             list_concat(
-               w,
-               list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
-             ) AS f
+             list_transform(w, t -> {DUCK_TOKEN_HASH.format(t='t')}) AS h
       FROM toks
     ),
     scored AS (
       SELECT doc_id, source, lang,
-             CAST(len(f) AS INTEGER) AS n_features,
-             CAST(list_sum(list_transform(f, t -> {_CLS_W_DUCK})) AS BIGINT) AS wsum
-      FROM feats
+             CAST(len(h) + CASE WHEN len(h) >= 2 THEN len(h) - 1 ELSE 0 END
+                  AS INTEGER) AS n_features,
+             CAST(
+               coalesce(list_sum(list_transform(
+                 h, x -> x % {CLS_BUCKETS} - {CLS_BUCKETS // 2})), 0)
+             + coalesce(list_sum(list_transform(
+                 range(1, len(h)),
+                 i -> (h[i] * 31 + h[i+1]) % {CLS_BUCKETS} - {CLS_BUCKETS // 2})), 0)
+             AS BIGINT) AS wsum
+      FROM hs
     ),
     sq AS (
       SELECT doc_id, source, lang, n_features,
@@ -537,34 +542,52 @@ def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the entire classifier is a narrow projection — hashing,
     weight lookup, and the feature sum run as higher-order array
-    expressions inside whole-stage codegen; zero shuffles, zero Python,
-    cost identical to the scan. At 100 TB this is the cheapest possible
-    model-based filter: one pass, no weight broadcast (weights are a
-    pure function), no UDF serialization."""
+    expressions; zero shuffles, zero Python, cost identical to the scan.
+    The token-hash array is MATERIALIZED as its own projection before
+    any lambda indexes into it: Catalyst does not hoist common
+    subexpressions out of higher-order-function lambdas, so an inlined
+    ``element_at(<split expr>, i)`` would re-run the regex tokenizer
+    once PER ELEMENT (measured ~60s vs sub-second at sf0.1 —
+    O(doc_len^2) regex work). Bigram weights compose arithmetically from
+    the unigram hash array ((h1*31 + h2) % buckets): one sha256 per
+    token, no pair strings, half the hash work. At 100 TB this is the
+    cheapest possible model-based filter: one pass, no weight broadcast
+    (weights are a pure function), no UDF serialization."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = words(F.lower(F.col("text")))
-    n = F.size(toks)
-    bigrams = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    feats = F.concat(toks, bigrams)
-    wsum = F.aggregate(
-        F.transform(feats, lambda t: token_hash(t) % CLS_BUCKETS - CLS_BUCKETS // 2),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    scored = docs.select(
+    hashed = docs.select(
         "doc_id",
         "source",
         "lang",
-        F.size(feats).alias("n_features"),
-        wsum.alias("wsum"),
+        F.transform(words(F.lower(F.col("text"))), token_hash).alias("h"),
+    )
+    n = F.size("h")
+    w_uni = F.aggregate(
+        F.transform("h", lambda x: x % CLS_BUCKETS - CLS_BUCKETS // 2),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w_bi = F.when(
+        n >= 2,
+        F.aggregate(
+            F.sequence(F.lit(1), n - 1),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc
+            + (
+                (
+                    F.element_at(F.col("h"), i) * 31
+                    + F.element_at(F.col("h"), i + 1)
+                )
+                % CLS_BUCKETS
+                - CLS_BUCKETS // 2
+            ),
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    scored = hashed.select(
+        "doc_id",
+        "source",
+        "lang",
+        (n + F.when(n >= 2, n - 1).otherwise(F.lit(0))).alias("n_features"),
+        (w_uni + w_bi).alias("wsum"),
     )
     raw = F.when(
         F.col("n_features") > 0,
