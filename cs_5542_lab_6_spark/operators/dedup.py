@@ -54,7 +54,12 @@ _MH_B = [(15485863 * (i + 1)) % HASH_P for i in range(MINHASH_PERMS)]
 
 
 def shingle_array(w: Column, k: int = SHINGLE_K) -> Column:
-    """Distinct word-k-gram strings of a token array (empty if < k words)."""
+    """Distinct word-k-gram strings of a token array (empty if < k words).
+
+    ``w`` must be a MATERIALIZED column (an attribute), never an inline
+    split expression: the gram lambda indexes into it with element_at,
+    and Catalyst does not hoist non-lambda subtrees out of HOF lambdas —
+    an inlined tokenizer would re-run once per element (O(doc_len²))."""
     grams = F.transform(
         F.sequence(F.lit(1), F.size(w) - (k - 1)),
         lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(k)]),
@@ -70,9 +75,9 @@ def doc_shingles_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     builder (``ingest.STAGES``); query-side consumers go through
     ``_doc_shingles`` which prefers the materialized checkpoint."""
     docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
-    w = words(F.lower(F.col("text")))
+    toks = docs.select("doc_id", words(F.lower(F.col("text"))).alias("w"))
     return (
-        docs.select("doc_id", F.explode(shingle_array(w)).alias("s"))
+        toks.select("doc_id", F.explode(shingle_array(F.col("w"))).alias("s"))
         .select("doc_id", token_hash("s").alias("xs"))
         .distinct()
     )

@@ -654,9 +654,15 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: narrow gram explode (no shuffle), one (doc, gram)
     partial-aggregated count, one per-doc rollup; the final predicate is
-    the pipeline's drop rule."""
+    the pipeline's drop rule. The token array is materialized as its own
+    projection before the gram lambda indexes into it — an inlined
+    ``element_at(<split expr>, i)`` re-runs the regex tokenizer per
+    element (O(doc_len²); measured 22s → sub-second at sf0.1)."""
     docs = load_table(spark, sf_dir, "documents")
-    w = words(F.lower(F.col("text")))
+    toks = docs.select(
+        "doc_id", words(F.lower(F.col("text"))).alias("w")
+    )
+    w = F.col("w")
     grams3 = F.when(
         F.size(w) >= 3,
         F.transform(
@@ -667,7 +673,7 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     counts = (
-        docs.select("doc_id", F.explode(grams3).alias("g"))
+        toks.select("doc_id", F.explode(grams3).alias("g"))
         .groupBy("doc_id", "g")
         .agg(F.count("*").alias("c"))
     )
