@@ -188,6 +188,7 @@ def _load_all_modules() -> None:
         curation,
         dedup,
         joins_ext,
+        lakehouse,
         mixing,
         multimodal,
         provenance,
