@@ -97,6 +97,17 @@ HEADLINE = [
     "late_interaction_maxsim",
     "mmr_diversified_topk",
     "events_schema_evolution",
+    # round-9 additions: the lakehouse table-management family, the two
+    # new blocking/record-linkage shapes, and the privacy/audit pair
+    "orders_scd2_dimension",
+    "lineitem_zorder_layout",
+    "supplier_bloom_semi_join",
+    "skyline_parts",
+    "dedup_sorted_neighborhood",
+    "part_fuzzy_matches",
+    "events_l_diversity",
+    "quality_calibration_bins",
+    "ann_pq_adc_topk",
 ]
 
 

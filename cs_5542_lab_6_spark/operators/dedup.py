@@ -19,7 +19,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.text import (
@@ -1309,3 +1309,193 @@ def _register_dedup_rate_by_source() -> None:
 
 
 _register_dedup_rate_by_source()
+
+
+# ---------------------------------------------------------------------------
+# 7. Sorted-neighborhood dedup (SNM blocking family)
+# ---------------------------------------------------------------------------
+
+SNM_BLOCK_CHARS = 16   # sort-key prefix that forms a block
+SNM_WINDOW = 2         # compare each doc to its next W neighbors
+SNM_JACCARD = JACCARD_THRESHOLD
+
+
+@query(
+    "dedup_sorted_neighborhood",
+    oracle=f"""
+    WITH {_DUCK_SHINGLES_CTE},
+    keyed AS (
+      SELECT doc_id, substr(lower(text), 1, {SNM_BLOCK_CHARS}) AS blk, n_chars
+      FROM documents
+    ),
+    nbrs AS (
+      SELECT doc_id,
+             lead(doc_id, 1) OVER w AS n1,
+             lead(doc_id, 2) OVER w AS n2
+      FROM keyed
+      WINDOW w AS (PARTITION BY blk ORDER BY n_chars, doc_id)
+    ),
+    cand AS (
+      SELECT least(doc_id, n1) AS a, greatest(doc_id, n1) AS b,
+             1 AS window_dist
+      FROM nbrs WHERE n1 IS NOT NULL
+      UNION ALL
+      SELECT least(doc_id, n2), greatest(doc_id, n2), 2
+      FROM nbrs WHERE n2 IS NOT NULL
+    ),
+    inter AS (
+      SELECT c.a, c.b, c.window_dist, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.a
+      JOIN sh y ON y.doc_id = c.b AND y.xs = x.xs
+      GROUP BY c.a, c.b, c.window_dist
+    )
+    SELECT a AS doc_a, b AS doc_b, CAST(window_dist AS INTEGER) AS window_dist,
+           n_inter,
+           round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON a = sa.doc_id
+    JOIN sizes sb ON b = sb.doc_id
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= {SNM_JACCARD}
+    ORDER BY doc_a, doc_b, window_dist
+    """,
+)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood dedup (Hernández & Stolfo 1995), the third
+    blocking family next to MinHash-LSH and SimHash: documents sort by a
+    {SNM_BLOCK_CHARS}-char normalized-prefix key, and each doc is
+    compared only to its next {SNM_WINDOW} neighbors in sort order —
+    candidate generation is O(W·n) regardless of cluster size.
+    Candidates are then VERIFIED with exact shingle Jaccard (same
+    inverted-index join as dedup_ngram_jaccard, restricted to the
+    candidate pairs), so the output is a subset of the exact pair list:
+    recall is bounded by the blocking key, precision is exact.
+
+    Scale shape: the classic SNM needs one GLOBAL sort + sliding window;
+    this plan partitions the window BY the prefix block instead
+    (partitionBy(blk) + lead), so the sort is per-block and fully
+    parallel — the standard distributed-SNM compromise (cross-block
+    neighbors are sacrificed; the prefix IS the block boundary). The
+    verify join touches only candidate doc_ids, never all pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.substring(F.lower(F.col("text")), 1, SNM_BLOCK_CHARS).alias("blk"),
+        "n_chars",
+    )
+    w = W.partitionBy("blk").orderBy("n_chars", "doc_id")
+    nbrs = keyed.select(
+        "doc_id",
+        F.lead("doc_id", 1).over(w).alias("n1"),
+        F.lead("doc_id", 2).over(w).alias("n2"),
+    )
+    cand = None
+    for d, col in ((1, "n1"), (2, "n2")):
+        part = nbrs.filter(F.col(col).isNotNull()).select(
+            F.least("doc_id", F.col(col)).alias("a"),
+            F.greatest("doc_id", F.col(col)).alias("b"),
+            F.lit(d).cast("int").alias("window_dist"),
+        )
+        cand = part if cand is None else cand.unionByName(part)
+    sh = _doc_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        cand.join(sh.withColumnRenamed("doc_id", "a"), "a")
+        .join(
+            sh.select(F.col("doc_id").alias("b"), F.col("xs").alias("ys")), "b"
+        )
+        .filter(F.col("xs") == F.col("ys"))
+        .groupBy("a", "b", "window_dist")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    jac = F.col("n_inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_inter")
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na")), "a"
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb")), "b"
+        )
+        .filter(jac >= SNM_JACCARD)
+        .select(
+            F.col("a").alias("doc_a"),
+            F.col("b").alias("doc_b"),
+            "window_dist",
+            "n_inter",
+            F.round(jac, 4).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b", "window_dist")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 8. Edit-distance fuzzy join with blocking (Ed-Join shape)
+# ---------------------------------------------------------------------------
+
+FUZZY_MAX_EDIT = 2    # Levenshtein threshold
+FUZZY_LEN_BAND = 2    # |len(a)-len(b)| prefilter (implied by the threshold)
+
+
+@query(
+    "part_fuzzy_matches",
+    oracle=f"""
+    SELECT a.p_brand, a.p_size,
+           a.p_partkey AS a_partkey, b.p_partkey AS b_partkey,
+           a.p_name AS a_name, b.p_name AS b_name,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+     AND a.p_partkey < b.p_partkey
+    WHERE abs(length(a.p_name) - length(b.p_name)) <= {FUZZY_LEN_BAND}
+      AND levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_EDIT}
+    ORDER BY a_partkey, b_partkey
+    """,
+)
+def part_fuzzy_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity self-join with blocking (the Ed-Join /
+    PassJoin family): candidate pairs come from an EQUI-join on the
+    blocking key (p_brand, p_size) — never a cross join — then a length
+    -band filter (|Δlen| <= {FUZZY_LEN_BAND}, a necessary condition for
+    edit distance <= {FUZZY_MAX_EDIT}, evaluated before the O(len²) DP)
+    prunes the survivors, and Levenshtein runs last, only on pairs that
+    passed both cheap gates. Identical match set to the unblocked
+    quadratic join, at a fraction of the comparisons.
+
+    Scale shape: the blocking key turns an n² string join into a
+    shuffle-partitioned equi-join whose per-block fan-out is bounded by
+    block size; filter order (equi → length band → DP) is the textbook
+    string-similarity-join pruning cascade. At 100 TB the next lever is
+    q-gram prefix signatures as additional equi-join keys."""
+    part = load_table(spark, sf_dir, "part")
+    a = part.alias("a")
+    b = part.alias("b")
+    lev = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_size") == F.col("b.p_size"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .filter(
+            (
+                F.abs(
+                    F.length(F.col("a.p_name")) - F.length(F.col("b.p_name"))
+                )
+                <= FUZZY_LEN_BAND
+            )
+            & (lev <= FUZZY_MAX_EDIT)
+        )
+        .select(
+            F.col("a.p_brand").alias("p_brand"),
+            F.col("a.p_size").alias("p_size"),
+            F.col("a.p_partkey").alias("a_partkey"),
+            F.col("b.p_partkey").alias("b_partkey"),
+            F.col("a.p_name").alias("a_name"),
+            F.col("b.p_name").alias("b_name"),
+            lev.cast("int").alias("edit_dist"),
+        )
+        .orderBy("a_partkey", "b_partkey")
+    )

@@ -536,3 +536,70 @@ def events_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+# ---------------------------------------------------------------------------
+# l-diversity audit over quasi-identifiers (companion to k-anonymity)
+# ---------------------------------------------------------------------------
+
+L_DIV_THRESHOLDS = (2, 3, 4)
+
+
+@query(
+    "events_l_diversity",
+    oracle=f"""
+    WITH classes AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(extract(hour FROM ts) AS INTEGER) AS hr,
+             COUNT(*) AS n_events,
+             COUNT(DISTINCT event_type) AS n_sensitive
+      FROM events
+      GROUP BY 1, 2
+    ),
+    ls(l) AS (VALUES {", ".join(f"({v})" for v in L_DIV_THRESHOLDS)})
+    SELECT CAST(l AS INTEGER) AS l,
+           COUNT(*) AS n_classes,
+           CAST(SUM(CASE WHEN n_sensitive < l THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_low_div_classes,
+           CAST(SUM(CASE WHEN n_sensitive < l THEN n_events ELSE 0 END)
+                AS BIGINT) AS n_events_at_risk
+    FROM classes CROSS JOIN ls
+    GROUP BY l
+    ORDER BY l
+    """,
+)
+def events_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007), the companion to
+    ``events_k_anonymity``: k-anonymity bounds how FEW people share a
+    quasi-identifier class, l-diversity bounds how UNIFORM the sensitive
+    attribute is within it — a class where every event is the same type
+    leaks that type to anyone who can place a user in the class. QI
+    classes here are (day, hour); the sensitive attribute is event_type;
+    for each candidate l the report counts classes with fewer than l
+    distinct sensitive values and the events they expose.
+
+    Scale shape: identical to the k-anonymity plan — one exact
+    count-distinct per class (two-phase hash agg), then a broadcast of
+    {len(L_DIV_THRESHOLDS)} literal threshold rows against the already-
+    collapsed class relation."""
+    ev = load_table(spark, sf_dir, "events")
+    classes = ev.groupBy(
+        F.col("ts").cast("date").alias("day"),
+        F.hour("ts").cast("int").alias("hr"),
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct("event_type").alias("n_sensitive"),
+    )
+    ls = spark.createDataFrame([(v,) for v in L_DIV_THRESHOLDS], schema="l int")
+    low = F.col("n_sensitive") < F.col("l")
+    return (
+        classes.crossJoin(F.broadcast(ls))
+        .groupBy("l")
+        .agg(
+            F.count("*").alias("n_classes"),
+            F.sum(low.cast("long")).alias("n_low_div_classes"),
+            F.sum(F.when(low, F.col("n_events")).otherwise(0)).alias(
+                "n_events_at_risk"
+            ),
+        )
+        .orderBy("l")
+    )

@@ -1193,3 +1193,162 @@ def contrastive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(rnd)
         .orderBy("qid", "role", "role_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) with asymmetric distance computation (ADC)
+# ---------------------------------------------------------------------------
+
+PQ_M = 4                       # subspaces
+PQ_SUBDIM = EMBED_DIM // PQ_M  # dims per subspace
+# PQ_K codebook entries per subspace, sampled deterministically from the
+# collection (sampled codebooks are the standard cheap baseline; a
+# trained codebook drops in via the same warehouse-stage seam as
+# ivf_centroids). All ids exist at every fixture SF and avoid QUERY_IDS.
+PQ_ANCHORS = (11, 23, 37, 53, 67, 89, 101, 113, 131, 149, 163, 179, 197, 211, 229, 241)
+PQ_K = len(PQ_ANCHORS)
+
+_PQ_ANCHOR_VALUES = ", ".join(f"({a}, {j})" for j, a in enumerate(PQ_ANCHORS))
+_PQ_MS = ", ".join(f"({m})" for m in range(PQ_M))
+
+
+def _pq_sqdiff_duck(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {PQ_SUBDIM} + 1), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    )
+
+
+@query(
+    "ann_pq_adc_topk",
+    oracle=f"""
+    WITH {_DUCK_EMB},
+    anchors(anchor_id, j) AS (VALUES {_PQ_ANCHOR_VALUES}),
+    ms(m) AS (VALUES {_PQ_MS}),
+    cb AS (
+      SELECT ms.m, a.j,
+             list_slice(e.v, ms.m * {PQ_SUBDIM} + 1, (ms.m + 1) * {PQ_SUBDIM}) AS c
+      FROM e JOIN anchors a ON e.vec_id = a.anchor_id CROSS JOIN ms
+    ),
+    sub AS (
+      SELECT vec_id, label, ms.m,
+             list_slice(v, ms.m * {PQ_SUBDIM} + 1, (ms.m + 1) * {PQ_SUBDIM}) AS sv
+      FROM e CROSS JOIN ms
+    ),
+    cand AS (
+      SELECT s.vec_id, s.label, s.m, cb.j, {_pq_sqdiff_duck('s.sv', 'cb.c')} AS d2
+      FROM sub s JOIN cb ON cb.m = s.m
+    ),
+    codes AS (
+      SELECT vec_id, label, m, j FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, j) AS rn
+        FROM cand
+      ) WHERE rn = 1
+    ),
+    qsub AS (
+      SELECT qid, ms.m,
+             list_slice(qv, ms.m * {PQ_SUBDIM} + 1, (ms.m + 1) * {PQ_SUBDIM}) AS sv
+      FROM q CROSS JOIN ms
+    ),
+    qtab AS (
+      SELECT qs.qid, cb.m, cb.j,
+             CAST(round({_pq_sqdiff_duck('qs.sv', 'cb.c')}, 6) AS DECIMAL(18,6)) AS td
+      FROM qsub qs JOIN cb ON cb.m = qs.m
+    ),
+    scored AS (
+      SELECT t.qid, c.vec_id, c.label,
+             round(CAST(SUM(t.td) AS DOUBLE), 4) AS approx_d2
+      FROM codes c JOIN qtab t ON t.m = c.m AND t.j = c.j
+      WHERE c.vec_id <> t.qid
+      GROUP BY t.qid, c.vec_id, c.label
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY qid ORDER BY approx_d2, vec_id) AS rank
+      FROM scored
+    )
+    SELECT qid, CAST(rank AS INTEGER) AS rank, vec_id, label, approx_d2
+    FROM ranked WHERE rank <= {TOP_K}
+    ORDER BY qid, rank
+    """,
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (Jégou et al., PAMI 2011) — the memory-bounded ANN tier next to the
+    LSH and IVF indexes: vectors are encoded as {PQ_M} sub-space
+    codebook ids ({PQ_K} entries each, 4 bytes total instead of
+    {EMBED_DIM}x8), and a query scores the WHOLE collection by summing
+    {PQ_M} entries of a precomputed {PQ_M}x{PQ_K} distance table — no
+    full-dimensional arithmetic per candidate at query time. Codebooks
+    sample deterministic collection vectors (the cheap-baseline choice;
+    a k-means-trained codebook drops in via the warehouse-stage seam).
+    Per-subspace distances round to 6 decimals and sum through
+    DECIMAL(18,6), so the ADC score is order-independent and
+    engine-exact.
+
+    Scale shape: encoding is a one-off index build (the 100 TB corpus
+    becomes {PQ_M} bytes/vector of codes); the query-time plan joins the
+    code table against a BROADCAST {PQ_M}x{PQ_K}-row distance table and
+    hash-aggregates {PQ_M} rows per vector — a narrow shuffle-free scan
+    of the codes plus one TakeOrdered. The codebook itself broadcasts
+    at {PQ_M * PQ_K} rows."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    ms = F.array([F.lit(m) for m in range(PQ_M)])
+    anchors = spark.createDataFrame(
+        [(a, j) for j, a in enumerate(PQ_ANCHORS)], schema="anchor_id long, j int"
+    )
+    sub_slice = F.slice(
+        F.col("v"), F.col("m") * PQ_SUBDIM + 1, PQ_SUBDIM
+    )
+    cb = (
+        e.join(F.broadcast(anchors), e.vec_id == F.col("anchor_id"))
+        .select("j", F.explode(ms).alias("m"), "v")
+        .select("m", "j", sub_slice.alias("c"))
+    )
+    sub = e.select(
+        "vec_id", "label", F.explode(ms).alias("m"), "v"
+    ).select("vec_id", "label", "m", sub_slice.alias("sv"))
+    sqdiff = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cand = sub.join(F.broadcast(cb), "m").select(
+        "vec_id", "label", "m", "j", sqdiff.alias("d2")
+    )
+    rn = F.row_number().over(
+        W.partitionBy("vec_id", "m").orderBy(F.asc("d2"), F.asc("j"))
+    )
+    codes = (
+        cand.withColumn("rn", rn).filter(F.col("rn") == 1).select(
+            "vec_id", "label", "m", "j"
+        )
+    )
+    qsub = (
+        e.filter(F.col("vec_id").isin(*QUERY_IDS))
+        .select(F.col("vec_id").alias("qid"), F.explode(ms).alias("m"), "v")
+        .select("qid", "m", sub_slice.alias("sv"))
+    )
+    qtab = qsub.join(F.broadcast(cb), "m").select(
+        "qid",
+        "m",
+        "j",
+        F.round(sqdiff, 6).cast("decimal(18,6)").alias("td"),
+    )
+    scored = (
+        codes.join(F.broadcast(qtab), ["m", "j"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id", "label")
+        .agg(F.round(F.sum("td").cast("double"), 4).alias("approx_d2"))
+    )
+    rank = F.row_number().over(
+        W.partitionBy("qid").orderBy(F.asc("approx_d2"), F.asc("vec_id"))
+    )
+    return (
+        scored.withColumn("rank", rank)
+        .filter(F.col("rank") <= TOP_K)
+        .select("qid", F.col("rank").cast("int"), "vec_id", "label", "approx_d2")
+        .orderBy("qid", "rank")
+    )

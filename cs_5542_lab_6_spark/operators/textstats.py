@@ -1552,3 +1552,99 @@ def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("new_types").cast("long").alias("new_types"),
         cum.cast("long").alias("cum_types"),
     ).orderBy("bucket")
+
+
+# ---------------------------------------------------------------------------
+# Classifier calibration: model score vs heuristic quality, binned
+# ---------------------------------------------------------------------------
+
+CAL_BINS = 10
+
+
+def _register_quality_calibration_bins() -> None:
+    # late-bind: composes the registered oracles of the two quality
+    # scorers (same pattern as operators/dedup._register_dedup_rate_by_source)
+    from ..registry import all_oracles
+
+    @query(
+        "quality_calibration_bins",
+        oracle=f"""
+        WITH model AS ({all_oracles()["doc_quality_classifier"]}),
+        heur AS ({all_oracles()["doc_quality_scores"]}),
+        joined AS (
+          SELECT least(CAST(floor(m.quality_score * {CAL_BINS}) AS INTEGER),
+                       {CAL_BINS - 1}) AS bin,
+                 m.quality_score AS m_score,
+                 h.quality_score AS h_score,
+                 (m.decision = 'keep') AS keep
+          FROM model m JOIN heur h ON m.doc_id = h.doc_id
+        )
+        SELECT bin,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+               round(sum(CASE WHEN keep THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+                 AS keep_rate,
+               round(CAST(sum(CAST(m_score AS DECIMAL(14,4))) AS DOUBLE)
+                     / count(*), 4) AS mean_model_score,
+               round(CAST(sum(CAST(h_score AS DECIMAL(14,4))) AS DOUBLE)
+                     / count(*), 4) AS mean_heur_score
+        FROM joined GROUP BY bin ORDER BY bin
+        """,
+    )
+    def quality_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Calibration / reliability table for the model-based quality
+        classifier: documents bucket into {CAL_BINS} equal-width bins of
+        the model score, and each bin reports its keep rate plus the
+        mean of the INDEPENDENT rule-based heuristic score — the
+        standard sanity check before trusting a learned filter at scale
+        (a well-behaved scorer shows heuristic quality rising monotonically
+        with the model bins; a flat profile means the model learned
+        nothing the heuristics can see). Mean scores aggregate through
+        DECIMAL(14,4) casts of the already-4-dec-rounded per-doc scores,
+        so the sums are order-independent and engine-exact.
+
+        Scale shape: both scorers are single-pass narrow projections
+        over the same documents scan; the join is doc_id-keyed and the
+        report collapses to {CAL_BINS} rows in one hash aggregation."""
+        model = doc_quality_classifier(spark, sf_dir).select(
+            "doc_id",
+            F.col("quality_score").alias("m_score"),
+            (F.col("decision") == "keep").alias("keep"),
+        )
+        heur = doc_quality_scores(spark, sf_dir).select(
+            "doc_id", F.col("quality_score").alias("h_score")
+        )
+        joined = model.join(heur, "doc_id").select(
+            F.least(
+                F.floor(F.col("m_score") * CAL_BINS).cast("int"),
+                F.lit(CAL_BINS - 1),
+            ).alias("bin"),
+            "m_score",
+            "h_score",
+            "keep",
+        )
+        n = F.count("*")
+        return (
+            joined.groupBy("bin")
+            .agg(
+                n.cast("bigint").alias("n_docs"),
+                F.sum(F.col("keep").cast("long")).alias("n_keep"),
+                F.round(F.sum(F.col("keep").cast("long")) * 1.0 / n, 4).alias(
+                    "keep_rate"
+                ),
+                F.round(
+                    F.sum(F.col("m_score").cast("decimal(14,4)")).cast("double")
+                    / n,
+                    4,
+                ).alias("mean_model_score"),
+                F.round(
+                    F.sum(F.col("h_score").cast("decimal(14,4)")).cast("double")
+                    / n,
+                    4,
+                ).alias("mean_heur_score"),
+            )
+            .orderBy("bin")
+        )
+
+
+_register_quality_calibration_bins()

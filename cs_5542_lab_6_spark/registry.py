@@ -48,72 +48,59 @@ _REGISTRY: dict[str, Q] = {}
 # tests/test_oracle_parity.py (rows+schema+exact-value over all
 # registered oracles) and at sf0.1 by tests/test_scale_canary.py.
 _PRIORITY: tuple[str, ...] = (
-    # --- New in round 8 (registered this round; first driver check):
-    # --- exact hash-checked twins of the two rows-only sketches, each
-    # --- carrying driver-verified sketch-vs-exact envelope booleans
+    # --- New in round 9 (registered this round; first driver check):
+    # --- lakehouse table-management family
+    "orders_scd2_dimension",       # SCD2 dimension build
+    "lineitem_zorder_layout",      # Z-order vs linear zone-map quality
+    "supplier_bloom_semi_join",    # explicit Bloom runtime filter + FPR envelope
+    "skyline_parts",               # two-phase Pareto frontier
+    # --- record-linkage / blocking family
+    "dedup_sorted_neighborhood",   # SNM blocking + exact-Jaccard verify
+    "part_fuzzy_matches",          # Ed-Join blocked Levenshtein self-join
+    # --- privacy + model-audit
+    "events_l_diversity",          # companion to events_k_anonymity
+    "quality_calibration_bins",    # classifier-vs-heuristic reliability table
+    "ann_pq_adc_topk",             # PQ codes + ADC table-lookup ANN tier
+    # --- CHANGED in round 9 (must be re-driver-checked):
+    "doc_quality_classifier",      # bigram hashes now compose from unigram
+                                   # hashes (O(len^2) regex pathology fix)
+    "doc_repetition_stats",        # token array materialized (same results)
+    "mmr_diversified_topk",        # r8-advice fix: collected-literal rounds
+    "events_heavy_hitters_exact",  # r8-advice fix: independent HLL scalar
+    # --- r8-new rows, second window (stay until a staler cohort exists)
     "orders_exact_stats",
-    "events_heavy_hitters_exact",
-    # --- also new in r8: COUNT(DISTINCT) MV maintenance (key-set merge
-    # --- + driver-checked HLL-union envelope)
     "orders_mv_distinct_refresh",
-    # --- also new in r8: trigram-indexed substring search (index-pruned
-    # --- LIKE with a full-scan oracle)
     "doc_substring_search",
-    # --- also new in r8: multi-probe LSH (recall dial on the same index),
-    # --- the recall harness extended to score it (output changed r8 →
-    # --- re-window), and contrastive pos/hard-neg/rand-neg pair mining
     "ann_lsh_multiprobe_topk",
     "ann_recall_eval",
     "contrastive_pair_mining",
-    # --- also new in r8: split-drift PSI monitor + k-anonymity audit
     "corpus_drift_psi",
     "events_k_anonymity",
-    # --- also new in r8: SemDeDup-shaped semantic dedup (k-means
-    # --- partition + in-cluster cosine pruning) and the hashed-feature
-    # --- linear quality classifier
     "semantic_dedup",
-    "doc_quality_classifier",
-    # --- also new in r8: ColBERT-style late-interaction retrieval and
-    # --- MMR diversified re-ranking
     "late_interaction_maxsim",
-    "mmr_diversified_topk",
-    # --- also new in r8: mergeSchema batch evolution (NULL-backfill
-    # --- equals column-absent-before-cut, pinned by the oracle)
     "events_schema_evolution",
-    # --- r1-vintage driver rows (15): last checked seven rounds ago
-    "active_customer_keys",
-    "order_fill_status",
+    # --- family touched by the r9 shingle-materialization refactor:
+    # --- driver-check the inverted-index consumer of _doc_shingles
+    "dedup_ngram_jaccard",
+    # --- r1/r4-vintage rows kept this window
     "order_status_priority_cube",
-    "orders_per_month",
     "part_catalog_slugs",
     "pricing_summary",
     "regional_customer_revenue",
-    "returnflag_pivot",
-    "revenue_forecast",
     "single_status_customers",
     "status_priority_grouping_sets",
     "supplier_running_revenue",
     "top_orders_by_revenue",
     "topk_expensive_orders",
     "user_event_gaps",
-    # --- r4-vintage driver rows (17)
-    "agent_chunk_context",
-    "ann_lsh_topk",
     "chunks_view",
     "chunks_with_embeddings",
-    "corpus_chunk_ratio",
-    "corpus_token_frequencies",
     "corpus_verify",
     "dedup_embedding_nn",
-    "dedup_ngram_jaccard",
     "dedup_simhash",
-    "doc_fingerprints",
     "doc_language_id",
     "doc_token_stats",
     "papers_build",
-    # (sql_script_segment_revenue and doc_lookup rotated out: the script
-    # family holds fresh r7 driver rows and doc_lookup's point-filter
-    # shape is driver-covered via agent_chunk_context this window)
     "vector_topk_filtered",
     # --- Regression guards that stay in every window
     "chunks_build",            # corpus chunker (pure-Catalyst UDTF twin)
@@ -121,19 +108,14 @@ _PRIORITY: tuple[str, ...] = (
     "vector_topk",             # flagship retrieval
     "eval_metrics_log",        # JSON sink (red in r4, fixed r5)
     "stream_tumbling_daily",   # real Structured Streaming
-    # Family touched by the r8 warm-centroid refactor: cold path driver-
-    # checked this window (REFERENCE_PARITY contract in
-    # tests/test_registry_order.py)
-    "ann_ivf_topk",
-    # Rotated out for the r8 registrations (each keeps session-level
-    # parity coverage at sf0.01 via tests/test_oracle_parity.py, plus
-    # the opt-in sf0.1 scale sweep): bm25_doc_topk, chunk_vector_topk,
-    # contamination_scan, sql_script_segment_revenue — and these former
-    # every-window guards, now relegated to test-suite coverage:
-    # kg_two_hop, dedup_minhash_lsh, doc_lm_perplexity,
-    # orders_merge_upsert, events_session_windows,
-    # stream_user_stats_stateful, user_click_purchase_cogroup,
-    # multimodal_decode_features, doc_quality_filter_funnel.
+    "ann_ivf_topk",            # warm ivf_centroids seam, cold path
+    # Rotated out for the r9 registrations (all driver-green in r8; each
+    # keeps session-level parity coverage at sf0.01 via
+    # tests/test_oracle_parity.py plus the opt-in sf0.1 scale sweep):
+    # active_customer_keys, order_fill_status, orders_per_month,
+    # returnflag_pivot, revenue_forecast, agent_chunk_context,
+    # ann_lsh_topk, doc_fingerprints, corpus_token_frequencies,
+    # corpus_chunk_ratio.
 )
 
 

@@ -261,6 +261,7 @@ _BNLJ_ALLOWED = {
                                    # design (non-equi membership test)
     "events_k_anonymity": 1,       # 4-row k-threshold literals × the already-
                                    # aggregated QI-class relation
+    "events_l_diversity": 1,       # same shape: 3-row l-threshold literals
     "corpus_drift_psi": 2,         # 1-row train-total scalar + the ≤16-row
                                    # ref-bin set × 2 comparison splits
     "events_heavy_hitters_sketch": 1,  # 1-row HLL universe scalar

@@ -15,34 +15,34 @@ DRIVER_WINDOW = 50
 # item 1; r7 item 4) so every family gets a driver CORRECTNESS row at
 # least once; rotated-out queries stay verified by test_oracle_parity.py
 # and the sf0.1 scale canary. After round 7 cumulative driver coverage
-# is 100%, so round 8's contract is FRESHNESS: (a) every query
-# registered in round 8 gets its first driver check the same round it
+# is 100%, so the contract from round 8 on is FRESHNESS: (a) every
+# query registered or semantically changed in a round gets its first driver check the same round it
 # lands, and (b) the window refreshes the stalest driver rows (r1/r4
 # vintage) plus the permanent regression-guard core.
 REFERENCE_PARITY = [
-    # new in round 8 — first driver check (r8 verdict items 3, 4, 8)
-    "orders_exact_stats",
-    "events_heavy_hitters_exact",
-    "orders_mv_distinct_refresh",
-    "doc_substring_search",
-    "ann_lsh_multiprobe_topk",
-    "ann_recall_eval",        # output gained the multiprobe tier in r8
-    "contrastive_pair_mining",
-    "corpus_drift_psi",
-    "events_k_anonymity",
-    "semantic_dedup",
-    "doc_quality_classifier",
-    "late_interaction_maxsim",
-    "mmr_diversified_topk",
-    "events_schema_evolution",
+    # new in round 9 — first driver check the round they land
+    "orders_scd2_dimension",
+    "lineitem_zorder_layout",
+    "supplier_bloom_semi_join",
+    "skyline_parts",
+    "dedup_sorted_neighborhood",
+    "part_fuzzy_matches",
+    "events_l_diversity",
+    "quality_calibration_bins",
+    "ann_pq_adc_topk",
+    # changed in round 9 — semantics or advice fixes; re-driver-check
+    "doc_quality_classifier",   # compositional bigram hashing
+    "doc_repetition_stats",     # token-array materialization
+    "mmr_diversified_topk",     # collected-literal rounds
+    "events_heavy_hitters_exact",  # independent HLL scalar
     # regression guards that must stay in every window
     "chunks_build",
     "kg_edges_build",
     "vector_topk",
     "eval_metrics_log",
     "stream_tumbling_daily",
-    # families touched by round-8 changes: re-window a representative
-    "ann_ivf_topk",  # warm ivf_centroids seam (cold path driver-checked)
+    # families touched by round-9 changes: re-window a representative
+    "dedup_ngram_jaccard",  # consumer of the materialized shingle build
 ]
 
 # The two sketch queries stay registered as rows-only by design
