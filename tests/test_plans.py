@@ -195,6 +195,39 @@ def test_mixing_and_clustering_plans(spark, sf_dir):
     assert "BroadcastHashJoin" in plan_of(spark, sf_dir, "corpus_stratified_sample")
 
 
+def test_lakehouse_and_linkage_plans(spark, sf_dir):
+    """Round-9 family plan discipline. SCD2's two windows (lag-dedup,
+    renumber+lead) share ONE custkey hash exchange — the second exchange
+    is only the final presentation sort; z-order layout never joins (the
+    Morton code is pure projection arithmetic); every join in the bloom
+    probe, skyline join-back, fuzzy-match blocking, PQ codebook/distance
+    -table lookups, and SNM verify broadcasts — a SortMergeJoin anywhere
+    in these would shuffle fact-sized data against index-sized data."""
+    import re
+
+    smj_free = [
+        "orders_scd2_dimension",
+        "lineitem_zorder_layout",
+        "supplier_bloom_semi_join",
+        "skyline_parts",
+        "part_fuzzy_matches",
+        "ann_pq_adc_topk",
+        "dedup_sorted_neighborhood",
+        "events_l_diversity",
+        "quality_calibration_bins",
+    ]
+    for name in smj_free:
+        plan = plan_of(spark, sf_dir, name)
+        assert "SortMergeJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+    scd2 = plan_of(spark, sf_dir, "orders_scd2_dimension")
+    assert len(re.findall(r"\(\d+\) Exchange", scd2)) <= 2
+    zorder = plan_of(spark, sf_dir, "lineitem_zorder_layout")
+    assert "Join" not in zorder
+    for name in ["skyline_parts", "part_fuzzy_matches", "ann_pq_adc_topk"]:
+        assert "BroadcastHashJoin" in plan_of(spark, sf_dir, name), name
+
+
 def test_rfm_has_no_global_window(spark, sf_dir):
     """customer_rfm_segments (VERDICT r6 item 3): the three quartile
     rankings must run as per-partition windows over the frozen range
