@@ -1219,6 +1219,81 @@ def _pq_sqdiff_duck(a: str, b: str) -> str:
     )
 
 
+def _pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(m, j, c) — the {PQ_M}x{PQ_K} sub-space codebook, derived from the
+    anchor vectors (a {PQ_K}-row pushdown scan; always cheap enough to
+    re-derive, and the probe side needs it for the distance table)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    ms = F.array([F.lit(m) for m in range(PQ_M)])
+    anchors = spark.createDataFrame(
+        [(a, j) for j, a in enumerate(PQ_ANCHORS)], schema="anchor_id long, j int"
+    )
+    return (
+        e.join(F.broadcast(anchors), e.vec_id == F.col("anchor_id"))
+        .select("j", F.explode(ms).alias("m"), "v")
+        .select(
+            "m",
+            "j",
+            F.slice(F.col("v"), F.col("m") * PQ_SUBDIM + 1, PQ_SUBDIM).alias("c"),
+        )
+    )
+
+
+def _pq_sqdiff(a: str, b: str) -> Column:
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_codes_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cold PQ encode stage (warehouse stage ``pq_codes``): every vector
+    reduced to its (vec_id, label, m, j) codebook assignments — the
+    {PQ_M}-bytes-per-vector representation ADC queries scan instead of
+    the full-dimensional collection. At 100 TB this is THE point of PQ:
+    the index build runs once at ingest; query time never touches raw
+    vectors except the {PQ_K} anchors and the query vector itself."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    ms = F.array([F.lit(m) for m in range(PQ_M)])
+    sub = e.select(
+        "vec_id", "label", F.explode(ms).alias("m"), "v"
+    ).select(
+        "vec_id",
+        "label",
+        "m",
+        F.slice(F.col("v"), F.col("m") * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sv"),
+    )
+    cand = sub.join(F.broadcast(_pq_codebook(spark, sf_dir)), "m").select(
+        "vec_id", "label", "m", "j", _pq_sqdiff("sv", "c").alias("d2")
+    )
+    rn = F.row_number().over(
+        W.partitionBy("vec_id", "m").orderBy(F.asc("d2"), F.asc("j"))
+    )
+    return (
+        cand.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "m", "j")
+    )
+
+
+def _pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, m, j): the ``pq_codes`` warehouse checkpoint when
+    warm, the full encode otherwise — codes are a pure function of the
+    vectors and the deterministic anchors, so both paths are
+    row-identical."""
+    from ..pipeline.corpus import _warm_path
+
+    p = _warm_path(sf_dir, "pq_codes", spark)
+    if p:
+        return spark.read.parquet(p)
+    return pq_codes_build(spark, sf_dir)
+
+
 @query(
     "ann_pq_adc_topk",
     oracle=f"""
@@ -1293,49 +1368,25 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the codes plus one TakeOrdered. The codebook itself broadcasts
     at {PQ_M * PQ_K} rows."""
     e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     ms = F.array([F.lit(m) for m in range(PQ_M)])
-    anchors = spark.createDataFrame(
-        [(a, j) for j, a in enumerate(PQ_ANCHORS)], schema="anchor_id long, j int"
-    )
-    sub_slice = F.slice(
-        F.col("v"), F.col("m") * PQ_SUBDIM + 1, PQ_SUBDIM
-    )
-    cb = (
-        e.join(F.broadcast(anchors), e.vec_id == F.col("anchor_id"))
-        .select("j", F.explode(ms).alias("m"), "v")
-        .select("m", "j", sub_slice.alias("c"))
-    )
-    sub = e.select(
-        "vec_id", "label", F.explode(ms).alias("m"), "v"
-    ).select("vec_id", "label", "m", sub_slice.alias("sv"))
-    sqdiff = F.aggregate(
-        F.zip_with(F.col("sv"), F.col("c"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    cand = sub.join(F.broadcast(cb), "m").select(
-        "vec_id", "label", "m", "j", sqdiff.alias("d2")
-    )
-    rn = F.row_number().over(
-        W.partitionBy("vec_id", "m").orderBy(F.asc("d2"), F.asc("j"))
-    )
-    codes = (
-        cand.withColumn("rn", rn).filter(F.col("rn") == 1).select(
-            "vec_id", "label", "m", "j"
-        )
-    )
+    cb = _pq_codebook(spark, sf_dir)
+    codes = _pq_codes(spark, sf_dir)
     qsub = (
         e.filter(F.col("vec_id").isin(*QUERY_IDS))
         .select(F.col("vec_id").alias("qid"), F.explode(ms).alias("m"), "v")
-        .select("qid", "m", sub_slice.alias("sv"))
+        .select(
+            "qid",
+            "m",
+            F.slice(F.col("v"), F.col("m") * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sv"),
+        )
     )
     qtab = qsub.join(F.broadcast(cb), "m").select(
         "qid",
         "m",
         "j",
-        F.round(sqdiff, 6).cast("decimal(18,6)").alias("td"),
+        F.round(_pq_sqdiff("sv", "c"), 6).cast("decimal(18,6)").alias("td"),
     )
     scored = (
         codes.join(F.broadcast(qtab), ["m", "j"])

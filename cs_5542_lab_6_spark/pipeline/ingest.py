@@ -37,7 +37,11 @@ from ..operators.dedup import (
 )
 from ..operators.ranking import bm25_doclen_build, bm25_postings_build
 from ..operators.retrieval import trigram_postings_build
-from ..operators.similarity import ivf_centroids_build, lsh_codes_build
+from ..operators.similarity import (
+    ivf_centroids_build,
+    lsh_codes_build,
+    pq_codes_build,
+)
 from .corpus import (
     chunks_with_embeddings_df,
     kg_edges_build,
@@ -71,6 +75,7 @@ STAGES: tuple[tuple[str, Callable[[SparkSession, str], DataFrame], tuple[str, ..
     ("dedup_clusters", dedup_clusters_build, ()),
     ("ivf_centroids", ivf_centroids_build, ()),
     ("lsh_codes", lsh_codes_build, ()),
+    ("pq_codes", pq_codes_build, ()),
     ("bm25_postings", bm25_postings_build, ()),
     ("bm25_doclen", bm25_doclen_build, ()),
     ("trigram_postings", trigram_postings_build, ()),

@@ -45,6 +45,7 @@ def test_build_checkpoint_resume_verify(spark, sf_dir, tmp_path):
         "dedup_clusters",
         "ivf_centroids",
         "lsh_codes",
+        "pq_codes",
         "bm25_postings",
         "bm25_doclen",
         "trigram_postings",
@@ -114,6 +115,8 @@ def test_warm_warehouse_queries_equal_cold(spark, sf_dir, tmp_path, monkeypatch)
         "ann_brute_force_topk",
         "ann_lsh_topk",
         "ann_lsh_multiprobe_topk",
+        # PQ family: ADC served from the materialized pq_codes stage
+        "ann_pq_adc_topk",
         "ann_recall_eval",
         "contrastive_pair_mining",
         "bm25_doc_topk",
@@ -146,6 +149,7 @@ def test_warm_warehouse_queries_equal_cold(spark, sf_dir, tmp_path, monkeypatch)
         assert C._warm_path(sf_dir, "dedup_clusters") is not None
         assert C._warm_path(sf_dir, "ivf_centroids") is not None
         assert C._warm_path(sf_dir, "lsh_codes") is not None
+        assert C._warm_path(sf_dir, "pq_codes") is not None
         warm = {
             n: sorted(map(tuple, qs[n](spark, sf_dir).collect())) for n in names
         }
