@@ -108,6 +108,8 @@ HEADLINE = [
     "events_l_diversity",
     "quality_calibration_bins",
     "ann_pq_adc_topk",
+    "orders_compaction_plan",
+    "events_k_anonymity_repair",
 ]
 
 

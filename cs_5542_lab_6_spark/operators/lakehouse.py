@@ -439,3 +439,75 @@ def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "p_name", "p_brand", "p_size", "p_retailprice")
         .orderBy(F.desc("p_size"), "p_partkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction planning (OPTIMIZE bin-packing over a manifest)
+# ---------------------------------------------------------------------------
+
+COMPACT_TARGET_ROWS = 400   # target "file" size (rows stand in for bytes)
+
+
+@query(
+    "orders_compaction_plan",
+    oracle=f"""
+    WITH manifest AS (
+      SELECT o_orderdate AS day, COUNT(*) AS n_rows
+      FROM orders GROUP BY o_orderdate
+    ),
+    small AS (
+      SELECT day, n_rows,
+             COALESCE(SUM(n_rows) OVER (
+               ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS csum
+      FROM manifest WHERE n_rows < {COMPACT_TARGET_ROWS}
+    ),
+    binned AS (
+      SELECT day, n_rows,
+             CAST(floor(csum * 1.0 / {COMPACT_TARGET_ROWS}) AS BIGINT) AS bin_id
+      FROM small
+    )
+    SELECT bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+           MIN(day) AS first_day,
+           MAX(day) AS last_day
+    FROM binned GROUP BY bin_id ORDER BY bin_id
+    """,
+)
+def orders_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning (Delta/Iceberg OPTIMIZE): the
+    per-day order "files" below the {COMPACT_TARGET_ROWS}-row target are
+    packed into rewrite bins by a next-fit sweep in day order — a bin
+    closes as soon as its running total crosses the target, so every
+    bin except the last holds >= target rows and stays day-contiguous
+    (clustering preserved, which is why OPTIMIZE packs in sort-key
+    order rather than first-fit-decreasing). The plan is the REWRITE
+    MANIFEST: each output row is one compacted file to write.
+
+    Scale shape: planning is a window cumulative sum over the file
+    MANIFEST (one row per file, millions of rows for a 100 TB table —
+    trivially a single executor's work), never over the data; the
+    next-fit rule is exactly expressible as floor(exclusive-cumsum /
+    target), keeping the whole planner one window + one aggregation."""
+    orders = load_table(spark, sf_dir, "orders")
+    manifest = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.count("*").alias("n_rows")
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, -1)
+    small = manifest.filter(F.col("n_rows") < COMPACT_TARGET_ROWS).withColumn(
+        "csum", F.coalesce(F.sum("n_rows").over(w), F.lit(0))
+    )
+    binned = small.withColumn(
+        "bin_id", F.floor(F.col("csum") / COMPACT_TARGET_ROWS).cast("bigint")
+    )
+    return (
+        binned.groupBy("bin_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_files"),
+            F.sum("n_rows").cast("bigint").alias("total_rows"),
+            F.min("day").alias("first_day"),
+            F.max("day").alias("last_day"),
+        )
+        .orderBy("bin_id")
+    )

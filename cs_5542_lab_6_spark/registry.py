@@ -61,6 +61,8 @@ _PRIORITY: tuple[str, ...] = (
     "events_l_diversity",          # companion to events_k_anonymity
     "quality_calibration_bins",    # classifier-vs-heuristic reliability table
     "ann_pq_adc_topk",             # PQ codes + ADC table-lookup ANN tier
+    "orders_compaction_plan",      # OPTIMIZE next-fit bin-packing planner
+    "events_k_anonymity_repair",   # Datafly-style QI generalization ladder
     # --- CHANGED in round 9 (must be re-driver-checked):
     "doc_quality_classifier",      # bigram hashes now compose from unigram
                                    # hashes (O(len^2) regex pathology fix)
@@ -92,13 +94,11 @@ _PRIORITY: tuple[str, ...] = (
     "supplier_running_revenue",
     "top_orders_by_revenue",
     "topk_expensive_orders",
-    "user_event_gaps",
     "chunks_view",
     "chunks_with_embeddings",
     "corpus_verify",
     "dedup_embedding_nn",
     "dedup_simhash",
-    "doc_language_id",
     "doc_token_stats",
     "papers_build",
     "vector_topk_filtered",
@@ -115,7 +115,7 @@ _PRIORITY: tuple[str, ...] = (
     # active_customer_keys, order_fill_status, orders_per_month,
     # returnflag_pivot, revenue_forecast, agent_chunk_context,
     # ann_lsh_topk, doc_fingerprints, corpus_token_frequencies,
-    # corpus_chunk_ratio.
+    # corpus_chunk_ratio, doc_language_id, user_event_gaps.
 )
 
 

@@ -215,6 +215,8 @@ def test_lakehouse_and_linkage_plans(spark, sf_dir):
         "dedup_sorted_neighborhood",
         "events_l_diversity",
         "quality_calibration_bins",
+        "orders_compaction_plan",
+        "events_k_anonymity_repair",
     ]
     for name in smj_free:
         plan = plan_of(spark, sf_dir, name)

@@ -30,6 +30,8 @@ REFERENCE_PARITY = [
     "events_l_diversity",
     "quality_calibration_bins",
     "ann_pq_adc_topk",
+    "orders_compaction_plan",
+    "events_k_anonymity_repair",
     # changed in round 9 — semantics or advice fixes; re-driver-check
     "doc_quality_classifier",   # compositional bigram hashing
     "doc_repetition_stats",     # token-array materialization
