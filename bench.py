@@ -110,6 +110,7 @@ HEADLINE = [
     "ann_pq_adc_topk",
     "orders_compaction_plan",
     "events_k_anonymity_repair",
+    "orders_scd2_incremental",
 ]
 
 

@@ -63,6 +63,7 @@ _PRIORITY: tuple[str, ...] = (
     "ann_pq_adc_topk",             # PQ codes + ADC table-lookup ANN tier
     "orders_compaction_plan",      # OPTIMIZE next-fit bin-packing planner
     "events_k_anonymity_repair",   # Datafly-style QI generalization ladder
+    "orders_scd2_incremental",     # delta-apply == full-recompute, oracle-pinned
     # --- CHANGED in round 9 (must be re-driver-checked):
     "doc_quality_classifier",      # bigram hashes now compose from unigram
                                    # hashes (O(len^2) regex pathology fix)
@@ -86,7 +87,6 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_ngram_jaccard",
     # --- r1/r4-vintage rows kept this window
     "order_status_priority_cube",
-    "part_catalog_slugs",
     "pricing_summary",
     "regional_customer_revenue",
     "single_status_customers",
@@ -115,7 +115,8 @@ _PRIORITY: tuple[str, ...] = (
     # active_customer_keys, order_fill_status, orders_per_month,
     # returnflag_pivot, revenue_forecast, agent_chunk_context,
     # ann_lsh_topk, doc_fingerprints, corpus_token_frequencies,
-    # corpus_chunk_ratio, doc_language_id, user_event_gaps.
+    # corpus_chunk_ratio, doc_language_id, user_event_gaps,
+    # part_catalog_slugs.
 )
 
 

@@ -217,6 +217,7 @@ def test_lakehouse_and_linkage_plans(spark, sf_dir):
         "quality_calibration_bins",
         "orders_compaction_plan",
         "events_k_anonymity_repair",
+        "orders_scd2_incremental",
     ]
     for name in smj_free:
         plan = plan_of(spark, sf_dir, name)

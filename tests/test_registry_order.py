@@ -32,6 +32,7 @@ REFERENCE_PARITY = [
     "ann_pq_adc_topk",
     "orders_compaction_plan",
     "events_k_anonymity_repair",
+    "orders_scd2_incremental",
     # changed in round 9 — semantics or advice fixes; re-driver-check
     "doc_quality_classifier",   # compositional bigram hashing
     "doc_repetition_stats",     # token-array materialization
