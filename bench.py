@@ -111,6 +111,7 @@ HEADLINE = [
     "orders_compaction_plan",
     "events_k_anonymity_repair",
     "orders_scd2_incremental",
+    "ann_pq_recall_eval",
 ]
 
 

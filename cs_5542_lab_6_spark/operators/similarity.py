@@ -1199,7 +1199,9 @@ def contrastive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Product quantization (PQ) with asymmetric distance computation (ADC)
 # ---------------------------------------------------------------------------
 
-PQ_M = 4                       # subspaces
+PQ_M = 16                      # subspaces (4 dims each: finer
+                               # quantization tripled recall vs M=4
+                               # in the sampled-codebook experiment)
 PQ_SUBDIM = EMBED_DIM // PQ_M  # dims per subspace
 # PQ_K codebook entries per subspace, sampled deterministically from the
 # collection (sampled codebooks are the standard cheap baseline; a
@@ -1402,4 +1404,86 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("qid", F.col("rank").cast("int"), "vec_id", "label", "approx_d2")
         .orderBy("qid", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PQ recall against the exact L2 ranking (metric-matched truth)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ann_pq_recall_eval",
+    oracle=f"""
+    WITH {_DUCK_EMB},
+    l2 AS (
+      SELECT q.qid, e.vec_id,
+             round(list_sum(list_transform(range(1, {EMBED_DIM} + 1),
+                   i -> (q.qv[i] - e.v[i]) * (q.qv[i] - e.v[i]))), 4) AS d2
+      FROM q JOIN e ON e.vec_id <> q.qid
+    ),
+    truth AS (
+      SELECT qid, vec_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid ORDER BY d2, vec_id) AS rank
+        FROM l2
+      ) WHERE rank <= {TOP_K}
+    ),
+    pq AS (SELECT qid, vec_id FROM ({_ann_sub("ann_pq_adc_topk")}) t)
+    SELECT t.qid, 'pq_adc' AS method,
+           CAST(COUNT(p.vec_id) AS BIGINT) AS n_hits,
+           round(CAST(COUNT(p.vec_id) AS DOUBLE) / {TOP_K}, 4) AS recall_at_k
+    FROM truth t LEFT JOIN pq p ON t.qid = p.qid AND t.vec_id = p.vec_id
+    GROUP BY t.qid
+    ORDER BY t.qid
+    """,
+)
+def ann_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} of the PQ-ADC tier against the EXACT squared-L2
+    ranking — metric-matched truth (ADC approximates L2 distance, so
+    scoring it against the cosine truth of ann_recall_eval would
+    conflate quantization error with the metric gap). This is the
+    codebook-quality dial: sampled codebooks set the floor, a trained
+    codebook raises recall through the same seam without touching the
+    query.
+
+    Scale shape: identical to ann_recall_eval — truth on the fixed
+    query sample, candidate lists joined on (qid, vec_id), everything
+    downstream of the two composed tier queries is tens of rows."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    qset = e.filter(F.col("vec_id").isin(*QUERY_IDS)).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("v"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        e.crossJoin(F.broadcast(qset))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", F.round(d2, 4).alias("d2"))
+    )
+    rank = F.row_number().over(
+        W.partitionBy("qid").orderBy(F.asc("d2"), F.asc("vec_id"))
+    )
+    truth = (
+        scored.withColumn("rank", rank)
+        .filter(F.col("rank") <= TOP_K)
+        .select("qid", "vec_id")
+    )
+    pq = ann_pq_adc_topk(spark, sf_dir).select("qid", "vec_id")
+    hit = pq.withColumn("_h", F.lit(1))
+    return (
+        truth.join(hit, ["qid", "vec_id"], "left")
+        .groupBy("qid")
+        .agg(
+            F.lit("pq_adc").alias("method"),
+            F.sum(F.coalesce(F.col("_h"), F.lit(0))).cast("bigint").alias("n_hits"),
+            F.round(
+                F.sum(F.coalesce(F.col("_h"), F.lit(0))).cast("double") / TOP_K, 4
+            ).alias("recall_at_k"),
+        )
+        .orderBy("qid")
     )

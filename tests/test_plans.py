@@ -301,7 +301,9 @@ _BNLJ_ALLOWED = {
     "corpus_drift_psi": 2,         # 1-row train-total scalar + the ≤16-row
                                    # ref-bin set × 2 comparison splits
     "events_heavy_hitters_sketch": 1,  # 1-row HLL universe scalar
-    "supplier_bloom_semi_join": 2,     # 1-row build-count + 1-row bits-count
+    "supplier_bloom_semi_join": 2,     # (see lakehouse family note above)
+    "ann_pq_recall_eval": 1,           # 3-row query-set broadcast for the
+                                       # exact-L2 truth scoring scan     # 1-row build-count + 1-row bits-count
                                        # scalars cross-joined onto the report
     "events_heavy_hitters_exact": 4,   # its own 1-row totals scalar + the
                                        # composed sketch's HLL scalar + the
