@@ -100,3 +100,28 @@ def corrupt_split(df: DataFrame):
         yield clean, quarantine
     finally:
         df.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# ORC interchange (the other splittable columnar format Spark ships)
+# ---------------------------------------------------------------------------
+
+
+def read_orc(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """ORC reader with a DECLARED schema — same contract as the JSONL/CSV
+    readers (no inference pass at 100 TB). ORC is self-describing, so
+    there is no corrupt-row mode; schema enforcement happens by
+    projection: reading a column absent from the file fails loudly at
+    plan time instead of silently NULL-filling."""
+    return spark.read.schema(schema).orc(path)
+
+
+def write_orc(df: DataFrame, path: str, partition_by: tuple[str, ...] = ()) -> None:
+    """ORC writer (snappy, the splittable default). Partitioning mirrors
+    the parquet warehouse writer so either format slots into the same
+    layout; predicate pushdown and column pruning work identically
+    (OrcScan supports the same filter API as ParquetScan)."""
+    w = df.write.mode("overwrite").format("orc")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(path)

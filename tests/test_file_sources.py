@@ -101,3 +101,27 @@ def test_corrupt_split_releases_its_cache(spark, tmp_path):
         assert quarantine.count() == 2
         assert _n_cached(spark) == before + 1
     assert _n_cached(spark) == before
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    """ORC interchange: a table written as ORC reads back row-identical,
+    and a point predicate over the ORC scan is pushed into the reader
+    (same zone-map skipping contract as parquet)."""
+    from cs_5542_lab_6_spark.plans.inspect import formatted_plan
+    from cs_5542_lab_6_spark.sources import load_table
+    from cs_5542_lab_6_spark.sources.files import read_orc, write_orc
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_orc")
+    write_orc(orders, path, partition_by=("o_orderpriority",))
+    back = read_orc(spark, path, orders.schema).select(*orders.columns)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, orders.collect())
+    )
+    filtered = back.filter(back.o_orderkey == 42).select("o_orderkey", "o_custkey")
+    plan = formatted_plan(filtered)
+    assert "EqualTo(o_orderkey,42)" in plan  # pushdown reaches the ORC scan
+    # partition pruning on the directory layout
+    pri = back.filter(back.o_orderpriority == "1-URGENT")
+    pplan = formatted_plan(pri)
+    assert "o_orderpriority" in pplan
