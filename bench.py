@@ -112,6 +112,7 @@ HEADLINE = [
     "events_k_anonymity_repair",
     "orders_scd2_incremental",
     "ann_pq_recall_eval",
+    "dedup_method_eval",
 ]
 
 

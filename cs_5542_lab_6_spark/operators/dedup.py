@@ -1499,3 +1499,102 @@ def part_fuzzy_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("a_partkey", "b_partkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# 9. Dedup-method evaluation: precision/recall vs the exact pair list
+# ---------------------------------------------------------------------------
+
+
+def _register_dedup_method_eval() -> None:
+    # late-bind: composes the registered oracles of the three blocking
+    # methods and the exact truth (same pattern as dedup_rate_by_source)
+    from ..registry import all_oracles
+
+    orc = all_oracles()
+
+    @query(
+        "dedup_method_eval",
+        oracle=f"""
+        WITH truth AS (SELECT doc_a, doc_b FROM ({orc["dedup_ngram_jaccard"]}) t),
+        mh AS (SELECT doc_a, doc_b FROM ({orc["dedup_minhash_lsh"]}) t),
+        sh AS (SELECT doc_a, doc_b FROM ({orc["dedup_simhash"]}) t),
+        snm AS (SELECT doc_a, doc_b FROM ({orc["dedup_sorted_neighborhood"]}) t),
+        preds AS (
+          SELECT 'minhash_lsh' AS method, doc_a, doc_b FROM mh
+          UNION ALL SELECT 'simhash', doc_a, doc_b FROM sh
+          UNION ALL SELECT 'sorted_neighborhood', doc_a, doc_b FROM snm
+        ),
+        scored AS (
+          SELECT p.method,
+                 COUNT(*) AS n_pred,
+                 CAST(SUM(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS tp
+          FROM preds p
+          LEFT JOIN truth t ON t.doc_a = p.doc_a AND t.doc_b = p.doc_b
+          GROUP BY p.method
+        )
+        SELECT method, CAST(n_pred AS BIGINT) AS n_pred,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+               tp,
+               round(CAST(tp AS DOUBLE) / n_pred, 4) AS precision,
+               round(CAST(tp AS DOUBLE)
+                     / (SELECT COUNT(*) FROM truth), 4) AS recall
+        FROM scored
+        ORDER BY method
+        """,
+    )
+    def dedup_method_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Precision/recall of every pair-emitting blocking family —
+        MinHash-LSH, SimHash banding, sorted-neighborhood — against the
+        exact shingle-Jaccard pair list, the dedup analogue of
+        ``ann_recall_eval``: before trusting a blocking strategy on a
+        100 TB corpus you measure what fraction of true near-dup pairs
+        its candidate generation reaches (recall) and how much of its
+        output is noise (precision). All four pair lists reuse their
+        registered queries unchanged — evaluation composes operators.
+
+        Scale shape: every relation here is pair-list-sized (near-dup
+        pairs, not corpus rows); the truth list is computed once and
+        left-joined per method; the heavy lifting — signatures, bands,
+        buckets — rides the same warm warehouse stages the composed
+        queries already read."""
+        truth = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+        methods = {
+            "minhash_lsh": dedup_minhash_lsh(spark, sf_dir),
+            "simhash": dedup_simhash(spark, sf_dir),
+            "sorted_neighborhood": dedup_sorted_neighborhood(spark, sf_dir),
+        }
+        preds = None
+        for name, df in methods.items():
+            part = df.select(
+                F.lit(name).alias("method"), "doc_a", "doc_b"
+            )
+            preds = part if preds is None else preds.unionByName(part)
+        n_truth = truth.agg(F.count("*").cast("bigint").alias("n_truth"))
+        hit = truth.withColumn("_t", F.lit(1))
+        return (
+            preds.join(hit, ["doc_a", "doc_b"], "left")
+            .groupBy("method")
+            .agg(
+                F.count("*").cast("bigint").alias("n_pred"),
+                F.sum(F.coalesce(F.col("_t"), F.lit(0))).cast("bigint").alias("tp"),
+            )
+            .crossJoin(F.broadcast(n_truth))
+            .select(
+                "method",
+                "n_pred",
+                "n_truth",
+                "tp",
+                F.round(F.col("tp").cast("double") / F.col("n_pred"), 4).alias(
+                    "precision"
+                ),
+                F.round(F.col("tp").cast("double") / F.col("n_truth"), 4).alias(
+                    "recall"
+                ),
+            )
+            .orderBy("method")
+        )
+
+
+_register_dedup_method_eval()

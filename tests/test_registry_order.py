@@ -34,6 +34,7 @@ REFERENCE_PARITY = [
     "events_k_anonymity_repair",
     "orders_scd2_incremental",
     "ann_pq_recall_eval",
+    "dedup_method_eval",
     # changed in round 9 — semantics or advice fixes; re-driver-check
     "doc_quality_classifier",   # compositional bigram hashing
     "doc_repetition_stats",     # token-array materialization
