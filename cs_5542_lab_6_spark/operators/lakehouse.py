@@ -478,18 +478,21 @@ COMPACT_TARGET_ROWS = 400   # target "file" size (rows stand in for bytes)
 def orders_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction planning (Delta/Iceberg OPTIMIZE): the
     per-day order "files" below the {COMPACT_TARGET_ROWS}-row target are
-    packed into rewrite bins by a next-fit sweep in day order — a bin
-    closes as soon as its running total crosses the target, so every
-    bin except the last holds >= target rows and stays day-contiguous
-    (clustering preserved, which is why OPTIMIZE packs in sort-key
-    order rather than first-fit-decreasing). The plan is the REWRITE
+    packed into day-contiguous rewrite bins by CUMULATIVE-QUOTA binning
+    — bin k covers the files whose exclusive running total falls in
+    [k*target, (k+1)*target), i.e. floor(exclusive-cumsum / target).
+    Every bin spans < target + max_file_size rows and averages ~target;
+    a single bin can dip below target when a file straddles its quota
+    boundary (true next-fit — close-on-crossing — is an inherently
+    sequential recurrence; the quota rule is its windowable
+    approximation and preserves the property OPTIMIZE cares about:
+    bounded bin size with sort-key contiguity). The plan is the REWRITE
     MANIFEST: each output row is one compacted file to write.
 
     Scale shape: planning is a window cumulative sum over the file
     MANIFEST (one row per file, millions of rows for a 100 TB table —
-    trivially a single executor's work), never over the data; the
-    next-fit rule is exactly expressible as floor(exclusive-cumsum /
-    target), keeping the whole planner one window + one aggregation."""
+    trivially a single executor's work), never over the data; one
+    window + one aggregation, nothing touches table rows."""
     orders = load_table(spark, sf_dir, "orders")
     manifest = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
         F.count("*").alias("n_rows")

@@ -924,11 +924,14 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rel",
         F.round(F.lit(0.5) * F.col("rel"), 5).alias("mmr"),
     )
-    rounds = [first]
     # prior selections as collected literals: round i's anti-filter and
     # max-sim penalty reference a tiny IN-list, not the union of rounds
-    # 1..i-1's plans, so each round executes in constant time
-    ids = [r["vec_id"] for r in first.collect()]
+    # 1..i-1's plans, so each round executes in constant time. Each
+    # round's single winner is collected ONCE, and the final relation is
+    # built from those already-collected rows — returning a union of the
+    # K lazy argmax plans would re-run every round when the caller acts.
+    won = first.collect()
+    ids = [r["vec_id"] for r in won]
     for i in range(2, MMR_K + 1):
         rem = cand.filter(~F.col("vec_id").isin(ids))
         pen = (
@@ -949,16 +952,13 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1)
             .select(F.lit(i).alias("rank"), "vec_id", "rel", "mmr")
         )
-        rounds.append(nxt)
-        ids.extend(r["vec_id"] for r in nxt.collect())
-    selected = rounds[0]
-    for nxt in rounds[1:]:
-        selected = selected.unionByName(nxt)
-    return selected.select(
-        F.col("rank").cast("int").alias("rank"),
-        F.col("vec_id").cast("long").alias("vec_id"),
-        "rel",
-        "mmr",
+        batch = nxt.collect()
+        won.extend(batch)
+        ids.extend(r["vec_id"] for r in batch)
+    return spark.createDataFrame(
+        [(int(r["rank"]), int(r["vec_id"]), float(r["rel"]), float(r["mmr"]))
+         for r in won],
+        schema="rank int, vec_id long, rel double, mmr double",
     ).orderBy("rank")
 
 

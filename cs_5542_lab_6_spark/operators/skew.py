@@ -335,10 +335,18 @@ def events_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("_n_events"),
         F.countDistinct("user_id").alias("_nd_users"),
     )
-    sketch = events_heavy_hitters_sketch(spark, sf_dir).select(
-        "user_id",
-        F.col("approx_count").alias("_ac"),
-        F.col("approx_distinct_users").alias("_hll"),
+    # eager cut: the sketch output is HH_TOP_K rows, and it feeds BOTH
+    # the per-user left join and the 1-row HLL aggregate below — without
+    # the cut, each consumer re-instantiates the full events scan +
+    # sketch aggregation (two extra passes per action)
+    sketch = (
+        events_heavy_hitters_sketch(spark, sf_dir)
+        .select(
+            "user_id",
+            F.col("approx_count").alias("_ac"),
+            F.col("approx_distinct_users").alias("_hll"),
+        )
+        .localCheckpoint(eager=True)
     )
     count_ok = F.col("_ac").isNull() | (
         F.abs(F.col("_ac") - F.col("exact_count"))

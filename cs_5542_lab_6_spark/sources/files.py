@@ -109,10 +109,19 @@ def corrupt_split(df: DataFrame):
 
 def read_orc(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
     """ORC reader with a DECLARED schema — same contract as the JSONL/CSV
-    readers (no inference pass at 100 TB). ORC is self-describing, so
-    there is no corrupt-row mode; schema enforcement happens by
-    projection: reading a column absent from the file fails loudly at
-    plan time instead of silently NULL-filling."""
+    readers. ORC is self-describing, so there is no corrupt-row mode —
+    but Spark's reader does NOT enforce the declared schema: a declared
+    column absent from the files comes back silently NULL-filled. This
+    helper therefore checks the declared fields against the footer
+    schema (a metadata-only read, no data pass) and fails loudly on
+    drift instead of letting all-NULL columns flow downstream."""
+    present = set(spark.read.orc(path).columns)
+    missing = [f.name for f in schema.fields if f.name not in present]
+    if missing:
+        raise ValueError(
+            f"ORC files at {path} are missing declared columns {missing}; "
+            "refusing to NULL-fill schema drift"
+        )
     return spark.read.schema(schema).orc(path)
 
 

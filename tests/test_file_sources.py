@@ -125,3 +125,13 @@ def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
     pri = back.filter(back.o_orderpriority == "1-URGENT")
     pplan = formatted_plan(pri)
     assert "o_orderpriority" in pplan
+    # schema drift fails loudly instead of NULL-filling (Spark's reader
+    # would silently return NULLs for the phantom column)
+    import pytest
+    from pyspark.sql import types as T
+
+    drifted = T.StructType(
+        orders.schema.fields + [T.StructField("phantom_col", T.LongType())]
+    )
+    with pytest.raises(ValueError, match="phantom_col"):
+        read_orc(spark, path, drifted)

@@ -301,15 +301,18 @@ _BNLJ_ALLOWED = {
     "corpus_drift_psi": 2,         # 1-row train-total scalar + the ≤16-row
                                    # ref-bin set × 2 comparison splits
     "events_heavy_hitters_sketch": 1,  # 1-row HLL universe scalar
-    "supplier_bloom_semi_join": 2,     # (see lakehouse family note above)
-    "ann_pq_recall_eval": 1,           # 3-row query-set broadcast for the
-                                       # exact-L2 truth scoring scan     # 1-row build-count + 1-row bits-count
+    "supplier_bloom_semi_join": 2,     # 1-row build-count + 1-row bits-count
                                        # scalars cross-joined onto the report
-    "events_heavy_hitters_exact": 4,   # its own 1-row totals scalar + the
-                                       # composed sketch's HLL scalar + the
+    "ann_pq_recall_eval": 1,           # 3-row query-set broadcast for the
+                                       # exact-L2 truth scoring scan
+    "dedup_method_eval": 3,            # composed dedup_simhash carries its
+                                       # 2 band-index broadcasts + this
+                                       # query's own 1-row truth-count scalar
+    "events_heavy_hitters_exact": 2,   # its own 1-row totals scalar + the
                                        # independent 1-row hll-estimate agg
-                                       # (which re-instantiates the sketch
-                                       # subtree, carrying its scalar again)
+                                       # over the eagerly-cut sketch result
+                                       # (the cut stops the sketch subtree —
+                                       # and its scalar — re-instantiating)
     "corpus_curation_decisions": 1,    # composes doc_lm_perplexity's vocab scalar
     "curation_by_source": 1,           # same composed scalar, one level up
     "customer_top_orders_lateral": 1,  # decorrelated lateral may plan a domain join
