@@ -704,6 +704,31 @@ def kmeans_lazy(pts: DataFrame) -> DataFrame:
 SEMDEDUP_TAU = 0.4  # in-cluster cosine above which the higher-id doc drops
 
 
+def kmeans_assign_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cold k-means assignment stage (warehouse stage ``kmeans_assign``):
+    (vec_id, cluster) after the exact-integer Lloyd rounds — the cluster
+    partitioning the semantic-dedup family prunes with. At 100 TB the
+    assignment is computed once at ingest and the corpus is written
+    partitioned by cluster id; every SemDeDup-style query then runs
+    partition-local, never re-iterating Lloyd."""
+    pts = kmeans_points(load_table(spark, sf_dir, "embeddings")).cache()
+    try:
+        return kmeans_assign_lazy(pts).select("vec_id", "cluster")
+    finally:
+        pts.unpersist()
+
+
+def _kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cluster): the ``kmeans_assign`` checkpoint when warm, the
+    Lloyd derivation (eagerly cut — K-row-bounded rounds) otherwise."""
+    from ..pipeline.corpus import _warm_path
+
+    p = _warm_path(sf_dir, "kmeans_assign", spark)
+    if p:
+        return spark.read.parquet(p)
+    return kmeans_assign_build(spark, sf_dir).localCheckpoint(eager=True)
+
+
 @query(
     "semantic_dedup",
     oracle=f"""
@@ -768,15 +793,7 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-local). The assignment is the K-row-bounded iterative
     plan cached once and eagerly cut, so the self-join reads a
     |corpus|-row checkpoint, not two replays of the Lloyd rounds."""
-    pts = kmeans_points(load_table(spark, sf_dir, "embeddings")).cache()
-    try:
-        asg = (
-            kmeans_assign_lazy(pts)
-            .select("vec_id", "cluster")
-            .localCheckpoint(eager=True)
-        )
-    finally:
-        pts.unpersist()
+    asg = _kmeans_assign(spark, sf_dir)
     e = _coded(spark, sf_dir).select("vec_id", "v", "nrm")
     a = asg.join(e, "vec_id").select(
         "cluster",

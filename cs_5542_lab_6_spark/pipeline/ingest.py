@@ -39,6 +39,7 @@ from ..operators.ranking import bm25_doclen_build, bm25_postings_build
 from ..operators.retrieval import trigram_postings_build
 from ..operators.similarity import (
     ivf_centroids_build,
+    kmeans_assign_build,
     lsh_codes_build,
     pq_codes_build,
 )
@@ -76,6 +77,7 @@ STAGES: tuple[tuple[str, Callable[[SparkSession, str], DataFrame], tuple[str, ..
     ("ivf_centroids", ivf_centroids_build, ()),
     ("lsh_codes", lsh_codes_build, ()),
     ("pq_codes", pq_codes_build, ()),
+    ("kmeans_assign", kmeans_assign_build, ()),
     ("bm25_postings", bm25_postings_build, ()),
     ("bm25_doclen", bm25_doclen_build, ()),
     ("trigram_postings", trigram_postings_build, ()),

@@ -39,11 +39,11 @@ _REGISTRY: dict[str, Q] = {}
 # verification budget. The window ROTATES across rounds (VERDICT r4
 # item 4; r5 item 1; r6 item 1; r7 item 4): after round 7 every
 # registered query has a green driver row in some round's CORRECTNESS
-# file, so round 8's contract shifts from debt-closing to FRESHNESS —
-# lead with the queries REGISTERED this round (first driver check the
-# same round they land, the r7 discipline), then re-window the
-# least-recently driver-checked queries (the r1- and r4-vintage rows,
-# now 4-7 rounds stale) plus the permanent regression-guard core.
+# file, so the contract from round 8 on is FRESHNESS — lead with the
+# queries REGISTERED or SEMANTICALLY CHANGED this round (first driver
+# check the same round they land), then the previous round's cohort,
+# then the least-recently driver-checked vintage rows, always ending
+# with the permanent regression-guard core.
 # Rotated-out queries stay verified every session by
 # tests/test_oracle_parity.py (rows+schema+exact-value over all
 # registered oracles) and at sf0.1 by tests/test_scale_canary.py.

@@ -46,6 +46,7 @@ def test_build_checkpoint_resume_verify(spark, sf_dir, tmp_path):
         "ivf_centroids",
         "lsh_codes",
         "pq_codes",
+        "kmeans_assign",
         "bm25_postings",
         "bm25_doclen",
         "trigram_postings",
@@ -117,6 +118,8 @@ def test_warm_warehouse_queries_equal_cold(spark, sf_dir, tmp_path, monkeypatch)
         "ann_lsh_multiprobe_topk",
         # PQ family: ADC served from the materialized pq_codes stage
         "ann_pq_adc_topk",
+        # SemDeDup family: cluster assignment from the kmeans_assign stage
+        "semantic_dedup",
         "ann_recall_eval",
         "contrastive_pair_mining",
         "bm25_doc_topk",
@@ -150,6 +153,7 @@ def test_warm_warehouse_queries_equal_cold(spark, sf_dir, tmp_path, monkeypatch)
         assert C._warm_path(sf_dir, "ivf_centroids") is not None
         assert C._warm_path(sf_dir, "lsh_codes") is not None
         assert C._warm_path(sf_dir, "pq_codes") is not None
+        assert C._warm_path(sf_dir, "kmeans_assign") is not None
         warm = {
             n: sorted(map(tuple, qs[n](spark, sf_dir).collect())) for n in names
         }
