@@ -113,6 +113,7 @@ HEADLINE = [
     "orders_scd2_incremental",
     "ann_pq_recall_eval",
     "dedup_method_eval",
+    "events_cms_heavy_hitters",
 ]
 
 

@@ -373,3 +373,149 @@ def events_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch heavy hitters (deterministic sketch, exact-checkable)
+# ---------------------------------------------------------------------------
+
+from ..functions.text import DUCK_TOKEN_HASH, token_hash  # noqa: E402
+
+CMS_D = 3      # hash rows
+CMS_W = 1024   # counters per row
+# envelope: overestimate <= (3/W) * N  (looser than the CMS guarantee's
+# e/W at delta = e^-3, so the boolean is TRUE unless the sketch breaks)
+CMS_EPS_NUM = 3
+
+
+def _cms_pos_duck(key_sql: str, j: int) -> str:
+    h = DUCK_TOKEN_HASH.format(t=f"concat('cms{j}|', CAST({key_sql} AS VARCHAR))")
+    return f"(({h}) % {CMS_W})"
+
+
+@query(
+    "events_cms_heavy_hitters",
+    oracle=f"""
+    WITH counters AS (
+      {" UNION ALL ".join(
+          f"SELECT {j} AS j, {_cms_pos_duck('user_id', j)} AS pos, COUNT(*) AS c "
+          "FROM events GROUP BY 2"
+          for j in range(CMS_D)
+      )}
+    ),
+    exact AS (
+      SELECT user_id, COUNT(*) AS exact_count FROM events GROUP BY user_id
+    ),
+    topk AS (
+      SELECT user_id, exact_count,
+             row_number() OVER (ORDER BY exact_count DESC, user_id) AS rank
+      FROM exact
+      ORDER BY exact_count DESC, user_id LIMIT 10
+    ),
+    probes AS (
+      SELECT t.rank, t.user_id, t.exact_count, co.j, co.c
+      FROM topk t
+      JOIN counters co
+        ON (   {" OR ".join(
+                 f"(co.j = {j} AND co.pos = {_cms_pos_duck('t.user_id', j)})"
+                 for j in range(CMS_D)
+               )} )
+    ),
+    est AS (
+      SELECT rank, user_id, exact_count,
+             CAST(MIN(c) AS BIGINT) AS cms_estimate
+      FROM probes GROUP BY rank, user_id, exact_count
+    ),
+    n AS (SELECT COUNT(*) AS n_events FROM events)
+    SELECT CAST(rank AS INTEGER) AS rank, user_id,
+           CAST(exact_count AS BIGINT) AS exact_count, cms_estimate,
+           (cms_estimate >= exact_count) AS never_underestimates,
+           (cms_estimate - exact_count
+              <= greatest(1, CAST(floor({CMS_EPS_NUM} * n.n_events * 1.0
+                                        / {CMS_W}) AS BIGINT)))
+             AS within_eps_bound
+    FROM est, n
+    ORDER BY rank
+    """,
+)
+def events_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch frequency estimation (Cormode & Muthukrishnan
+    2005) — the third sketch next to the built-in HLL and
+    approx_count families, and unlike them fully DETERMINISTIC: the
+    {CMS_D}x{CMS_W} counter matrix is a pure function of the sha-derived
+    row hashes, so the driver hash-checks the ESTIMATES themselves, not
+    just an envelope. Each of the exact top-10 users is estimated as
+    min over rows of its counter, and the output pins both CMS
+    guarantees as columns the oracle states TRUE: estimates never
+    undercount (every counter includes the key's own occurrences), and
+    the overestimate stays within the ~({CMS_EPS_NUM}/{CMS_W})*N bound.
+
+    Scale shape: the sketch build is one map-side-combined aggregation
+    per hash row over a column projection — at 100 TB the counter
+    matrix is {CMS_D * CMS_W} longs per partition merged by the partial
+    agg (sketch LINEARITY: per-partition counter sums merge by
+    addition, which is exactly Spark's partial+final HashAggregate),
+    and the probe side joins a broadcast of the 3k-row matrix. The
+    exact top-k beside it is the accuracy audit, not the serving
+    path."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    counters = None
+    for j in range(CMS_D):
+        part = ev.groupBy(
+            (
+                token_hash(
+                    F.concat(F.lit(f"cms{j}|"), F.col("user_id").cast("string"))
+                )
+                % CMS_W
+            ).alias("pos")
+        ).agg(F.count("*").alias("c")).select(F.lit(j).alias("j"), "pos", "c")
+        counters = part if counters is None else counters.unionByName(part)
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("exact_count"))
+    head = exact.orderBy(F.desc("exact_count"), F.asc("user_id")).limit(10)
+    topk = head.withColumn(
+        "rank",
+        F.row_number().over(W.orderBy(F.desc("exact_count"), F.asc("user_id"))),
+    )
+    probes = None
+    for j in range(CMS_D):
+        part = topk.select(
+            "rank",
+            "user_id",
+            "exact_count",
+            F.lit(j).alias("j"),
+            (
+                token_hash(
+                    F.concat(F.lit(f"cms{j}|"), F.col("user_id").cast("string"))
+                )
+                % CMS_W
+            ).alias("pos"),
+        )
+        probes = part if probes is None else probes.unionByName(part)
+    est = (
+        probes.join(F.broadcast(counters), ["j", "pos"])
+        .groupBy("rank", "user_id", "exact_count")
+        .agg(F.min("c").cast("bigint").alias("cms_estimate"))
+    )
+    n = ev.agg(F.count("*").alias("n_events"))
+    bound = F.greatest(
+        F.lit(1),
+        F.floor(CMS_EPS_NUM * F.col("n_events") * 1.0 / CMS_W).cast("bigint"),
+    )
+    return (
+        est.crossJoin(F.broadcast(n))
+        .select(
+            F.col("rank").cast("int").alias("rank"),
+            "user_id",
+            F.col("exact_count").cast("bigint").alias("exact_count"),
+            "cms_estimate",
+            (F.col("cms_estimate") >= F.col("exact_count")).alias(
+                "never_underestimates"
+            ),
+            (F.col("cms_estimate") - F.col("exact_count") <= bound).alias(
+                "within_eps_bound"
+            ),
+        )
+        .orderBy("rank")
+    )

@@ -66,6 +66,7 @@ _PRIORITY: tuple[str, ...] = (
     "orders_scd2_incremental",     # delta-apply == full-recompute, oracle-pinned
     "ann_pq_recall_eval",          # PQ recall vs exact-L2 truth
     "dedup_method_eval",           # blocking-family precision/recall vs exact
+    "events_cms_heavy_hitters",    # deterministic Count-Min sketch, hash-exact
     # --- CHANGED in round 9 (must be re-driver-checked):
     "doc_quality_classifier",      # bigram hashes now compose from unigram
                                    # hashes (O(len^2) regex pathology fix)
@@ -100,7 +101,6 @@ _PRIORITY: tuple[str, ...] = (
     "chunks_with_embeddings",
     "dedup_embedding_nn",
     "dedup_simhash",
-    "papers_build",
     "vector_topk_filtered",
     # --- Regression guards that stay in every window
     "chunks_build",            # corpus chunker (pure-Catalyst UDTF twin)
@@ -116,7 +116,7 @@ _PRIORITY: tuple[str, ...] = (
     # returnflag_pivot, revenue_forecast, agent_chunk_context,
     # ann_lsh_topk, doc_fingerprints, corpus_token_frequencies,
     # corpus_chunk_ratio, doc_language_id, user_event_gaps,
-    # part_catalog_slugs, corpus_verify, doc_token_stats.
+    # part_catalog_slugs, corpus_verify, doc_token_stats, papers_build.
 )
 
 

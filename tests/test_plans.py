@@ -305,6 +305,8 @@ _BNLJ_ALLOWED = {
                                        # scalars cross-joined onto the report
     "ann_pq_recall_eval": 1,           # 3-row query-set broadcast for the
                                        # exact-L2 truth scoring scan
+    "events_cms_heavy_hitters": 1,     # 1-row stream-size scalar for the
+                                       # eps bound
     "dedup_method_eval": 3,            # composed dedup_simhash carries its
                                        # 2 band-index broadcasts + this
                                        # query's own 1-row truth-count scalar

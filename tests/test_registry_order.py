@@ -35,6 +35,7 @@ REFERENCE_PARITY = [
     "orders_scd2_incremental",
     "ann_pq_recall_eval",
     "dedup_method_eval",
+    "events_cms_heavy_hitters",
     # changed in round 9 — semantics or advice fixes; re-driver-check
     "doc_quality_classifier",   # compositional bigram hashing
     "doc_repetition_stats",     # token-array materialization
