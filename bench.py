@@ -114,6 +114,7 @@ HEADLINE = [
     "ann_pq_recall_eval",
     "dedup_method_eval",
     "events_cms_heavy_hitters",
+    "events_ams_f2_sketch",
 ]
 
 

@@ -519,3 +519,105 @@ def events_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# AMS / count-sketch second moment (F2) — deterministic, exact-checkable
+# ---------------------------------------------------------------------------
+
+AMS_D = 3     # independent estimator rows (median taken across them)
+AMS_W = 256   # counters per row (variance 2*F2^2 / W)
+
+
+def _ams_sign_duck(key_sql: str, j: int) -> str:
+    h = DUCK_TOKEN_HASH.format(t=f"concat('amss{j}|', CAST({key_sql} AS VARCHAR))")
+    return f"(1 - 2 * (({h}) % 2))"
+
+
+def _ams_pos_duck(key_sql: str, j: int) -> str:
+    h = DUCK_TOKEN_HASH.format(t=f"concat('amsp{j}|', CAST({key_sql} AS VARCHAR))")
+    return f"(({h}) % {AMS_W})"
+
+
+@query(
+    "events_ams_f2_sketch",
+    oracle=f"""
+    WITH buckets AS (
+      {" UNION ALL ".join(
+          f"SELECT {j} AS j, {_ams_pos_duck('user_id', j)} AS pos, "
+          f"CAST(SUM({_ams_sign_duck('user_id', j)}) AS BIGINT) AS z "
+          "FROM events GROUP BY 2"
+          for j in range(AMS_D)
+      )}
+    ),
+    rows_ AS (
+      SELECT j, CAST(SUM(z * z) AS BIGINT) AS est FROM buckets GROUP BY j
+    ),
+    med AS (
+      SELECT CAST(SUM(est) - MAX(est) - MIN(est) AS BIGINT) AS ams_f2
+      FROM rows_
+    ),
+    exact AS (
+      SELECT CAST(SUM(c * c) AS BIGINT) AS exact_f2 FROM (
+        SELECT COUNT(*) AS c FROM events GROUP BY user_id
+      )
+    )
+    SELECT exact_f2, ams_f2,
+           round(CAST(ams_f2 AS DOUBLE) / exact_f2, 4) AS est_ratio,
+           (ams_f2 * 2 >= exact_f2 AND ams_f2 <= 2 * exact_f2)
+             AS within_2x_bound
+    FROM exact, med
+    """,
+)
+def events_ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS second-moment (F2) estimation via the count-sketch estimator
+    (Alon, Matias & Szegedy 1996; Charikar et al. 2002) — completing
+    the sketch triad: CMS for frequencies, HLL for cardinality, AMS for
+    moments. F2 = sum of squared key frequencies is the self-join size
+    / repeat-rate statistic a 100 TB planner wants without a
+    per-key aggregation: each of {AMS_D} rows hashes keys into {AMS_W}
+    signed counters (sign and bucket from the shared sha scheme), the
+    row estimate is the sum of squared counters (unbiased, relative
+    std ~ sqrt(2/{AMS_W}) ≈ 9%), and the reported estimate is the
+    median across rows. Signs and buckets are deterministic, so the
+    ESTIMATE ITSELF is hash-checked against the oracle — the 2x
+    envelope boolean is belt-and-braces, not the only check.
+
+    Scale shape: one map-side-combined aggregation over a projection —
+    {AMS_D * AMS_W} signed longs per partition, merged by addition
+    (sketch linearity = Spark's partial+final agg); the exact F2 beside
+    it is the audit, affordable only at bounded key cardinality."""
+    ev = load_table(spark, sf_dir, "events")
+    buckets = None
+    for j in range(AMS_D):
+        u = F.col("user_id").cast("string")
+        sign = 1 - 2 * (token_hash(F.concat(F.lit(f"amss{j}|"), u)) % 2)
+        pos = token_hash(F.concat(F.lit(f"amsp{j}|"), u)) % AMS_W
+        part = (
+            ev.groupBy(pos.alias("pos"))
+            .agg(F.sum(sign).cast("bigint").alias("z"))
+            .select(F.lit(j).alias("j"), "pos", "z")
+        )
+        buckets = part if buckets is None else buckets.unionByName(part)
+    rows = buckets.groupBy("j").agg(
+        F.sum(F.col("z") * F.col("z")).cast("bigint").alias("est")
+    )
+    med = rows.agg(
+        (F.sum("est") - F.max("est") - F.min("est")).cast("bigint").alias("ams_f2")
+    )
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).cast("bigint").alias("exact_f2"))
+    )
+    return exact.crossJoin(F.broadcast(med)).select(
+        "exact_f2",
+        "ams_f2",
+        F.round(F.col("ams_f2").cast("double") / F.col("exact_f2"), 4).alias(
+            "est_ratio"
+        ),
+        (
+            (F.col("ams_f2") * 2 >= F.col("exact_f2"))
+            & (F.col("ams_f2") <= 2 * F.col("exact_f2"))
+        ).alias("within_2x_bound"),
+    )

@@ -67,6 +67,7 @@ _PRIORITY: tuple[str, ...] = (
     "ann_pq_recall_eval",          # PQ recall vs exact-L2 truth
     "dedup_method_eval",           # blocking-family precision/recall vs exact
     "events_cms_heavy_hitters",    # deterministic Count-Min sketch, hash-exact
+    "events_ams_f2_sketch",        # AMS/count-sketch F2, hash-exact estimate
     # --- CHANGED in round 9 (must be re-driver-checked):
     "doc_quality_classifier",      # bigram hashes now compose from unigram
                                    # hashes (O(len^2) regex pathology fix)
@@ -101,7 +102,6 @@ _PRIORITY: tuple[str, ...] = (
     "chunks_with_embeddings",
     "dedup_embedding_nn",
     "dedup_simhash",
-    "vector_topk_filtered",
     # --- Regression guards that stay in every window
     "chunks_build",            # corpus chunker (pure-Catalyst UDTF twin)
     "kg_edges_build",          # co-occurrence one-shuffle expansion
@@ -116,7 +116,8 @@ _PRIORITY: tuple[str, ...] = (
     # returnflag_pivot, revenue_forecast, agent_chunk_context,
     # ann_lsh_topk, doc_fingerprints, corpus_token_frequencies,
     # corpus_chunk_ratio, doc_language_id, user_event_gaps,
-    # part_catalog_slugs, corpus_verify, doc_token_stats, papers_build.
+    # part_catalog_slugs, corpus_verify, doc_token_stats, papers_build,
+    # vector_topk_filtered.
 )
 
 

@@ -307,6 +307,7 @@ _BNLJ_ALLOWED = {
                                        # exact-L2 truth scoring scan
     "events_cms_heavy_hitters": 1,     # 1-row stream-size scalar for the
                                        # eps bound
+    "events_ams_f2_sketch": 1,         # 1-row median-estimate scalar
     "dedup_method_eval": 3,            # composed dedup_simhash carries its
                                        # 2 band-index broadcasts + this
                                        # query's own 1-row truth-count scalar

@@ -36,6 +36,7 @@ REFERENCE_PARITY = [
     "ann_pq_recall_eval",
     "dedup_method_eval",
     "events_cms_heavy_hitters",
+    "events_ams_f2_sketch",
     # changed in round 9 — semantics or advice fixes; re-driver-check
     "doc_quality_classifier",   # compositional bigram hashing
     "doc_repetition_stats",     # token-array materialization
