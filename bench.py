@@ -115,6 +115,7 @@ HEADLINE = [
     "dedup_method_eval",
     "events_cms_heavy_hitters",
     "events_ams_f2_sketch",
+    "events_quality_expectations",
 ]
 
 

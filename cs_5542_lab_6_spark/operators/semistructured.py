@@ -220,3 +220,107 @@ def events_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Data-quality expectations report (DLT/Great-Expectations shape)
+# ---------------------------------------------------------------------------
+
+# (rule, action, gate) — structural violations would DROP rows at ingest,
+# range drifts WARN; a rule passes its gate while fail_rate <= gate.
+EXPECTATION_GATE = 0.25
+
+
+@query(
+    "events_quality_expectations",
+    oracle=f"""
+    WITH agg AS (
+      SELECT COUNT(*) AS n_rows,
+             SUM(CASE WHEN ts IS NOT NULL THEN 1 ELSE 0 END) AS p1,
+             SUM(CASE WHEN event_type IN
+                   ('click','view','purchase','signup','error')
+                 THEN 1 ELSE 0 END) AS p2,
+             SUM(CASE WHEN json_extract(props, '$.k') IS NOT NULL
+                 THEN 1 ELSE 0 END) AS p3,
+             SUM(CASE WHEN value >= 0 AND value <= 200 THEN 1 ELSE 0 END) AS p4,
+             SUM(CASE WHEN CAST(json_extract(props, '$.k') AS INTEGER) < 80
+                 THEN 1 ELSE 0 END) AS p5
+      FROM events
+    ),
+    rules(rule_no, rule, action, n_pass) AS (
+      SELECT 1, 'ts_not_null',        'drop', p1 FROM agg
+      UNION ALL SELECT 2, 'known_event_type', 'drop', p2 FROM agg
+      UNION ALL SELECT 3, 'props_has_k',      'drop', p3 FROM agg
+      UNION ALL SELECT 4, 'value_in_range',   'warn', p4 FROM agg
+      UNION ALL SELECT 5, 'props_k_lt_80',    'warn', p5 FROM agg
+    )
+    SELECT CAST(rule_no AS INTEGER) AS rule_no, rule, action,
+           (SELECT CAST(n_rows AS BIGINT) FROM agg) AS n_rows,
+           CAST(n_pass AS BIGINT) AS n_pass,
+           CAST((SELECT n_rows FROM agg) - n_pass AS BIGINT) AS n_fail,
+           -- 6 decimals: fixture row counts are powers of 10, so the
+           -- division is exact at <= 5 decimals and the round can never
+           -- hit a cross-engine half-tie (4 decimals did, at 0.19845)
+           round(CAST((SELECT n_rows FROM agg) - n_pass AS DOUBLE)
+                 / (SELECT n_rows FROM agg), 6) AS fail_rate,
+           (((SELECT n_rows FROM agg) - n_pass) * 1.0
+              <= {EXPECTATION_GATE} * (SELECT n_rows FROM agg)) AS gate_ok
+    FROM rules
+    ORDER BY rule_no
+    """,
+)
+def events_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations report (the Delta Live Tables /
+    Great Expectations contract shape): five declared rules — three
+    structural DROP rules (non-null event time, closed event-type
+    vocabulary, required props key) and two WARN-level range drifts
+    (value ceiling, props.k ceiling) — each reporting pass/fail counts,
+    the fail rate, and whether it clears its {EXPECTATION_GATE:.0%}
+    gate. This is the admission control a training-data pipeline runs
+    on every ingest batch before rows reach the corpus.
+
+    Scale shape: ALL rules evaluate in ONE scan as conditional sums
+    inside a single map-side-combined aggregate (never one pass per
+    rule); the per-rule rows are a 5-row stack of that 1-row aggregate.
+    At 100 TB the report costs exactly one projection-pruned pass."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    rules = [
+        ("ts_not_null", "drop", F.col("ts").isNotNull()),
+        (
+            "known_event_type",
+            "drop",
+            F.col("event_type").isin("click", "view", "purchase", "signup", "error"),
+        ),
+        ("props_has_k", "drop", k.isNotNull()),
+        ("value_in_range", "warn", (F.col("value") >= 0) & (F.col("value") <= 200)),
+        ("props_k_lt_80", "warn", k.cast("int") < 80),
+    ]
+    agg = ev.agg(
+        F.count("*").alias("n_rows"),
+        *[
+            F.sum(cond.cast("long")).alias(f"p{i}")
+            for i, (_, _, cond) in enumerate(rules, start=1)
+        ],
+    )
+    stack = ", ".join(
+        f"{i}, '{name}', '{action}', p{i}"
+        for i, (name, action, _) in enumerate(rules, start=1)
+    )
+    rows = agg.select(
+        "n_rows",
+        F.expr(
+            f"stack({len(rules)}, {stack}) AS (rule_no, rule, action, n_pass)"
+        ),
+    )
+    fail = F.col("n_rows") - F.col("n_pass")
+    return rows.select(
+        F.col("rule_no").cast("int").alias("rule_no"),
+        "rule",
+        "action",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("n_pass").cast("bigint").alias("n_pass"),
+        fail.cast("bigint").alias("n_fail"),
+        F.round(fail.cast("double") / F.col("n_rows"), 6).alias("fail_rate"),
+        (fail * 1.0 <= EXPECTATION_GATE * F.col("n_rows")).alias("gate_ok"),
+    ).orderBy("rule_no")

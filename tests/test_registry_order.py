@@ -37,6 +37,7 @@ REFERENCE_PARITY = [
     "dedup_method_eval",
     "events_cms_heavy_hitters",
     "events_ams_f2_sketch",
+    "events_quality_expectations",
     # changed in round 9 — semantics or advice fixes; re-driver-check
     "doc_quality_classifier",   # compositional bigram hashing
     "doc_repetition_stats",     # token-array materialization
