@@ -116,6 +116,8 @@ HEADLINE = [
     "events_cms_heavy_hitters",
     "events_ams_f2_sketch",
     "events_quality_expectations",
+    "table_fk_integrity",
+    "orders_benford_audit",
 ]
 
 

@@ -229,3 +229,200 @@ def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "split")
     )
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit (FK orphan scan over every fixture edge)
+# ---------------------------------------------------------------------------
+
+# (child, fk, parent, pk) — the fixture's FK graph, the same dependency
+# order the warehouse loader enforces (pipeline/ingest.py FK-order load).
+_FK_EDGES = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+@query(
+    "table_fk_integrity",
+    oracle="""
+    {}
+    """.format(
+        "\nUNION ALL\n".join(
+            f"SELECT '{c}.{fk} -> {p}.{pk}' AS fk_edge, "
+            f"(SELECT CAST(COUNT(*) AS BIGINT) FROM {c}) AS n_child_rows, "
+            f"CAST((SELECT COUNT(*) FROM {c} ch WHERE ch.{fk} IS NOT NULL "
+            f"AND NOT EXISTS (SELECT 1 FROM {p} pa WHERE pa.{pk} = ch.{fk})) "
+            f"AS BIGINT) AS n_orphans, "
+            f"(SELECT COUNT(*) FROM {c} ch WHERE ch.{fk} IS NOT NULL "
+            f"AND NOT EXISTS (SELECT 1 FROM {p} pa WHERE pa.{pk} = ch.{fk})) = 0 "
+            f"AS integrity_ok"
+            for c, fk, p, pk in _FK_EDGES
+        )
+        + "\nORDER BY fk_edge"
+    ),
+)
+def table_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over the full FK graph: every child
+    table is anti-joined against its parent's key set and orphans are
+    counted per edge — the check a warehouse runs after each load
+    (the loader itself only ENFORCES order, pipeline/ingest.py:89; this
+    VERIFIES the result; the reference trusts its feed,
+    data/ingestion.py:101-110). All six edges green means every join in
+    the engine is loss-free on the fixture.
+
+    Scale shape: each edge is one LEFT ANTI join — parent key sets here
+    broadcast; at 100 TB the orders edge degrades to a shuffle
+    anti-join and the rest stay broadcast. No edge ever materializes
+    matched rows, only the orphan count survives the join."""
+    rows = None
+    for child, fk, parent, pk in _FK_EDGES:
+        ch = load_table(spark, sf_dir, child).select(F.col(fk).alias("k"))
+        pa = load_table(spark, sf_dir, parent).select(F.col(pk).alias("k"))
+        orphans = (
+            ch.filter(F.col("k").isNotNull())
+            .join(pa, "k", "left_anti")
+            .agg(F.count("*").alias("n_orphans"))
+        )
+        edge = (
+            ch.agg(F.count("*").cast("bigint").alias("n_child_rows"))
+            .crossJoin(F.broadcast(orphans))
+            .select(
+                F.lit(f"{child}.{fk} -> {parent}.{pk}").alias("fk_edge"),
+                "n_child_rows",
+                F.col("n_orphans").cast("bigint").alias("n_orphans"),
+                (F.col("n_orphans") == 0).alias("integrity_ok"),
+            )
+        )
+        rows = edge if rows is None else rows.unionByName(edge)
+    return rows.orderBy("fk_edge")
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit (fraud/synthetic-data detection)
+# ---------------------------------------------------------------------------
+
+# log10(1 + 1/d) to 6 decimals, computed OFFLINE (no engine libm) and
+# embedded as identical literals in both engines.
+_BENFORD = {
+    1: "0.301030", 2: "0.176091", 3: "0.124939", 4: "0.096910",
+    5: "0.079181", 6: "0.066947", 7: "0.057992", 8: "0.051153",
+    9: "0.045757",
+}
+# Nigrini mean-absolute-deviation conformity bands for first digits
+_MAD_BANDS = ((0.006, "close"), (0.012, "acceptable"), (0.015, "marginal"))
+
+
+@query(
+    "orders_benford_audit",
+    oracle=f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS INTEGER) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    n AS (SELECT COUNT(*) AS total FROM digits),
+    expected(digit, benford_freq) AS (VALUES
+      {", ".join(f"({d}, CAST({p} AS DECIMAL(10,6)))" for d, p in _BENFORD.items())}
+    ),
+    observed AS (
+      SELECT e.digit, e.benford_freq,
+             CAST(COALESCE(o.c, 0) AS BIGINT) AS n_orders,
+             CAST(round(COALESCE(o.c, 0) * 1.0 / n.total, 6)
+                  AS DECIMAL(10,6)) AS observed_freq
+      FROM expected e
+      LEFT JOIN (SELECT digit, COUNT(*) AS c FROM digits GROUP BY digit) o
+        ON o.digit = e.digit
+      CROSS JOIN n
+    ),
+    mad AS (
+      SELECT CAST(round(SUM(abs(observed_freq - benford_freq)) / 9.0, 6)
+                  AS DECIMAL(10,6)) AS mad
+      FROM observed
+    )
+    SELECT o.digit, o.n_orders,
+           CAST(o.observed_freq AS DOUBLE) AS observed_freq,
+           CAST(o.benford_freq AS DOUBLE) AS benford_freq,
+           CAST(abs(o.observed_freq - o.benford_freq) AS DOUBLE) AS abs_dev,
+           CAST(m.mad AS DOUBLE) AS mad,
+           CASE
+             WHEN m.mad < {_MAD_BANDS[0][0]} THEN '{_MAD_BANDS[0][1]}'
+             WHEN m.mad < {_MAD_BANDS[1][0]} THEN '{_MAD_BANDS[1][1]}'
+             WHEN m.mad < {_MAD_BANDS[2][0]} THEN '{_MAD_BANDS[2][1]}'
+             ELSE 'nonconformity'
+           END AS conformity
+    FROM observed o CROSS JOIN mad m
+    ORDER BY o.digit
+    """,
+)
+def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals (Nigrini's fraud /
+    fabricated-data screen): observed first-digit frequencies against
+    the log10(1+1/d) law, per-digit deviations, and the mean absolute
+    deviation graded on Nigrini's conformity bands. TPC-H-style
+    synthetic prices are near-uniform in their leading digit, so the
+    audit correctly reports NONCONFORMITY — the point of the operator
+    is that the verdict is computed, not assumed. Frequencies round to
+    6 decimals and deviate through DECIMAL(10,6) arithmetic (exact,
+    order-independent); the Benford expectations are offline-computed
+    literals, so no engine libm is involved anywhere.
+
+    Scale shape: one digit projection + a 9-group aggregation; the
+    9-row expectation table and the 1-row MAD broadcast everywhere."""
+    orders = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    digits = orders.filter(F.col("o_totalprice") >= 1).select(digit.alias("digit"))
+    n = digits.agg(F.count("*").alias("total"))
+    counts = digits.groupBy("digit").agg(F.count("*").alias("c"))
+    expected = spark.createDataFrame(
+        [(d, p) for d, p in _BENFORD.items()],
+        schema="digit int, benford_freq string",
+    ).select("digit", F.col("benford_freq").cast("decimal(10,6)").alias("benford_freq"))
+    observed = (
+        expected.join(counts, "digit", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "digit",
+            "benford_freq",
+            F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("n_orders"),
+            F.round(
+                F.coalesce(F.col("c"), F.lit(0)) * 1.0 / F.col("total"), 6
+            )
+            .cast("decimal(10,6)")
+            .alias("observed_freq"),
+        )
+    )
+    mad = observed.agg(
+        F.round(
+            F.sum(F.abs(F.col("observed_freq") - F.col("benford_freq"))) / 9.0, 6
+        )
+        .cast("decimal(10,6)")
+        .alias("mad")
+    )
+    verdict = (
+        F.when(F.col("mad") < _MAD_BANDS[0][0], F.lit(_MAD_BANDS[0][1]))
+        .when(F.col("mad") < _MAD_BANDS[1][0], F.lit(_MAD_BANDS[1][1]))
+        .when(F.col("mad") < _MAD_BANDS[2][0], F.lit(_MAD_BANDS[2][1]))
+        .otherwise(F.lit("nonconformity"))
+    )
+    return (
+        observed.crossJoin(F.broadcast(mad))
+        .select(
+            "digit",
+            "n_orders",
+            F.col("observed_freq").cast("double").alias("observed_freq"),
+            F.col("benford_freq").cast("double").alias("benford_freq"),
+            F.abs(F.col("observed_freq") - F.col("benford_freq"))
+            .cast("double")
+            .alias("abs_dev"),
+            F.col("mad").cast("double").alias("mad"),
+            verdict.alias("conformity"),
+        )
+        .orderBy("digit")
+    )

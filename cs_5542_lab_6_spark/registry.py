@@ -69,6 +69,8 @@ _PRIORITY: tuple[str, ...] = (
     "events_cms_heavy_hitters",    # deterministic Count-Min sketch, hash-exact
     "events_ams_f2_sketch",        # AMS/count-sketch F2, hash-exact estimate
     "events_quality_expectations", # DLT-style single-scan expectations report
+    "table_fk_integrity",          # orphan scan over the full FK graph
+    "orders_benford_audit",        # first-digit conformity (computed verdict)
     # --- CHANGED in round 9 (must be re-driver-checked):
     "doc_quality_classifier",      # bigram hashes now compose from unigram
                                    # hashes (O(len^2) regex pathology fix)
@@ -100,8 +102,6 @@ _PRIORITY: tuple[str, ...] = (
     "top_orders_by_revenue",
     "topk_expensive_orders",
     "chunks_view",
-    "dedup_embedding_nn",
-    "dedup_simhash",
     # --- Regression guards that stay in every window
     "chunks_build",            # corpus chunker (pure-Catalyst UDTF twin)
     "kg_edges_build",          # co-occurrence one-shuffle expansion
@@ -117,7 +117,9 @@ _PRIORITY: tuple[str, ...] = (
     # ann_lsh_topk, doc_fingerprints, corpus_token_frequencies,
     # corpus_chunk_ratio, doc_language_id, user_event_gaps,
     # part_catalog_slugs, corpus_verify, doc_token_stats, papers_build,
-    # vector_topk_filtered, chunks_with_embeddings.
+    # vector_topk_filtered, chunks_with_embeddings, dedup_embedding_nn,
+    # dedup_simhash (both driver-exercised via dedup_method_eval's
+    # composition this window).
 )
 
 

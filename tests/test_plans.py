@@ -308,6 +308,12 @@ _BNLJ_ALLOWED = {
     "events_cms_heavy_hitters": 1,     # 1-row stream-size scalar for the
                                        # eps bound
     "events_ams_f2_sketch": 1,         # 1-row median-estimate scalar
+    "table_fk_integrity": 6,           # per FK edge, the 1-row orphan-count
+                                       # scalar crossed onto the 1-row
+                                       # child-count aggregate
+    "orders_benford_audit": 3,         # 1-row total scalar (seen by both the
+                                       # observed CTE and the MAD agg) + the
+                                       # 1-row MAD broadcast
     "dedup_method_eval": 3,            # composed dedup_simhash carries its
                                        # 2 band-index broadcasts + this
                                        # query's own 1-row truth-count scalar

@@ -38,6 +38,8 @@ REFERENCE_PARITY = [
     "events_cms_heavy_hitters",
     "events_ams_f2_sketch",
     "events_quality_expectations",
+    "table_fk_integrity",
+    "orders_benford_audit",
     # changed in round 9 — semantics or advice fixes; re-driver-check
     "doc_quality_classifier",   # compositional bigram hashing
     "doc_repetition_stats",     # token-array materialization
