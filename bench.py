@@ -118,6 +118,7 @@ HEADLINE = [
     "events_quality_expectations",
     "table_fk_integrity",
     "orders_benford_audit",
+    "events_kmv_distinct",
 ]
 
 

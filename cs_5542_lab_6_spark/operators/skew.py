@@ -621,3 +621,173 @@ def events_ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("ams_f2") <= 2 * F.col("exact_f2"))
         ).alias("within_2x_bound"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch — deterministic, mergeable
+# ---------------------------------------------------------------------------
+
+KMV_K = 64
+_KMV_MAX = float(1 << 60)  # token_hash60 range
+
+
+def _kmv_hash_duck(key_sql: str) -> str:
+    from ..functions.text import DUCK_TOKEN_HASH60
+
+    return DUCK_TOKEN_HASH60.format(
+        t=f"concat('kmv|', CAST({key_sql} AS VARCHAR))"
+    )
+
+
+@query(
+    "events_kmv_distinct",
+    oracle=f"""
+    WITH uh AS (
+      SELECT DISTINCT event_type, user_id,
+             {_kmv_hash_duck('user_id')} AS h
+      FROM events
+    ),
+    per_type AS (
+      SELECT event_type AS scope, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM uh
+    ),
+    global_ AS (
+      SELECT 'all' AS scope, h,
+             row_number() OVER (ORDER BY h) AS rn
+      FROM (SELECT DISTINCT user_id, h FROM uh)
+    ),
+    merged AS (
+      SELECT 'union_merge' AS scope, h,
+             row_number() OVER (ORDER BY h) AS rn
+      FROM (SELECT DISTINCT h FROM per_type WHERE rn <= {KMV_K})
+    ),
+    sketches AS (
+      SELECT scope, MAX(h) AS kth, COUNT(*) AS k_used FROM (
+        SELECT * FROM per_type WHERE rn <= {KMV_K}
+        UNION ALL SELECT * FROM global_ WHERE rn <= {KMV_K}
+        UNION ALL SELECT * FROM merged WHERE rn <= {KMV_K}
+      ) GROUP BY scope
+    ),
+    exact AS (
+      SELECT event_type AS scope, COUNT(DISTINCT user_id) AS exact_distinct
+      FROM events GROUP BY event_type
+      UNION ALL
+      SELECT 'all', COUNT(DISTINCT user_id) FROM events
+      UNION ALL
+      SELECT 'union_merge', COUNT(DISTINCT user_id) FROM events
+    )
+    SELECT s.scope, CAST(e.exact_distinct AS BIGINT) AS exact_distinct,
+           CAST(s.k_used AS INTEGER) AS k_used,
+           CAST(s.kth AS BIGINT) AS kth_hash,
+           round(CASE WHEN s.k_used < {KMV_K} THEN s.k_used * 1.0
+                      ELSE (s.k_used - 1) * ({_KMV_MAX} / s.kth) END, 4)
+             AS kmv_estimate,
+           (abs(CASE WHEN s.k_used < {KMV_K} THEN s.k_used * 1.0
+                     ELSE (s.k_used - 1) * ({_KMV_MAX} / s.kth) END
+                - e.exact_distinct) <= 0.5 * e.exact_distinct) AS err_ok
+    FROM sketches s JOIN exact e ON e.scope = s.scope
+    ORDER BY s.scope
+    """,
+)
+def events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) distinct-count sketch
+    (Bar-Yossef et al. 2002) — the deterministic, hash-checkable
+    cardinality sketch next to the built-in (opaque) HLL: keep the
+    {KMV_K} smallest 60-bit key hashes; estimate = (k-1) * range/kth.
+    One scope row per event_type, one for the full stream, and one
+    ``union_merge`` row built by MERGING the per-type sketches — KMV's
+    lossless mergeability (the union's bottom-k is contained in the
+    union of per-partition bottom-k's) makes the merged row's kth hash
+    and estimate EXACTLY equal the direct 'all' row, and the driver
+    hash-check pins that equality. Sets with fewer than k distinct keys
+    fall back to the exact count (k_used), the standard KMV small-set
+    rule.
+
+    Scale shape: per-scope bottom-k is a rank-window over the DISTINCT
+    (type, user-hash) relation — WindowGroupLimit keeps k rows per
+    partition before the sort; the sketches themselves are {KMV_K}
+    longs per scope, the mergeable artifact a 100 TB pipeline ships to
+    the coordinator instead of re-scanning for every COUNT(DISTINCT)."""
+    from pyspark.sql import Window as W
+
+    from ..functions.text import token_hash60
+
+    ev = load_table(spark, sf_dir, "events")
+    uh = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .withColumn(
+            "h",
+            token_hash60(
+                F.concat(F.lit("kmv|"), F.col("user_id").cast("string"))
+            ),
+        )
+    )
+    per_type = uh.select(
+        F.col("event_type").alias("scope"),
+        "h",
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy("h"))
+        .alias("rn"),
+    )
+    global_ = (
+        uh.select("user_id", "h")
+        .distinct()
+        .select(
+            F.lit("all").alias("scope"),
+            "h",
+            F.row_number().over(W.orderBy("h")).alias("rn"),
+        )
+    )
+    merged = (
+        per_type.filter(F.col("rn") <= KMV_K)
+        .select("h")
+        .distinct()
+        .select(
+            F.lit("union_merge").alias("scope"),
+            "h",
+            F.row_number().over(W.orderBy("h")).alias("rn"),
+        )
+    )
+    sketches = (
+        per_type.filter(F.col("rn") <= KMV_K)
+        .unionByName(global_.filter(F.col("rn") <= KMV_K))
+        .unionByName(merged.filter(F.col("rn") <= KMV_K))
+        .groupBy("scope")
+        .agg(F.max("h").alias("kth"), F.count("*").alias("k_used"))
+    )
+    exact = (
+        ev.groupBy(F.col("event_type").alias("scope"))
+        .agg(F.count_distinct("user_id").alias("exact_distinct"))
+        .unionByName(
+            ev.agg(
+                F.lit("all").alias("scope"),
+                F.count_distinct("user_id").alias("exact_distinct"),
+            )
+        )
+        .unionByName(
+            ev.agg(
+                F.lit("union_merge").alias("scope"),
+                F.count_distinct("user_id").alias("exact_distinct"),
+            )
+        )
+    )
+    est = F.when(
+        F.col("k_used") < KMV_K, F.col("k_used") * 1.0
+    ).otherwise((F.col("k_used") - 1) * (F.lit(_KMV_MAX) / F.col("kth")))
+    return (
+        sketches.join(exact, "scope")
+        .select(
+            "scope",
+            F.col("exact_distinct").cast("bigint").alias("exact_distinct"),
+            F.col("k_used").cast("int").alias("k_used"),
+            F.col("kth").cast("bigint").alias("kth_hash"),
+            F.round(est, 4).alias("kmv_estimate"),
+            (
+                F.abs(est - F.col("exact_distinct"))
+                <= 0.5 * F.col("exact_distinct")
+            ).alias("err_ok"),
+        )
+        .orderBy("scope")
+    )

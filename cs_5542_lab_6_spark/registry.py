@@ -71,6 +71,7 @@ _PRIORITY: tuple[str, ...] = (
     "events_quality_expectations", # DLT-style single-scan expectations report
     "table_fk_integrity",          # orphan scan over the full FK graph
     "orders_benford_audit",        # first-digit conformity (computed verdict)
+    "events_kmv_distinct",         # bottom-k cardinality sketch, merge-pinned
     # --- CHANGED in round 9 (must be re-driver-checked):
     "doc_quality_classifier",      # bigram hashes now compose from unigram
                                    # hashes (O(len^2) regex pathology fix)
@@ -93,7 +94,6 @@ _PRIORITY: tuple[str, ...] = (
     # --- driver-check the inverted-index consumer of _doc_shingles
     "dedup_ngram_jaccard",
     # --- r1/r4-vintage rows kept this window
-    "order_status_priority_cube",
     "pricing_summary",
     "regional_customer_revenue",
     "single_status_customers",
@@ -119,7 +119,8 @@ _PRIORITY: tuple[str, ...] = (
     # part_catalog_slugs, corpus_verify, doc_token_stats, papers_build,
     # vector_topk_filtered, chunks_with_embeddings, dedup_embedding_nn,
     # dedup_simhash (both driver-exercised via dedup_method_eval's
-    # composition this window).
+    # composition this window), order_status_priority_cube (Expand-plan
+    # family stays represented by status_priority_grouping_sets).
 )
 
 
