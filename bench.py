@@ -119,6 +119,7 @@ HEADLINE = [
     "table_fk_integrity",
     "orders_benford_audit",
     "events_kmv_distinct",
+    "doc_winnowing_fingerprints",
 ]
 
 

@@ -1648,3 +1648,172 @@ def _register_quality_calibration_bins() -> None:
 
 
 _register_quality_calibration_bins()
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (MOSS): windowed rightmost-min gram selection
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 3   # word k-grams (same gram size as the shingle family)
+WINNOW_W = 4   # winnowing window (guarantee: a match >= w+k-1 words shares
+               # at least one selected fingerprint)
+_WENC = 1024   # argmin encoding base (> WINNOW_W; h*_WENC + tiebreak)
+
+
+@query(
+    "doc_winnowing_fingerprints",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+') END AS w
+      FROM documents
+    ),
+    hs AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= {WINNOW_K}
+                  THEN list_transform(range(1, len(w) - {WINNOW_K - 2}),
+                       i -> {DUCK_TOKEN_HASH.format(t=f"(w[i] || ' ' || w[i+1] || ' ' || w[i+2])")})
+                  ELSE CAST([] AS BIGINT[]) END AS g
+      FROM toks
+    ),
+    sel AS (
+      SELECT doc_id, g,
+             CAST(len(g) AS BIGINT) AS n_grams,
+             CASE WHEN len(g) = 0 THEN CAST([] AS BIGINT[])
+             ELSE list_sort(list_distinct(list_transform(
+               range(1, greatest(len(g) - {WINNOW_W} + 1, 1) + 1),
+               j -> j + (least(j + {WINNOW_W} - 1, len(g)) - j) -
+                    (list_min(list_transform(
+                       range(j, least(j + {WINNOW_W} - 1, len(g)) + 1),
+                       p -> g[p] * {_WENC}
+                            + (least(j + {WINNOW_W} - 1, len(g)) - p)))
+                     % {_WENC})
+             ))) END AS sels
+      FROM hs
+    )
+    SELECT doc_id, n_grams,
+           CAST(CASE WHEN n_grams = 0 THEN 0
+                ELSE greatest(n_grams - {WINNOW_W} + 1, 1) END AS BIGINT)
+             AS n_windows,
+           CAST(len(sels) AS BIGINT) AS n_selected,
+           CAST(CASE WHEN n_grams = 0 THEN 0
+                ELSE floor(len(sels) * 1000000.0
+                           / greatest(n_grams - {WINNOW_W} + 1, 1)) END
+                AS BIGINT) AS density_millionths,
+           CAST(COALESCE(list_sum(list_transform(sels, p -> g[p])), 0)
+                AS BIGINT) AS fp_checksum,
+           COALESCE(list_max(list_transform(
+               range(2, len(sels) + 1), i -> sels[i] - sels[i-1])), 0)
+             <= {WINNOW_W} AS guarantee_ok
+    FROM sel
+    ORDER BY doc_id
+    """,
+)
+def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every word {WINNOW_K}-gram,
+    slide a {WINNOW_W}-window over the hash sequence, and select each
+    window's RIGHTMOST minimal hash — the selection any two documents
+    compute identically on a shared passage, with the guarantee that
+    any match of at least w+k-1 words shares a selected fingerprint
+    (pinned per doc as ``guarantee_ok``: consecutive selected positions
+    are never more than w apart). Per doc the report carries the
+    fingerprint density (expected 2/(w+1) for random text) and an exact
+    checksum of the selected hashes the driver value-hashes.
+
+    Scale shape: everything runs as higher-order ARRAY expressions in
+    one narrow projection — the gram-hash array is materialized as a
+    column before any lambda indexes into it (the engine's HOF-inlining
+    rule), and the per-window argmin is a single list_min over an
+    ENCODED key (hash * {_WENC} + distance-to-window-end), so the
+    rightmost-tie rule costs integer arithmetic, not a struct fold.
+    Zero shuffles, zero Python; selection state never leaves the row."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", words(F.lower(F.col("text"))).alias("w"))
+    w = F.col("w")
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", F.element_at(w, i), F.element_at(w, i + 1), F.element_at(w, i + 2)
+    )
+    grams = F.when(
+        F.size(w) >= WINNOW_K,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (WINNOW_K - 1)),
+            lambda i: token_hash(gram(i)),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    hs = toks.select("doc_id", grams.alias("g"))
+    g = F.col("g")
+    n_grams = F.size(g)
+    wend = lambda j: F.least(j + WINNOW_W - 1, n_grams)  # noqa: E731
+    sel_of = lambda j: (  # noqa: E731
+        j
+        + (wend(j) - j)
+        - (
+            F.array_min(
+                F.transform(
+                    F.sequence(j, wend(j)),
+                    lambda p: F.element_at(g, p) * _WENC + (wend(j) - p),
+                )
+            )
+            % _WENC
+        )
+    )
+    sels = F.when(
+        n_grams == 0, F.array().cast("array<bigint>")
+    ).otherwise(
+        F.array_sort(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.greatest(n_grams - WINNOW_W + 1, F.lit(1))
+                    ),
+                    sel_of,
+                )
+            )
+        )
+    )
+    sel = hs.select("doc_id", "g", n_grams.cast("bigint").alias("n_grams"), sels.alias("sels"))
+    s = F.col("sels")
+    n_windows = F.when(F.col("n_grams") == 0, F.lit(0)).otherwise(
+        F.greatest(F.col("n_grams") - WINNOW_W + 1, F.lit(1))
+    )
+    gaps = F.transform(
+        F.sequence(F.lit(2), F.size(s)),
+        lambda i: F.element_at(s, i) - F.element_at(s, i - 1),
+    )
+    return sel.select(
+        "doc_id",
+        "n_grams",
+        n_windows.cast("bigint").alias("n_windows"),
+        F.size(s).cast("bigint").alias("n_selected"),
+        F.when(F.col("n_grams") == 0, F.lit(0))
+        .otherwise(
+            F.floor(
+                F.size(s)
+                * 1000000.0
+                / F.greatest(F.col("n_grams") - WINNOW_W + 1, F.lit(1))
+            )
+        )
+        .cast("bigint")
+        .alias("density_millionths"),
+        F.coalesce(
+            F.aggregate(
+                F.transform(s, lambda p: F.element_at(F.col("g"), p.cast("int"))),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("fp_checksum"),
+        (
+            F.coalesce(
+                F.array_max(F.when(F.size(s) >= 2, gaps).otherwise(
+                    F.array().cast("array<bigint>")
+                )),
+                F.lit(0),
+            )
+            <= WINNOW_W
+        ).alias("guarantee_ok"),
+    ).orderBy("doc_id")

@@ -72,6 +72,7 @@ _PRIORITY: tuple[str, ...] = (
     "table_fk_integrity",          # orphan scan over the full FK graph
     "orders_benford_audit",        # first-digit conformity (computed verdict)
     "events_kmv_distinct",         # bottom-k cardinality sketch, merge-pinned
+    "doc_winnowing_fingerprints",  # MOSS winnowing, guarantee-pinned
     # --- CHANGED in round 9 (must be re-driver-checked):
     "doc_quality_classifier",      # bigram hashes now compose from unigram
                                    # hashes (O(len^2) regex pathology fix)
@@ -97,7 +98,6 @@ _PRIORITY: tuple[str, ...] = (
     "pricing_summary",
     "regional_customer_revenue",
     "single_status_customers",
-    "status_priority_grouping_sets",
     "supplier_running_revenue",
     "top_orders_by_revenue",
     "topk_expensive_orders",
@@ -120,7 +120,8 @@ _PRIORITY: tuple[str, ...] = (
     # vector_topk_filtered, chunks_with_embeddings, dedup_embedding_nn,
     # dedup_simhash (both driver-exercised via dedup_method_eval's
     # composition this window), order_status_priority_cube (Expand-plan
-    # family stays represented by status_priority_grouping_sets).
+    # family stays represented in session parity; both cube and grouping
+    # sets rotated out this window after r8-green rows).
 )
 
 

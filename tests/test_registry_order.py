@@ -41,6 +41,7 @@ REFERENCE_PARITY = [
     "table_fk_integrity",
     "orders_benford_audit",
     "events_kmv_distinct",
+    "doc_winnowing_fingerprints",
     # changed in round 9 — semantics or advice fixes; re-driver-check
     "doc_quality_classifier",   # compositional bigram hashing
     "doc_repetition_stats",     # token-array materialization
