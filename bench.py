@@ -120,6 +120,7 @@ HEADLINE = [
     "orders_benford_audit",
     "events_kmv_distinct",
     "doc_winnowing_fingerprints",
+    "doc_winnowing_overlap",
 ]
 
 

@@ -1817,3 +1817,189 @@ def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= WINNOW_W
         ).alias("guarantee_ok"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Winnowing overlap detection (the MOSS matching half)
+# ---------------------------------------------------------------------------
+
+WINNOW_MIN_SHARED = 3   # pairs sharing >= this many fingerprints are reported
+
+
+def _register_doc_winnowing_overlap() -> None:
+    # late-bind: embeds the registered winnowing oracle's CTE chain by
+    # reusing the full query as a derived table for per-doc totals, and
+    # re-derives the selected-fingerprint SETS for the join (the
+    # fingerprint relation itself is not a column of the report query).
+    @query(
+        "doc_winnowing_overlap",
+        oracle=f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN CAST([] AS VARCHAR[])
+                      ELSE regexp_split_to_array(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+') END AS w
+          FROM documents
+        ),
+        hs AS (
+          SELECT doc_id,
+                 CASE WHEN len(w) >= {WINNOW_K}
+                      THEN list_transform(range(1, len(w) - {WINNOW_K - 2}),
+                           i -> {DUCK_TOKEN_HASH.format(t="(w[i] || ' ' || w[i+1] || ' ' || w[i+2])")})
+                      ELSE CAST([] AS BIGINT[]) END AS g
+          FROM toks
+        ),
+        sel AS (
+          SELECT doc_id, g,
+                 CASE WHEN len(g) = 0 THEN CAST([] AS BIGINT[])
+                 ELSE list_sort(list_distinct(list_transform(
+                   range(1, greatest(len(g) - {WINNOW_W} + 1, 1) + 1),
+                   j -> j + (least(j + {WINNOW_W} - 1, len(g)) - j) -
+                        (list_min(list_transform(
+                           range(j, least(j + {WINNOW_W} - 1, len(g)) + 1),
+                           p -> g[p] * {_WENC}
+                                + (least(j + {WINNOW_W} - 1, len(g)) - p)))
+                         % {_WENC})
+                 ))) END AS sels
+          FROM hs
+        ),
+        fps AS (
+          SELECT DISTINCT doc_id, g[CAST(t.p AS INTEGER)] AS fp
+          FROM sel, unnest(sels) AS t(p)
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS nfp FROM fps GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+          FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+          HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
+        )
+        SELECT p.doc_a, p.doc_b, CAST(p.n_shared AS BIGINT) AS n_shared,
+               CAST(sa.nfp AS BIGINT) AS nfp_a, CAST(sb.nfp AS BIGINT) AS nfp_b,
+               round(CAST(p.n_shared AS DOUBLE)
+                     / least(sa.nfp, sb.nfp), 4) AS containment
+        FROM pairs p
+        JOIN sizes sa ON sa.doc_id = p.doc_a
+        JOIN sizes sb ON sb.doc_id = p.doc_b
+        ORDER BY doc_a, doc_b
+        """,
+    )
+    def doc_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The matching half of MOSS: documents pair on SHARED winnowing
+        fingerprints (distinct selected gram hashes from
+        ``doc_winnowing_fingerprints``'s selection rule), and every pair
+        sharing at least {WINNOW_MIN_SHARED} fingerprints is reported
+        with its containment score (shared / smaller fingerprint set).
+        Because winnowing guarantees any >= w+k-1-word match yields a
+        shared fingerprint, this detects cross-document duplication at
+        ~2/(w+1) of the cost of full-shingle comparison — the
+        contamination/plagiarism scan shape, run on fingerprints, never
+        raw text.
+
+        Scale shape: identical inverted-index discipline to
+        dedup_ngram_jaccard but over the WINNOWED relation (a
+        ~2/(w+1)-sized subset of the shingle relation) — the equi-join
+        on the fingerprint hash is where winnowing's density guarantee
+        pays, shrinking the candidate join's input by the selection
+        ratio while keeping detection lossless above the w+k-1 match
+        floor."""
+        docs = load_table(spark, sf_dir, "documents")
+        toks = docs.select("doc_id", words(F.lower(F.col("text"))).alias("w"))
+        w = F.col("w")
+        grams = F.when(
+            F.size(w) >= WINNOW_K,
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - (WINNOW_K - 1)),
+                lambda i: token_hash(
+                    F.concat_ws(
+                        " ",
+                        F.element_at(w, i),
+                        F.element_at(w, i + 1),
+                        F.element_at(w, i + 2),
+                    )
+                ),
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
+        hs = toks.select("doc_id", grams.alias("g"))
+        g = F.col("g")
+        n_grams = F.size(g)
+        wend = lambda j: F.least(j + WINNOW_W - 1, n_grams)  # noqa: E731
+        sel_of = lambda j: (  # noqa: E731
+            j
+            + (wend(j) - j)
+            - (
+                F.array_min(
+                    F.transform(
+                        F.sequence(j, wend(j)),
+                        lambda p: F.element_at(g, p) * _WENC + (wend(j) - p),
+                    )
+                )
+                % _WENC
+            )
+        )
+        sels = F.when(
+            n_grams == 0, F.array().cast("array<bigint>")
+        ).otherwise(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.greatest(n_grams - WINNOW_W + 1, F.lit(1))
+                    ),
+                    sel_of,
+                )
+            )
+        )
+        fps = (
+            hs.select("doc_id", "g", sels.alias("sels"))
+            .select(
+                "doc_id",
+                F.explode(
+                    F.array_distinct(
+                        F.transform(
+                            F.col("sels"),
+                            lambda p: F.element_at(F.col("g"), p.cast("int")),
+                        )
+                    )
+                ).alias("fp"),
+            )
+        )
+        sizes = fps.groupBy("doc_id").agg(F.count("*").alias("nfp"))
+        a, b = fps.alias("a"), fps.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.fp") == F.col("b.fp"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .agg(F.count("*").alias("n_shared"))
+            .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+        )
+        return (
+            pairs.join(
+                sizes.select(F.col("doc_id").alias("doc_a"), F.col("nfp").alias("nfp_a")),
+                "doc_a",
+            )
+            .join(
+                sizes.select(F.col("doc_id").alias("doc_b"), F.col("nfp").alias("nfp_b")),
+                "doc_b",
+            )
+            .select(
+                "doc_a",
+                "doc_b",
+                F.col("n_shared").cast("bigint").alias("n_shared"),
+                F.col("nfp_a").cast("bigint").alias("nfp_a"),
+                F.col("nfp_b").cast("bigint").alias("nfp_b"),
+                F.round(
+                    F.col("n_shared").cast("double")
+                    / F.least("nfp_a", "nfp_b"),
+                    4,
+                ).alias("containment"),
+            )
+            .orderBy("doc_a", "doc_b")
+        )
+
+
+_register_doc_winnowing_overlap()

@@ -73,6 +73,7 @@ _PRIORITY: tuple[str, ...] = (
     "orders_benford_audit",        # first-digit conformity (computed verdict)
     "events_kmv_distinct",         # bottom-k cardinality sketch, merge-pinned
     "doc_winnowing_fingerprints",  # MOSS winnowing, guarantee-pinned
+    "doc_winnowing_overlap",       # the MOSS matching half (fingerprint join)
     # --- CHANGED in round 9 (must be re-driver-checked):
     "doc_quality_classifier",      # bigram hashes now compose from unigram
                                    # hashes (O(len^2) regex pathology fix)
@@ -99,7 +100,6 @@ _PRIORITY: tuple[str, ...] = (
     "regional_customer_revenue",
     "single_status_customers",
     "supplier_running_revenue",
-    "top_orders_by_revenue",
     "topk_expensive_orders",
     "chunks_view",
     # --- Regression guards that stay in every window
@@ -121,7 +121,9 @@ _PRIORITY: tuple[str, ...] = (
     # dedup_simhash (both driver-exercised via dedup_method_eval's
     # composition this window), order_status_priority_cube (Expand-plan
     # family stays represented in session parity; both cube and grouping
-    # sets rotated out this window after r8-green rows).
+    # sets rotated out this window after r8-green rows),
+    # top_orders_by_revenue (top-k family repped by topk_expensive_orders
+    # and the vector_topk guard).
 )
 
 

@@ -42,6 +42,7 @@ REFERENCE_PARITY = [
     "orders_benford_audit",
     "events_kmv_distinct",
     "doc_winnowing_fingerprints",
+    "doc_winnowing_overlap",
     # changed in round 9 — semantics or advice fixes; re-driver-check
     "doc_quality_classifier",   # compositional bigram hashing
     "doc_repetition_stats",     # token-array materialization
