@@ -1460,8 +1460,13 @@ def part_fuzzy_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     -band filter (|Δlen| <= {FUZZY_LEN_BAND}, a necessary condition for
     edit distance <= {FUZZY_MAX_EDIT}, evaluated before the O(len²) DP)
     prunes the survivors, and Levenshtein runs last, only on pairs that
-    passed both cheap gates. Identical match set to the unblocked
-    quadratic join, at a fraction of the comparisons.
+    passed both cheap gates. The blocking key DEFINES the match
+    semantics: only same-(brand, size) pairs are ever compared, so
+    cross-block near-duplicate names are out of scope by design (lossy
+    blocking, the deliberate linkage trade-off). The length band, by
+    contrast, is PURE pruning — it can never exclude a pair the edit
+    threshold would admit (pinned in
+    tests/test_dedup.py::test_fuzzy_length_band_is_pure_pruning).
 
     Scale shape: the blocking key turns an n² string join into a
     shuffle-partitioned equi-join whose per-block fan-out is bounded by

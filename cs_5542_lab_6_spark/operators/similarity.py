@@ -711,9 +711,17 @@ def kmeans_assign_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment is computed once at ingest and the corpus is written
     partitioned by cluster id; every SemDeDup-style query then runs
     partition-local, never re-iterating Lloyd."""
+    # The eager cut MUST happen inside the try (the embedding_kmeans
+    # idiom): returning the lazy plan would unpersist the points cache
+    # before the ingest write / downstream checkpoint ever executes the
+    # Lloyd rounds, silently re-deriving the posexplode scan per round.
     pts = kmeans_points(load_table(spark, sf_dir, "embeddings")).cache()
     try:
-        return kmeans_assign_lazy(pts).select("vec_id", "cluster")
+        return (
+            kmeans_assign_lazy(pts)
+            .select("vec_id", "cluster")
+            .localCheckpoint(eager=True)
+        )
     finally:
         pts.unpersist()
 
@@ -726,7 +734,7 @@ def _kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _warm_path(sf_dir, "kmeans_assign", spark)
     if p:
         return spark.read.parquet(p)
-    return kmeans_assign_build(spark, sf_dir).localCheckpoint(eager=True)
+    return kmeans_assign_build(spark, sf_dir)  # already eagerly cut
 
 
 @query(
@@ -905,7 +913,16 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     i never re-executes rounds 1..i-1; cost stays linear in {MMR_K}).
     All scoring arithmetic stays in Spark (HALF_UP round, vec_id
     tiebreaks — engine-exact; the DuckDB twin unrolls the identical
-    rounds as CTEs)."""
+    rounds as CTEs).
+
+    NOTE (laziness contract): unlike every other registered query, this
+    one is EAGER at DataFrame-construction time — merely building it
+    runs the candidate checkpoint and the K greedy rounds, because each
+    round's winner must be collected before the next round's filter can
+    be formed as literals. Plan-only callers (EXPLAIN, registry sweeps)
+    pay the K small jobs; returning a lazy union of round plans instead
+    would re-execute every round on each downstream action, which is
+    strictly worse. Parameterized (lazy-free) access: mmr_topk_for."""
     e = _coded(spark, sf_dir).drop("bucket")
     q = e.filter(F.col("vec_id") == MMR_QID).select(
         F.col("v").alias("qv"), F.col("nrm").alias("qn")

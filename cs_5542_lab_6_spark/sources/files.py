@@ -115,12 +115,26 @@ def read_orc(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
     helper therefore checks the declared fields against the footer
     schema (a metadata-only read, no data pass) and fails loudly on
     drift instead of letting all-NULL columns flow downstream."""
-    present = set(spark.read.orc(path).columns)
-    missing = [f.name for f in schema.fields if f.name not in present]
+    footer = {f.name: f.dataType for f in spark.read.orc(path).schema.fields}
+    missing = [f.name for f in schema.fields if f.name not in footer]
     if missing:
         raise ValueError(
             f"ORC files at {path} are missing declared columns {missing}; "
             "refusing to NULL-fill schema drift"
+        )
+    # name presence alone is only half the drift contract: a declared
+    # column whose file type diverges would otherwise flow through a
+    # silent (possibly lossy) cast — fail loudly on type drift too.
+    mismatched = [
+        f"{f.name} (declared {f.dataType.simpleString()}, "
+        f"files {footer[f.name].simpleString()})"
+        for f in schema.fields
+        if footer[f.name] != f.dataType
+    ]
+    if mismatched:
+        raise ValueError(
+            f"ORC files at {path} have type drift on declared columns: "
+            f"{mismatched}; refusing to cast schema drift silently"
         )
     return spark.read.schema(schema).orc(path)
 
