@@ -1660,6 +1660,94 @@ WINNOW_W = 4   # winnowing window (guarantee: a match >= w+k-1 words shares
 _WENC = 1024   # argmin encoding base (> WINNOW_W; h*_WENC + tiebreak)
 
 
+def winnow_fps_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cold winnowing-fingerprint stage (warehouse stage ``winnow_fps``):
+    one row per document carrying the gram count plus the PARALLEL
+    arrays of selected positions (``sels``, sorted distinct) and their
+    gram hashes (``fps``) — everything the MOSS report and matching
+    queries need, at ~2/(w+1) of the gram relation's size, with the raw
+    text and the full gram-hash array both dropped at the stage
+    boundary. Built once at ingest (the bm25_postings pattern); both
+    winnowing queries then run as index scans instead of re-hashing and
+    re-winnowing the corpus per query (warm ≡ cold in
+    tests/test_ingest.py).
+
+    The selection itself follows the engine's HOF-inlining rule twice:
+    the gram-hash array ``g`` is materialized as a named column before
+    any window lambda indexes into it, and ``sels`` is materialized
+    before ``fps`` indexes into ``g`` at its positions. Per-window
+    rightmost-argmin is a single array_min over an ENCODED integer key
+    (hash * {_WENC} + distance-to-window-end) — integer arithmetic, no
+    struct fold. Zero shuffles, zero Python."""
+    from ..sources import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select("doc_id", words(F.lower(F.col("text"))).alias("w"))
+    w = F.col("w")
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", F.element_at(w, i), F.element_at(w, i + 1), F.element_at(w, i + 2)
+    )
+    grams = F.when(
+        F.size(w) >= WINNOW_K,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (WINNOW_K - 1)),
+            lambda i: token_hash(gram(i)),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    hs = toks.select("doc_id", grams.alias("g"))
+    g = F.col("g")
+    n_grams = F.size(g)
+    wend = lambda j: F.least(j + WINNOW_W - 1, n_grams)  # noqa: E731
+    sel_of = lambda j: (  # noqa: E731
+        j
+        + (wend(j) - j)
+        - (
+            F.array_min(
+                F.transform(
+                    F.sequence(j, wend(j)),
+                    lambda p: F.element_at(g, p) * _WENC + (wend(j) - p),
+                )
+            )
+            % _WENC
+        )
+    )
+    sels = F.when(
+        n_grams == 0, F.array().cast("array<bigint>")
+    ).otherwise(
+        F.array_sort(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.greatest(n_grams - WINNOW_W + 1, F.lit(1))
+                    ),
+                    sel_of,
+                )
+            )
+        )
+    )
+    sel = hs.select(
+        "doc_id", "g", n_grams.cast("bigint").alias("n_grams"), sels.alias("sels")
+    )
+    return sel.select(
+        "doc_id",
+        "n_grams",
+        "sels",
+        F.transform(
+            F.col("sels"), lambda p: F.element_at(F.col("g"), p.cast("int"))
+        ).alias("fps"),
+    )
+
+
+def _winnow_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_grams, sels, fps): the materialized ``winnow_fps``
+    checkpoint when warm (a pure parquet scan), the cold derivation
+    otherwise — row-identical either way."""
+    from ..pipeline.corpus import _warm_path
+
+    p = _warm_path(sf_dir, "winnow_fps", spark)
+    return spark.read.parquet(p) if p else winnow_fps_build(spark, sf_dir)
+
+
 @query(
     "doc_winnowing_fingerprints",
     oracle=f"""
@@ -1728,52 +1816,11 @@ def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule), and the per-window argmin is a single list_min over an
     ENCODED key (hash * {_WENC} + distance-to-window-end), so the
     rightmost-tie rule costs integer arithmetic, not a struct fold.
-    Zero shuffles, zero Python; selection state never leaves the row."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", words(F.lower(F.col("text"))).alias("w"))
-    w = F.col("w")
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", F.element_at(w, i), F.element_at(w, i + 1), F.element_at(w, i + 2)
-    )
-    grams = F.when(
-        F.size(w) >= WINNOW_K,
-        F.transform(
-            F.sequence(F.lit(1), F.size(w) - (WINNOW_K - 1)),
-            lambda i: token_hash(gram(i)),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
-    hs = toks.select("doc_id", grams.alias("g"))
-    g = F.col("g")
-    n_grams = F.size(g)
-    wend = lambda j: F.least(j + WINNOW_W - 1, n_grams)  # noqa: E731
-    sel_of = lambda j: (  # noqa: E731
-        j
-        + (wend(j) - j)
-        - (
-            F.array_min(
-                F.transform(
-                    F.sequence(j, wend(j)),
-                    lambda p: F.element_at(g, p) * _WENC + (wend(j) - p),
-                )
-            )
-            % _WENC
-        )
-    )
-    sels = F.when(
-        n_grams == 0, F.array().cast("array<bigint>")
-    ).otherwise(
-        F.array_sort(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(
-                        F.lit(1), F.greatest(n_grams - WINNOW_W + 1, F.lit(1))
-                    ),
-                    sel_of,
-                )
-            )
-        )
-    )
-    sel = hs.select("doc_id", "g", n_grams.cast("bigint").alias("n_grams"), sels.alias("sels"))
+    Zero shuffles, zero Python; selection state never leaves the row.
+    Served from the materialized ``winnow_fps`` warehouse stage when
+    warm — the report is then a pure index scan over the ~2/(w+1)-sized
+    fingerprint relation, never re-hashing or re-winnowing raw text."""
+    sel = _winnow_relation(spark, sf_dir)
     s = F.col("sels")
     n_windows = F.when(F.col("n_grams") == 0, F.lit(0)).otherwise(
         F.greatest(F.col("n_grams") - WINNOW_W + 1, F.lit(1))
@@ -1799,9 +1846,7 @@ def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("density_millionths"),
         F.coalesce(
             F.aggregate(
-                F.transform(s, lambda p: F.element_at(F.col("g"), p.cast("int"))),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
+                F.col("fps"), F.lit(0).cast("long"), lambda acc, x: acc + x
             ),
             F.lit(0),
         )
@@ -1901,66 +1946,12 @@ def _register_doc_winnowing_overlap() -> None:
         on the fingerprint hash is where winnowing's density guarantee
         pays, shrinking the candidate join's input by the selection
         ratio while keeping detection lossless above the w+k-1 match
-        floor."""
-        docs = load_table(spark, sf_dir, "documents")
-        toks = docs.select("doc_id", words(F.lower(F.col("text"))).alias("w"))
-        w = F.col("w")
-        grams = F.when(
-            F.size(w) >= WINNOW_K,
-            F.transform(
-                F.sequence(F.lit(1), F.size(w) - (WINNOW_K - 1)),
-                lambda i: token_hash(
-                    F.concat_ws(
-                        " ",
-                        F.element_at(w, i),
-                        F.element_at(w, i + 1),
-                        F.element_at(w, i + 2),
-                    )
-                ),
-            ),
-        ).otherwise(F.array().cast("array<bigint>"))
-        hs = toks.select("doc_id", grams.alias("g"))
-        g = F.col("g")
-        n_grams = F.size(g)
-        wend = lambda j: F.least(j + WINNOW_W - 1, n_grams)  # noqa: E731
-        sel_of = lambda j: (  # noqa: E731
-            j
-            + (wend(j) - j)
-            - (
-                F.array_min(
-                    F.transform(
-                        F.sequence(j, wend(j)),
-                        lambda p: F.element_at(g, p) * _WENC + (wend(j) - p),
-                    )
-                )
-                % _WENC
-            )
-        )
-        sels = F.when(
-            n_grams == 0, F.array().cast("array<bigint>")
-        ).otherwise(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(
-                        F.lit(1), F.greatest(n_grams - WINNOW_W + 1, F.lit(1))
-                    ),
-                    sel_of,
-                )
-            )
-        )
-        fps = (
-            hs.select("doc_id", "g", sels.alias("sels"))
-            .select(
-                "doc_id",
-                F.explode(
-                    F.array_distinct(
-                        F.transform(
-                            F.col("sels"),
-                            lambda p: F.element_at(F.col("g"), p.cast("int")),
-                        )
-                    )
-                ).alias("fp"),
-            )
+        floor. Served from the materialized ``winnow_fps`` warehouse
+        stage when warm — the whole scan-and-join then runs on the
+        compact fingerprint parquet, never raw text."""
+        fps = _winnow_relation(spark, sf_dir).select(
+            "doc_id",
+            F.explode(F.array_distinct(F.col("fps"))).alias("fp"),
         )
         sizes = fps.groupBy("doc_id").agg(F.count("*").alias("nfp"))
         a, b = fps.alias("a"), fps.alias("b")

@@ -37,6 +37,7 @@ from ..operators.dedup import (
 )
 from ..operators.ranking import bm25_doclen_build, bm25_postings_build
 from ..operators.retrieval import trigram_postings_build
+from ..operators.textstats import winnow_fps_build
 from ..operators.similarity import (
     ivf_centroids_build,
     kmeans_assign_build,
@@ -81,6 +82,7 @@ STAGES: tuple[tuple[str, Callable[[SparkSession, str], DataFrame], tuple[str, ..
     ("bm25_postings", bm25_postings_build, ()),
     ("bm25_doclen", bm25_doclen_build, ()),
     ("trigram_postings", trigram_postings_build, ()),
+    ("winnow_fps", winnow_fps_build, ()),
 )
 
 

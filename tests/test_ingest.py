@@ -50,6 +50,7 @@ def test_build_checkpoint_resume_verify(spark, sf_dir, tmp_path):
         "bm25_postings",
         "bm25_doclen",
         "trigram_postings",
+        "winnow_fps",
     }
     assert all(v["status"] == "OK" for v in report.values())
     assert not any(v["skipped"] for v in report.values())
@@ -132,6 +133,10 @@ def test_warm_warehouse_queries_equal_cold(spark, sf_dir, tmp_path, monkeypatch)
         "kg_map_build",
         # trigram index: LIKE search candidates from the warm postings
         "doc_substring_search",
+        # winnowing: both the report and the overlap join read the
+        # materialized winnow_fps stage when warm (r10)
+        "doc_winnowing_fingerprints",
+        "doc_winnowing_overlap",
         # verification/audit queries count the checkpoints when warm
         "corpus_verify",
         "corpus_delete_cascade",
@@ -154,6 +159,7 @@ def test_warm_warehouse_queries_equal_cold(spark, sf_dir, tmp_path, monkeypatch)
         assert C._warm_path(sf_dir, "lsh_codes") is not None
         assert C._warm_path(sf_dir, "pq_codes") is not None
         assert C._warm_path(sf_dir, "kmeans_assign") is not None
+        assert C._warm_path(sf_dir, "winnow_fps") is not None
         warm = {
             n: sorted(map(tuple, qs[n](spark, sf_dir).collect())) for n in names
         }
