@@ -922,14 +922,56 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     be formed as literals. Plan-only callers (EXPLAIN, registry sweeps)
     pay the K small jobs; returning a lazy union of round plans instead
     would re-execute every round on each downstream action, which is
-    strictly worse. Parameterized (lazy-free) access: mmr_topk_for."""
-    e = _coded(spark, sf_dir).drop("bucket")
-    q = e.filter(F.col("vec_id") == MMR_QID).select(
-        F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    strictly worse. Parameterized access: mmr_topk_for (this entry is
+    its fixed-literal wrapper, kept stable for driver hashing)."""
+    return mmr_topk_for(
+        spark, sf_dir, qid=MMR_QID, k=MMR_K, lam=0.5, n_cand=MMR_CAND
     )
+
+
+def mmr_topk_for(
+    spark: SparkSession,
+    sf_dir: str,
+    qvec: "list[float] | None" = None,
+    *,
+    qid: int | None = None,
+    k: int = MMR_K,
+    lam: float = 0.5,
+    n_cand: int = MMR_CAND,
+) -> DataFrame:
+    """Parameterized MMR re-ranking — the public API behind the
+    registered ``mmr_diversified_topk`` (which pins qid/k/λ/n_cand as
+    fixed literals for driver hashing, the kg_neighborhood_for
+    pattern). Pass EITHER an explicit query vector ``qvec`` (scored
+    against the whole collection) OR a collection id ``qid`` (that
+    vector is the query and is excluded from the candidate pool).
+    λ weights relevance vs diversity: mmr = λ·rel − (1−λ)·max-sim.
+
+    Same execution contract as the registered entry: EAGER at
+    construction (stage-one candidate top-``n_cand`` is checkpointed,
+    then k−1 constant-cost argmax rounds each collect one winner)."""
+    if (qvec is None) == (qid is None):
+        raise ValueError("pass exactly one of qvec / qid")
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    if k < 1 or n_cand < k:
+        raise ValueError(f"need 1 <= k <= n_cand, got k={k} n_cand={n_cand}")
+    e = _coded(spark, sf_dir).drop("bucket")
+    if qid is not None:
+        q = e.filter(F.col("vec_id") == qid).select(
+            F.col("v").alias("qv"), F.col("nrm").alias("qn")
+        )
+        pool = e.filter(F.col("vec_id") != qid)
+    else:
+        q = spark.range(1).select(
+            F.array(*[F.lit(float(x)) for x in qvec])
+            .cast("array<double>")
+            .alias("qv")
+        )
+        q = q.select("qv", _norm(F.col("qv")).alias("qn"))
+        pool = e
     rel = (
-        e.filter(F.col("vec_id") != MMR_QID)
-        .crossJoin(F.broadcast(q))
+        pool.crossJoin(F.broadcast(q))
         .select(
             "vec_id",
             "v",
@@ -937,7 +979,7 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             _cos(F.col("v"), F.col("qv"), F.col("nrm"), F.col("qn")).alias("rel"),
         )
         .orderBy(F.desc("rel"), F.asc("vec_id"))
-        .limit(MMR_CAND)
+        .limit(n_cand)
         .localCheckpoint(eager=True)
     )
     a = rel.select(F.col("vec_id").alias("a_id"), F.col("v").alias("av"), F.col("nrm").alias("an"))
@@ -956,7 +998,7 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).alias("rank"),
         "vec_id",
         "rel",
-        F.round(F.lit(0.5) * F.col("rel"), 5).alias("mmr"),
+        F.round(F.lit(lam) * F.col("rel"), 5).alias("mmr"),
     )
     # prior selections as collected literals: round i's anti-filter and
     # max-sim penalty reference a tiny IN-list, not the union of rounds
@@ -966,7 +1008,7 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # K lazy argmax plans would re-run every round when the caller acts.
     won = first.collect()
     ids = [r["vec_id"] for r in won]
-    for i in range(2, MMR_K + 1):
+    for i in range(2, k + 1):
         rem = cand.filter(~F.col("vec_id").isin(ids))
         pen = (
             sims.filter(F.col("b_id").isin(ids))
@@ -979,7 +1021,9 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "vec_id",
                 "rel",
                 F.round(
-                    F.lit(0.5) * F.col("rel") - F.lit(0.5) * F.col("max_sim"), 5
+                    F.lit(lam) * F.col("rel")
+                    - F.lit(1.0 - lam) * F.col("max_sim"),
+                    5,
                 ).alias("mmr"),
             )
             .orderBy(F.desc("mmr"), F.asc("vec_id"))

@@ -510,9 +510,34 @@ def late_interaction_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinable groupBy(paper_id) of 3 maxima, then a 5-row
     TakeOrderedAndProject. Cost is one chunk scan regardless of term
     count; per-term maxima are order-independent and the final sum is a
-    fixed-order 3-term expression, so the result is engine-exact."""
+    fixed-order 3-term expression, so the result is engine-exact.
+
+    Parameterized access: late_interaction_for (this entry is its
+    fixed-literal wrapper, kept stable for driver hashing)."""
+    return late_interaction_for(spark, sf_dir, _LI_TOKENS, k=5)
+
+
+def late_interaction_for(
+    spark: SparkSession,
+    sf_dir: str,
+    terms: "tuple[str, ...] | list[str]",
+    k: int = 5,
+) -> DataFrame:
+    """Parameterized ColBERT-style MaxSim retrieval — the public API
+    behind the registered ``late_interaction_maxsim`` (which pins the
+    {_LI_TOKENS} term list and k=5 as fixed literals for driver
+    hashing, the kg_neighborhood_for pattern). Any term list works:
+    each term embeds through the M3 seam, scores as a broadcast-literal
+    dot product in the scan projection, and contributes one
+    ``maxsim_<term>`` column; cost stays one chunk scan regardless of
+    term count."""
     from ..functions.vectors import cosine_score
 
+    terms = tuple(terms)
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    if len({_li_col(t) for t in terms}) != len(terms):
+        raise ValueError(f"terms collide after column normalization: {terms}")
     chunks = chunks_source(spark, sf_dir)
     scored = chunks.select(
         "paper_id",
@@ -521,23 +546,34 @@ def late_interaction_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("embedding"),
                 F.array(*[F.lit(x) for x in embed_query(tok)]).cast("array<float>"),
             ).alias(f"s{i}")
-            for i, tok in enumerate(_LI_TOKENS)
+            for i, tok in enumerate(terms)
         ],
     )
     agg = scored.groupBy("paper_id").agg(
-        *[F.max(f"s{i}").alias(f"m{i}") for i in range(len(_LI_TOKENS))]
+        *[F.max(f"s{i}").alias(f"m{i}") for i in range(len(terms))]
     )
+    total = F.col("m0")
+    for i in range(1, len(terms)):
+        total = total + F.col(f"m{i}")
     return (
         agg.select(
             "paper_id",
-            F.col("m0").alias("maxsim_spark"),
-            F.col("m1").alias("maxsim_join"),
-            F.col("m2").alias("maxsim_performance"),
-            F.round(F.col("m0") + F.col("m1") + F.col("m2"), 4).alias("li_score"),
+            *[
+                F.col(f"m{i}").alias(f"maxsim_{_li_col(tok)}")
+                for i, tok in enumerate(terms)
+            ],
+            F.round(total, 4).alias("li_score"),
         )
         .orderBy(F.desc("li_score"), F.asc("paper_id"))
-        .limit(5)
+        .limit(k)
     )
+
+
+def _li_col(term: str) -> str:
+    """Column-safe slug for a query term (maxsim_<slug>)."""
+    import re
+
+    return re.sub(r"[^a-z0-9]+", "_", term.lower()).strip("_") or "term"
 
 
 # ---------------------------------------------------------------------------
