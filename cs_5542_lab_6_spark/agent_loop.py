@@ -96,9 +96,14 @@ class ResearchAgent:
         sf_dir: str,
         policy: Policy | None = None,
     ) -> None:
+        from .llm_policy import policy_from_env
+
         self.spark = spark
         self.sf_dir = sf_dir
-        self.policy = policy or default_policy
+        # precedence: explicit injection > $SPARK_GRAFT_LLM_ENDPOINT
+        # (real chat-completions adapter, llm_policy.py) > deterministic
+        # replay — the same gate order as the embedder/reranker seams.
+        self.policy = policy or policy_from_env() or default_policy
         self.history: list[dict] = []  # agent.py:42
         self._last_citations: list[dict] = []  # agent.py:46
 
