@@ -194,7 +194,7 @@ def _load_all_modules() -> None:
         windows,
     )
     from . import agent_api  # noqa: F401
-    from .pipeline import corpus, maintenance  # noqa: F401
+    from .pipeline import corpus, evaluation, maintenance  # noqa: F401
     from .sources import sql_runner  # noqa: F401
     from .streaming import batch_twins, stream  # noqa: F401
 

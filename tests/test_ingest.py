@@ -137,6 +137,9 @@ def test_warm_warehouse_queries_equal_cold(spark, sf_dir, tmp_path, monkeypatch)
         # materialized winnow_fps stage when warm (r10)
         "doc_winnowing_fingerprints",
         "doc_winnowing_overlap",
+        # RAG eval comparison reads chunks + kg_nodes/kg_edges + kg_map
+        # warm (r10)
+        "eval_rag_comparison",
         # verification/audit queries count the checkpoints when warm
         "corpus_verify",
         "corpus_delete_cascade",
