@@ -1281,9 +1281,10 @@ def _bpe_iterate(spark: SparkSession, sf_dir: str, rounds: int):
             [(s, c) for s, c in final_rows], "syms array<string>, cnt long"
         )
         return merges, final_vocab
-    prev_cached = vocab
+    cur = vocab  # cached + already materialized by the count above
+    pending: DataFrame | None = None  # round i-1's cache, load-bearing
+    # until an action materializes round i's
     try:
-        cur = vocab
         for i in range(1, rounds + 1):
             pairs = (
                 cur.filter(F.size("syms") >= 2)
@@ -1299,7 +1300,17 @@ def _bpe_iterate(spark: SparkSession, sf_dir: str, rounds: int):
                 .groupBy("p.a", "p.b")
                 .agg(F.sum("cnt").cast("long").alias("n"))
             )
+            # ONE job per round (r9 verdict item 8): this argmax collect
+            # is also the action that materializes cur's lazy cache, so
+            # the former per-round .count() materialization job is gone —
+            # K+2 driver round-trips total instead of 2K+1.
             top = pairs.orderBy(F.desc("n"), F.asc("a"), F.asc("b")).limit(1).collect()
+            if pending is not None:
+                # cur's cache is now materialized; its parent stops being
+                # load-bearing (dropping it earlier would force the whole
+                # fold chain to recompute from the raw vocabulary)
+                pending.unpersist()
+                pending = None
             if not top:
                 break
             a, b, n = top[0]["a"], top[0]["b"], top[0]["n"]
@@ -1317,14 +1328,16 @@ def _bpe_iterate(spark: SparkSession, sf_dir: str, rounds: int):
                     ),
                 ).otherwise(F.concat(acc, F.array(x))),
             )
-            nxt = cur.select(fold.alias("syms"), "cnt").cache()
-            nxt.count()  # materialize before dropping the previous round
-            if prev_cached is not nxt:
-                prev_cached.unpersist()
-            prev_cached = cur = nxt
+            nxt = cur.select(fold.alias("syms"), "cnt").cache()  # lazy
+            pending, cur = cur, nxt
+        if pending is not None:
+            cur.count()  # cut the final round's cache before dropping its parent
+            pending.unpersist()
         return merges, cur
     except BaseException:
-        prev_cached.unpersist()
+        if pending is not None:
+            pending.unpersist()
+        cur.unpersist()
         raise
 
 
