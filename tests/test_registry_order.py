@@ -20,42 +20,39 @@ DRIVER_WINDOW = 50
 # lands, and (b) the window refreshes the stalest driver rows (r1/r4
 # vintage) plus the permanent regression-guard core.
 REFERENCE_PARITY = [
-    # new in round 9 — first driver check the round they land
-    "orders_scd2_dimension",
-    "lineitem_zorder_layout",
-    "supplier_bloom_semi_join",
-    "skyline_parts",
-    "dedup_sorted_neighborhood",
-    "part_fuzzy_matches",
-    "events_l_diversity",
-    "quality_calibration_bins",
-    "ann_pq_adc_topk",
-    "orders_compaction_plan",
-    "events_k_anonymity_repair",
-    "orders_scd2_incremental",
-    "ann_pq_recall_eval",
-    "dedup_method_eval",
-    "events_cms_heavy_hitters",
-    "events_ams_f2_sketch",
-    "events_quality_expectations",
-    "table_fk_integrity",
-    "orders_benford_audit",
-    "events_kmv_distinct",
-    "doc_winnowing_fingerprints",
+    # new in round 10 — first driver check the round it lands
+    "eval_rag_comparison",
+    # changed in round 10 — re-driver-check
+    "doc_winnowing_fingerprints",  # served from the winnow_fps stage
     "doc_winnowing_overlap",
-    # changed in round 9 — semantics or advice fixes; re-driver-check
-    "doc_quality_classifier",   # compositional bigram hashing
-    "doc_repetition_stats",     # token-array materialization
-    "mmr_diversified_topk",     # collected-literal rounds
-    "events_heavy_hitters_exact",  # independent HLL scalar
+    "semantic_dedup",              # salted pair join
+    "mmr_diversified_topk",        # wrapper over mmr_topk_for
+    "late_interaction_maxsim",     # wrapper over late_interaction_for
+    # staleness debt the r9 verdict named explicitly (r4/r5 vintage —
+    # the r10 window additionally holds the WHOLE r5 cohort; these are
+    # the rows whose absence would re-violate the freshness contract)
+    "doc_lookup",
+    "sql_script_segment_revenue",
+    "agent_search_papers",
+    "bm25_doc_topk",
+    "dedup_exact",
+    "doc_pii_scrub",
+    "hybrid_rrf_topk",
+    "events_asof_last_click",
+    "kg_neighborhood",
+    "kg_nodes_build",
+    "kg_map_build",
+    "multimodal_metadata",
+    "multimodal_frame_sample",
+    "stream_dedup_events",
+    "stream_session_windows",
+    "events_tumbling_daily",
     # regression guards that must stay in every window
     "chunks_build",
     "kg_edges_build",
     "vector_topk",
     "eval_metrics_log",
     "stream_tumbling_daily",
-    # families touched by round-9 changes: re-window a representative
-    "dedup_ngram_jaccard",  # consumer of the materialized shingle build
 ]
 
 # The two sketch queries stay registered as rows-only by design
