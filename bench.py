@@ -121,6 +121,8 @@ HEADLINE = [
     "events_kmv_distinct",
     "doc_winnowing_fingerprints",
     "doc_winnowing_overlap",
+    # round-10 addition: the vector-RAG vs graph-RAG retrieval comparison
+    "eval_rag_comparison",
 ]
 
 

@@ -218,6 +218,12 @@ def eval_rag_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nseed = seeds.groupBy("qid").agg(F.count("*").alias("n_seed"))
     edges, firsts = _kg_relations(spark, sf_dir)
+    # the whole report stays ONE lazy plan: the branches that re-read a
+    # relation (the bridge distinct, the seed-node set, the two top-k
+    # sets) compile to identical exchanges that Catalyst's
+    # ReuseExchangeAndSubquery computes once — measured equal to
+    # explicit localCheckpoint cuts at sf0.1, without the AQE
+    # materialize-at-construction jobs a checkpoint triggers
     seed_nodes = (
         F.broadcast(seeds)
         .join(firsts, "name_normalized")
@@ -240,10 +246,13 @@ def eval_rag_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pm = _warm_path(sf_dir, "kg_map", spark)
     bridge = (
-        spark.read.parquet(pm).select("chunk_id", "node_id")
-        if pm
-        else chunk_entities_df(spark, sf_dir).select("chunk_id", "node_id")
-    ).distinct()
+        (
+            spark.read.parquet(pm).select("chunk_id", "node_id")
+            if pm
+            else chunk_entities_df(spark, sf_dir).select("chunk_id", "node_id")
+        )
+        .distinct()
+    )
     gw = W.partitionBy("qid").orderBy(F.desc("n_matched"), F.asc("chunk_id"))
     gtop = (
         bridge.join(F.broadcast(related), "node_id")
@@ -255,8 +264,6 @@ def eval_rag_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # --- per-question report (every relation here is <= |Q| * k rows) --
-    vtop = vtop.localCheckpoint(eager=False)
-    gtop = gtop.localCheckpoint(eager=False)
     nv = vtop.groupBy("qid").agg(F.count("*").alias("n_vector"))
     ng = gtop.groupBy("qid").agg(F.count("*").alias("n_graph"))
     nov = (

@@ -197,7 +197,9 @@ def build_corpus(
     from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
 
     if max_parallel is None:
-        max_parallel = 8
+        # env override for ops tuning (CLI `build` has no flag for it);
+        # 1 degrades to the sequential build
+        max_parallel = int(os.environ.get("SPARK_GRAFT_BUILD_PARALLEL", "8"))
     order = [name for name, _, _ in STAGES]
     stages = {name: (builder, parts) for name, builder, parts in STAGES}
     report: dict[str, dict[str, object]] = {}

@@ -64,6 +64,7 @@ _SHARED_CACHE_FAMILIES = (
     "contamination_",
     "source_",    # provenance composes the shingle candidate join
     "corpus_",    # corpus_verify/datasheet walk the KG/shingle helpers
+    "eval_",      # eval_rag_comparison's graph side reads chunk_entities
 )
 
 
