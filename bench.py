@@ -121,8 +121,10 @@ HEADLINE = [
     "events_kmv_distinct",
     "doc_winnowing_fingerprints",
     "doc_winnowing_overlap",
-    # round-10 addition: the vector-RAG vs graph-RAG retrieval comparison
+    # round-10 additions: the vector-RAG vs graph-RAG retrieval comparison
+    # and the composed IVF-PQ ANN tier
     "eval_rag_comparison",
+    "ann_ivf_pq_topk",
 ]
 
 

@@ -1578,3 +1578,158 @@ def ann_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse partition pruning composed with ADC code scanning
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ann_ivf_pq_topk",
+    oracle=f"""
+    WITH {_DUCK_EMB},
+    comp AS (
+      SELECT label, t.d, CAST(round(v[t.d] * 1000) AS BIGINT) AS xi
+      FROM e, unnest(range(1, {EMBED_DIM} + 1)) AS t(d)
+    ),
+    cent AS (
+      SELECT label, array_agg(c ORDER BY d) AS cv
+      FROM (
+        SELECT label, d, CAST(SUM(xi) AS DOUBLE) / (1000.0 * COUNT(*)) AS c
+        FROM comp GROUP BY label, d
+      ) GROUP BY label
+    ),
+    qdist AS (
+      SELECT q.qid, c.label,
+             round(list_sum(list_transform(range(1, {EMBED_DIM} + 1),
+                   i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))), 4) AS dist
+      FROM q CROSS JOIN cent c
+    ),
+    probes AS (
+      SELECT qid, label FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dist, label) AS pr
+        FROM qdist
+      ) WHERE pr <= {IVF_NPROBE}
+    ),
+    anchors(anchor_id, j) AS (VALUES {_PQ_ANCHOR_VALUES}),
+    ms(m) AS (VALUES {_PQ_MS}),
+    cb AS (
+      SELECT ms.m, a.j,
+             list_slice(e.v, ms.m * {PQ_SUBDIM} + 1, (ms.m + 1) * {PQ_SUBDIM}) AS c
+      FROM e JOIN anchors a ON e.vec_id = a.anchor_id CROSS JOIN ms
+    ),
+    sub AS (
+      SELECT vec_id, label, ms.m,
+             list_slice(v, ms.m * {PQ_SUBDIM} + 1, (ms.m + 1) * {PQ_SUBDIM}) AS sv
+      FROM e CROSS JOIN ms
+    ),
+    cand AS (
+      SELECT s.vec_id, s.label, s.m, cb.j, {_pq_sqdiff_duck('s.sv', 'cb.c')} AS d2
+      FROM sub s JOIN cb ON cb.m = s.m
+    ),
+    codes AS (
+      SELECT vec_id, label, m, j FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, j) AS rn
+        FROM cand
+      ) WHERE rn = 1
+    ),
+    qsub AS (
+      SELECT qid, ms.m,
+             list_slice(qv, ms.m * {PQ_SUBDIM} + 1, (ms.m + 1) * {PQ_SUBDIM}) AS sv
+      FROM q CROSS JOIN ms
+    ),
+    qtab AS (
+      SELECT qs.qid, cb.m, cb.j,
+             CAST(round({_pq_sqdiff_duck('qs.sv', 'cb.c')}, 6) AS DECIMAL(18,6)) AS td
+      FROM qsub qs JOIN cb ON cb.m = qs.m
+    ),
+    scored AS (
+      SELECT t.qid, c.vec_id, c.label,
+             round(CAST(SUM(t.td) AS DOUBLE), 4) AS approx_d2
+      FROM codes c
+      JOIN probes p ON p.label = c.label
+      JOIN qtab t ON t.qid = p.qid AND t.m = c.m AND t.j = c.j
+      WHERE c.vec_id <> t.qid
+      GROUP BY t.qid, c.vec_id, c.label
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY qid ORDER BY approx_d2, vec_id) AS rank
+      FROM scored
+    )
+    SELECT qid, CAST(rank AS INTEGER) AS rank, vec_id, label, approx_d2
+    FROM ranked WHERE rank <= {TOP_K}
+    ORDER BY qid, rank
+    """,
+)
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (Jégou et al., PAMI 2011 §V — the FAISS ``IVFPQ`` shape):
+    the coarse quantizer prunes the collection to each query's
+    {IVF_NPROBE} nearest partitions (ann_ivf_topk's probe selection),
+    and ONLY those partitions' PQ codes are ADC-scored (ann_pq_adc_topk's
+    table-lookup scan). The two index artifacts compose: ``ivf_centroids``
+    answers WHERE to look, ``pq_codes`` answers HOW CHEAPLY to score —
+    query cost drops from |collection|·{PQ_M} code lookups to
+    (nprobe/nlist)·|collection|·{PQ_M}, the regime production
+    billion-vector serving actually runs.
+
+    Scale shape: with codes written partitioned by coarse cell (the
+    pq_codes stage carries ``label``), the probe list is partition
+    pruning on the CODE relation — the scan reads nprobe cells of
+    4-byte codes, joins a broadcast {PQ_M}x{PQ_K} distance table, and
+    hash-aggregates {PQ_M} rows per surviving candidate. Both stage
+    seams are warm-served; cold derivation is row-identical."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cent = _ivf_centroids(spark, sf_dir)
+    qset = e.filter(F.col("vec_id").isin(*QUERY_IDS)).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    sqdiff = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    qdist = F.broadcast(qset).crossJoin(F.broadcast(cent)).select(
+        "qid", "qv", "label", F.round(sqdiff, 4).alias("dist")
+    )
+    pr = F.row_number().over(
+        W.partitionBy("qid").orderBy(F.asc("dist"), F.asc("label"))
+    )
+    probes = (
+        qdist.withColumn("pr", pr)
+        .filter(F.col("pr") <= IVF_NPROBE)
+        .select("qid", "label")
+    )
+    ms = F.array([F.lit(m) for m in range(PQ_M)])
+    cb = _pq_codebook(spark, sf_dir)
+    qsub = qset.select("qid", F.explode(ms).alias("m"), "qv").select(
+        "qid",
+        "m",
+        F.slice(F.col("qv"), F.col("m") * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sv"),
+    )
+    qtab = qsub.join(F.broadcast(cb), "m").select(
+        "qid",
+        "m",
+        "j",
+        F.round(_pq_sqdiff("sv", "c"), 6).cast("decimal(18,6)").alias("td"),
+    )
+    scored = (
+        _pq_codes(spark, sf_dir)
+        .join(F.broadcast(probes), "label")
+        .join(F.broadcast(qtab), ["qid", "m", "j"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id", "label")
+        .agg(F.round(F.sum("td").cast("double"), 4).alias("approx_d2"))
+    )
+    rank = F.row_number().over(
+        W.partitionBy("qid").orderBy(F.asc("approx_d2"), F.asc("vec_id"))
+    )
+    return (
+        scored.withColumn("rank", rank)
+        .filter(F.col("rank") <= TOP_K)
+        .select("qid", F.col("rank").cast("int"), "vec_id", "label", "approx_d2")
+        .orderBy("qid", "rank")
+    )

@@ -50,6 +50,7 @@ _REGISTRY: dict[str, Q] = {}
 _PRIORITY: tuple[str, ...] = (
     # --- New in round 10 (registered this round; first driver check):
     "eval_rag_comparison",         # vector-RAG vs graph-RAG overlap/coverage
+    "ann_ivf_pq_topk",             # IVF probe pruning composed with PQ-ADC
     # --- CHANGED in round 10 (must be re-driver-checked):
     "doc_winnowing_fingerprints",  # now served from the winnow_fps stage
     "doc_winnowing_overlap",       # same stage; inverted-index join on it
@@ -100,8 +101,7 @@ _PRIORITY: tuple[str, ...] = (
     "stream_tumbling_daily_append",
     "supplier_weekly_moving_avg",
     "table_keyset_checksums",
-    "top3_orders_per_customer",
-    "agent_paper_details",           # oldest r6 row
+    "top3_orders_per_customer",      # last r5 row: the whole r5 cohort fits
     # --- Regression guards that stay in every window
     "chunks_build",            # corpus chunker (pure-Catalyst UDTF twin)
     "kg_edges_build",          # co-occurrence one-shuffle expansion

@@ -119,6 +119,8 @@ def test_warm_warehouse_queries_equal_cold(spark, sf_dir, tmp_path, monkeypatch)
         "ann_lsh_multiprobe_topk",
         # PQ family: ADC served from the materialized pq_codes stage
         "ann_pq_adc_topk",
+        # IVF-PQ composes both index stages (ivf_centroids + pq_codes)
+        "ann_ivf_pq_topk",
         # SemDeDup family: cluster assignment from the kmeans_assign stage
         "semantic_dedup",
         "ann_recall_eval",

@@ -282,6 +282,10 @@ _BNLJ_ALLOWED = {
     "hybrid_rrf_topk": 2,        # both candidate lists carry the query vec
     "ann_brute_force_topk": 1,   # broadcast query set (tens of rows)
     "ann_ivf_topk": 1,           # broadcast probe centroids (nprobe rows)
+    "ann_ivf_pq_topk": 1,        # same probe-selection cross (q × nlist cent)
+    "eval_rag_comparison": 3,    # the |Q|-row (3) question-vector broadcast
+                                 # cross; the vtop subtree re-instantiates
+                                 # per report branch (counts/overlap/coverage)
     "dedup_simhash": 2,          # broadcast band index (4 rows)
     "kg_triangle_stats": 1,        # 1-row wedge total × 1-row triangle count
     "national_supplier_share": 1,  # 1-row global balance total

@@ -20,8 +20,9 @@ DRIVER_WINDOW = 50
 # lands, and (b) the window refreshes the stalest driver rows (r1/r4
 # vintage) plus the permanent regression-guard core.
 REFERENCE_PARITY = [
-    # new in round 10 — first driver check the round it lands
+    # new in round 10 — first driver check the round they land
     "eval_rag_comparison",
+    "ann_ivf_pq_topk",
     # changed in round 10 — re-driver-check
     "doc_winnowing_fingerprints",  # served from the winnow_fps stage
     "doc_winnowing_overlap",
