@@ -222,3 +222,42 @@ def test_build_report_carries_observed_metrics(spark, sf_dir, tmp_path):
     for name, entry in again.items():
         assert entry["skipped"] is True
         assert "rows_written" not in entry, name
+
+
+def test_parallel_build_failure_propagates_and_resume_completes(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """A failing stage must fail the DAG build loudly (no swallowed
+    futures), while independent stages that already ran keep their
+    checkpoints — so a resume after the fix finishes only the missing
+    work. This is the operational contract of the parallel scheduler:
+    crash-then-resume never rebuilds completed stages."""
+    import pytest
+
+    from cs_5542_lab_6_spark.pipeline import ingest as I
+
+    out = str(tmp_path / "corpus")
+    boom = RuntimeError("stage exploded")
+
+    def failing_builder(spark, sf_dir):
+        raise boom
+
+    # sabotage a LATE, depended-upon stage so upstreams land first
+    stages = tuple(
+        (n, failing_builder if n == "bm25_postings" else b, p)
+        for n, b, p in I.STAGES
+    )
+    monkeypatch.setattr(I, "STAGES", stages)
+    with pytest.raises(RuntimeError, match="stage exploded"):
+        build_corpus(spark, sf_dir, out, resume=False)
+
+    # stages with no path through the failure still checkpointed
+    assert I._has_checkpoint(os.path.join(out, "papers"))
+    assert not I._has_checkpoint(os.path.join(out, "bm25_postings"))
+
+    # un-sabotage; resume completes only the missing stages
+    monkeypatch.undo()
+    report = build_corpus(spark, sf_dir, out, resume=True)
+    assert all(v["status"] == "OK" for v in report.values())
+    assert report["papers"]["skipped"] is True
+    assert report["bm25_postings"]["skipped"] is False
