@@ -57,10 +57,9 @@ TOOL_SCHEMAS: list[dict[str, Any]] = [
     {
         "name": "search_papers",
         "description": (
-            "Search research papers using semantic vector similarity. "
-            "Use this tool first for any question about research topics, "
-            "methods, findings, or concepts. Returns the most relevant "
-            "text chunks from the paper corpus."
+            "Embedding-based retrieval over the paper corpus: returns "
+            "the text chunks closest to the query by cosine similarity. "
+            "Call this first for content questions."
         ),
         "parameters": {
             "type": "object",
@@ -81,8 +80,8 @@ TOOL_SCHEMAS: list[dict[str, Any]] = [
     {
         "name": "get_paper_details",
         "description": (
-            "Fetch full metadata for a specific paper by its ID. Use when "
-            "a paper_id from search_papers results needs more detail."
+            "Look up one paper's full metadata row by paper_id (ids come "
+            "from search_papers results)."
         ),
         "parameters": {
             "type": "object",
@@ -98,9 +97,8 @@ TOOL_SCHEMAS: list[dict[str, Any]] = [
     {
         "name": "search_knowledge_graph",
         "description": (
-            "Find related entities and relationships in the knowledge "
-            "graph. Use for questions about connections between concepts "
-            "or what entities co-occur in papers."
+            "1-hop co-occurrence neighborhood lookup in the entity graph "
+            "— for how-are-X-and-Y-connected style questions."
         ),
         "parameters": {
             "type": "object",
@@ -122,8 +120,8 @@ TOOL_SCHEMAS: list[dict[str, Any]] = [
     {
         "name": "summarize_context",
         "description": (
-            "Summarize retrieved chunks into a final answer for the "
-            "user's question. Always call this after search_papers."
+            "Render the retrieved chunks into the final cited answer; "
+            "the mandatory step after retrieval."
         ),
         "parameters": {
             "type": "object",
