@@ -441,3 +441,20 @@ def test_entity_dedup_token_stream_hash_aggregates(spark, sf_dir):
     # stage 2's SortAggregate carries the min_by only — keyed WITHOUT the
     # raw token, i.e. it runs on the deduped relation
     assert sort_lines and all("min_by" in ln for ln in sort_lines), plan
+
+
+def test_round10_plans(spark, sf_dir):
+    """Round-10 family plan discipline. IVF-PQ: the code relation joins
+    BROADCAST probes and a BROADCAST distance table — a SortMergeJoin
+    would shuffle the (100 TB-scale) code relation against index-sized
+    sides; the cosine-era raw-vector scan must not appear past the
+    probe-selection cross (scoring reads only codes). The RAG eval's
+    corpus-scale relations (chunks scan, kg_map bridge) likewise join
+    only broadcast question/seed sides."""
+    plan = plan_of(spark, sf_dir, "ann_ivf_pq_topk")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    plan = plan_of(spark, sf_dir, "eval_rag_comparison")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
