@@ -166,16 +166,26 @@ def _scale_stress(spark, queries) -> dict[str, float]:
         # min of 2 runs: a single run's ratio swung 4.4x-13x across bench
         # invocations purely on host noise; the per-factor minimum is the
         # least-contaminated estimate of true cost
-        runs = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            _noop_materialize(queries["kg_edges_build"](spark, scaled_dir))
-            runs.append(round(time.perf_counter() - t0, 4))
-            clear_caches(spark)
-        out[f"kg_edges_build_cold_{factor}x"] = min(runs)
+        for qname in ("kg_edges_build", "dedup_minhash_lsh"):
+            runs = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                _noop_materialize(queries[qname](spark, scaled_dir))
+                runs.append(round(time.perf_counter() - t0, 4))
+                clear_caches(spark)
+            out[f"{qname}_cold_{factor}x"] = min(runs)
         shutil.rmtree(scaled_dir, ignore_errors=True)
     out["ratio"] = round(
         out[f"kg_edges_build_cold_{SCALE_FACTOR}x"] / out["kg_edges_build_cold_1x"], 2
+    )
+    # the banded-LSH pair: candidate generation must stay band-join-bounded
+    # under replication, never drift toward the all-pairs quadratic (a 10x
+    # corpus with 10x the dup groups has ~10x the TRUE pairs, so a healthy
+    # ratio sits near the data growth, nowhere near 100x)
+    out["dedup_ratio"] = round(
+        out[f"dedup_minhash_lsh_cold_{SCALE_FACTOR}x"]
+        / out["dedup_minhash_lsh_cold_1x"],
+        2,
     )
     return out
 
