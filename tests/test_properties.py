@@ -706,3 +706,57 @@ def test_bpe_hybrid_cutover_runs_constant_spark_jobs(spark, sf_dir):
     assert n50 == n5
     assert len(m50) > len(m5)
     assert m50[: len(m5)] == m5
+
+
+def _py_winnow(text: str):
+    """Sequential replica of winnow_fps_build's per-document selection:
+    word 3-gram 31-bit hashes, window w, rightmost-minimum rule."""
+    from cs_5542_lab_6_spark.operators.textstats import WINNOW_K, WINNOW_W
+
+    toks = text.lower().split()
+    grams = (
+        [" ".join(toks[i : i + WINNOW_K]) for i in range(len(toks) - WINNOW_K + 1)]
+        if len(toks) >= WINNOW_K
+        else []
+    )
+    g = [_py_token_hash60(x) % HASH_P for x in grams]
+    n = len(g)
+    sels: list[int] = []
+    if n:
+        for j in range(1, max(n - WINNOW_W + 1, 1) + 1):  # 1-based windows
+            wend = min(j + WINNOW_W - 1, n)
+            lo = min(g[p - 1] for p in range(j, wend + 1))
+            sels.append(max(p for p in range(j, wend + 1) if g[p - 1] == lo))
+    sels = sorted(set(sels))
+    return n, sels, [g[p - 1] for p in sels]
+
+
+@PROP
+@given(
+    st.lists(
+        st.lists(st.sampled_from("ab cd ef gh".split()), min_size=0, max_size=24)
+        .map(" ".join),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_winnowing_stage_matches_python_replica(spark, texts):
+    """winnow_fps_build's selection is bit-identical to the sequential
+    MOSS rule — including the rightmost-minimum tiebreak the encoded
+    integer argmin implements, short documents (< k words → empty), and
+    repeated grams (the 4-word alphabet forces constant hash ties)."""
+    import tempfile
+
+    from cs_5542_lab_6_spark.operators.textstats import winnow_fps_build
+
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        [(i, t, "en", "srcX", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = {
+        r["doc_id"]: (r["n_grams"], list(r["sels"]), list(r["fps"]))
+        for r in winnow_fps_build(spark, d).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _py_winnow(t), (i, t)
