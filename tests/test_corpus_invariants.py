@@ -158,3 +158,16 @@ def test_contrastive_pairs_margin_and_disjointness(spark, sf_dir):
             )
         for r in roles["rand_neg"]:
             assert r["vec_id"] not in truth[qid]
+
+
+def test_semantic_dedup_salting_is_output_invisible(spark, sf_dir, monkeypatch):
+    """The (cluster, vec_id % SALT) salted pair join exists purely to
+    split the K hot cluster keys across more shuffle partitions — the
+    pair set, keeper choices, and cosines must be identical to the
+    unsalted join (salt fan-out 1)."""
+    from cs_5542_lab_6_spark.operators import similarity as S
+
+    salted = sorted(map(tuple, S.semantic_dedup(spark, sf_dir).collect()))
+    monkeypatch.setattr(S, "SEMDEDUP_SALT", 1)
+    unsalted = sorted(map(tuple, S.semantic_dedup(spark, sf_dir).collect()))
+    assert salted == unsalted and salted
