@@ -187,6 +187,41 @@ def _scale_stress(spark, queries) -> dict[str, float]:
         / out["dedup_minhash_lsh_cold_1x"],
         2,
     )
+
+    # duplicate-dense pair (r10 verdict item 2): 500 docs replicated 10x
+    # vs 50x — identical text, so every (band, sig) bucket's membership
+    # multiplies with the factor. The 10x run sits just UNDER
+    # LSH_BUCKET_CAP (buckets of 10-30 -> ~93k pairwise candidates, the
+    # quadratic regime at its allowed maximum); at 50x every bucket is
+    # over the cap and emission short-circuits to star contraction
+    # (~98k linear candidates vs the ~2.5M an uncapped join would emit —
+    # dedup_lsh_bucket_audit reports exactly these counts). Candidate
+    # volume is therefore nearly EQUAL across the pair, and a healthy
+    # dense_ratio sits near 1x despite 5x the data; ~25x means the cap
+    # stopped binding (quadratic blow-up is back).
+    base = load_table(spark, SF_DIR, "documents").where(F.col("doc_id") < 500)
+    for factor in (10, 50):
+        dense_dir = f"/tmp/spark_graft_dense{factor}"
+        shutil.rmtree(dense_dir, ignore_errors=True)
+        replicas = spark.range(factor).select(F.col("id").alias("replica"))
+        (
+            base.crossJoin(F.broadcast(replicas))
+            .withColumn("doc_id", F.col("doc_id") + F.col("replica") * F.lit(10000))
+            .drop("replica")
+            .write.mode("overwrite")
+            .parquet(f"{dense_dir}/documents.parquet")
+        )
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _noop_materialize(queries["dedup_minhash_lsh"](spark, dense_dir))
+            runs.append(round(time.perf_counter() - t0, 4))
+            clear_caches(spark)
+        out[f"dedup_minhash_lsh_dense_{factor}x"] = min(runs)
+        shutil.rmtree(dense_dir, ignore_errors=True)
+    out["dense_ratio"] = round(
+        out["dedup_minhash_lsh_dense_50x"] / out["dedup_minhash_lsh_dense_10x"], 2
+    )
     return out
 
 

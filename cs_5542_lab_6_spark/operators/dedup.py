@@ -277,6 +277,26 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _ROWS_PER_BAND = MINHASH_PERMS // MINHASH_BANDS
+
+# Hot-bucket ceiling for the LSH candidate join. A (band, sig) bucket of
+# B documents emits B(B-1)/2 pairwise candidates — fine for the tight
+# buckets minhash banding normally produces, quadratic on a
+# boilerplate-heavy shard where thousands of near-identical documents
+# share a full band signature (the classic 100-TB dedup failure; the
+# reference's own corpus produced 25M edges from exactly this blow-up,
+# reproducibility/README.md:159). Buckets over the ceiling short-circuit
+# to STAR CONTRACTION: every member pairs with the bucket's minimum
+# doc_id only (B-1 candidates, linear), which preserves component
+# connectivity for clustering — all members shared a full band
+# signature, so provisionally chaining them through one hub is the
+# right contraction, and exact-Jaccard verification still runs on every
+# emitted candidate. The ceiling (32) sits above the largest natural
+# bucket in any fixture (20 at sf0.1), so fixture results are
+# byte-identical with or without the guard; the duplicate-dense bench
+# stress corpus (documents replicated 10-50x -> buckets of 50-1000)
+# is where it binds. dedup_lsh_bucket_audit reports how often.
+LSH_BUCKET_CAP = 32
+
 _DUCK_MINHASH_COLS = ",\n             ".join(
     f"MIN(({_MH_A[i]} * xs + {_MH_B[i]}) % {HASH_P}) AS h{i}"
     for i in range(MINHASH_PERMS)
@@ -294,6 +314,83 @@ _DUCK_BAND_SIG = (
 )
 
 
+# Shared oracle fragment: band buckets -> capped candidate pairs.
+# Small buckets (<= LSH_BUCKET_CAP) emit all pairs; hot buckets emit the
+# star contraction (bucket-min hub) — identical rule in the Spark plan.
+_DUCK_CAPPED_CAND = f"""bsz AS (
+  SELECT band, sig, COUNT(*) AS bn, MIN(doc_id) AS bmin
+  FROM bands GROUP BY band, sig
+),
+sized AS (
+  SELECT b.doc_id, b.band, b.sig, z.bn, z.bmin
+  FROM bands b JOIN bsz z ON b.band = z.band AND b.sig = z.sig
+),
+cand0 AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sized a JOIN sized b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+  WHERE a.bn <= {LSH_BUCKET_CAP}
+  UNION ALL
+  SELECT bmin AS doc_a, doc_id AS doc_b
+  FROM sized WHERE bn > {LSH_BUCKET_CAP} AND doc_id <> bmin
+)"""
+
+
+def _lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band, sig): one row per document per LSH band; ``sig`` is
+    the band's _ROWS_PER_BAND minhash values as an int array. One
+    narrow explode over the signature relation — no shuffle."""
+    mh = _doc_minhash(spark, sf_dir)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.array(
+                    *[
+                        F.col(f"h{i}")
+                        for i in range(j * _ROWS_PER_BAND, (j + 1) * _ROWS_PER_BAND)
+                    ]
+                ).alias("sig"),
+            )
+            for j in range(MINHASH_BANDS)
+        ]
+    )
+    return mh.select("doc_id", F.explode(band_structs).alias("bs")).select(
+        "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+
+
+def _lsh_bucket_stats(bands: DataFrame) -> DataFrame:
+    """Per-(band, sig) bucket accounting: member count + minimum doc_id
+    (the star hub when the bucket is over LSH_BUCKET_CAP)."""
+    return bands.groupBy("band", "sig").agg(
+        F.count("*").alias("bn"), F.min("doc_id").alias("bmin")
+    )
+
+
+def _lsh_capped_candidates(bands: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) candidate pairs, one row per band co-occurrence,
+    with the LSH_BUCKET_CAP hot-bucket guard: buckets at or under the
+    ceiling emit all pairs (the classic banded-LSH join); hot buckets
+    emit the linear star contraction off the bucket-min hub instead.
+    Mirrors _DUCK_CAPPED_CAND exactly. ``bn`` is a bucket property, so
+    filtering both join sides is equivalent to the oracle's one-sided
+    WHERE — it just prunes the shuffle earlier."""
+    sized = bands.join(_lsh_bucket_stats(bands), ["band", "sig"])
+    small = sized.where(F.col("bn") <= LSH_BUCKET_CAP)
+    sa, sb = small.alias("ca"), small.alias("cb")
+    pairwise = sa.join(
+        sb,
+        (F.col("ca.band") == F.col("cb.band"))
+        & (F.col("ca.sig") == F.col("cb.sig"))
+        & (F.col("ca.doc_id") < F.col("cb.doc_id")),
+    ).select(F.col("ca.doc_id").alias("doc_a"), F.col("cb.doc_id").alias("doc_b"))
+    star = sized.where(
+        (F.col("bn") > LSH_BUCKET_CAP) & (F.col("doc_id") != F.col("bmin"))
+    ).select(F.col("bmin").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    return pairwise.unionByName(star)
+
+
 @query(
     "dedup_minhash_lsh",
     oracle=f"""
@@ -306,11 +403,10 @@ _DUCK_BAND_SIG = (
       SELECT doc_id, b.band, {_DUCK_BAND_SIG} AS sig
       FROM mh, (SELECT unnest(range(0, {MINHASH_BANDS})) AS b) b(band)
     ),
+    {_DUCK_CAPPED_CAND},
     cand AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
-      FROM bands a JOIN bands b
-        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
+      SELECT doc_a, doc_b, COUNT(*) AS n_bands
+      FROM cand0 GROUP BY doc_a, doc_b
     ),
     verified AS (
       SELECT c.doc_a, c.doc_b, c.n_bands, COUNT(*) AS n_inter
@@ -340,38 +436,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     regardless of document size, the bucket join is an equi-join on
     (band, signature), and verification touches only the candidate set.
     The banding math (r=4, b=4): P(candidate) = 1-(1-j⁴)⁴ ≈ .88 at j=.8,
-    .04 at j=.3 — high-similarity recall with a small candidate set."""
+    .04 at j=.3 — high-similarity recall with a small candidate set.
+
+    Buckets over LSH_BUCKET_CAP short-circuit to star contraction (see
+    the constant's comment): pair emission is linear in bucket size even
+    on a boilerplate-heavy shard, and ``dedup_lsh_bucket_audit`` reports
+    every capped bucket. The ceiling exceeds the largest natural fixture
+    bucket, so fixture outputs are identical with or without the guard."""
     sh = _doc_shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    mh = _doc_minhash(spark, sf_dir)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("band"),
-                F.array(
-                    *[
-                        F.col(f"h{i}")
-                        for i in range(j * _ROWS_PER_BAND, (j + 1) * _ROWS_PER_BAND)
-                    ]
-                ).alias("sig"),
-            )
-            for j in range(MINHASH_BANDS)
-        ]
-    )
-    bands = mh.select(
-        "doc_id", F.explode(band_structs).alias("bs")
-    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
-    ba, bb = bands.alias("ba"), bands.alias("bb")
+    bands = _lsh_bands(spark, sf_dir)
     cand = (
-        ba.join(
-            bb,
-            (F.col("ba.band") == F.col("bb.band"))
-            & (F.col("ba.sig") == F.col("bb.sig"))
-            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
-        )
-        .groupBy(
-            F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b")
-        )
+        _lsh_capped_candidates(bands)
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_bands"))
     )
     sha_, shb = sh.alias("sa"), sh.alias("sb")
@@ -398,6 +475,66 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_lsh_bucket_audit",
+    oracle=f"""
+    WITH {_DUCK_SHINGLES_CTE},
+    mh AS (
+      SELECT doc_id, {_DUCK_MINHASH_COLS}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, b.band, {_DUCK_BAND_SIG} AS sig
+      FROM mh, (SELECT unnest(range(0, {MINHASH_BANDS})) AS b) b(band)
+    ),
+    bsz AS (SELECT band, sig, COUNT(*) AS bn FROM bands GROUP BY band, sig)
+    SELECT {LSH_BUCKET_CAP} AS bucket_cap,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(CASE WHEN bn > {LSH_BUCKET_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_capped_buckets,
+           CAST(SUM(CASE WHEN bn > {LSH_BUCKET_CAP} THEN bn ELSE 0 END) AS BIGINT)
+             AS docs_in_capped,
+           CAST(SUM(CASE WHEN bn <= {LSH_BUCKET_CAP} THEN bn * (bn - 1) // 2 ELSE 0 END) AS BIGINT)
+             AS pairwise_candidates,
+           CAST(SUM(CASE WHEN bn > {LSH_BUCKET_CAP} THEN bn - 1 ELSE 0 END) AS BIGINT)
+             AS star_candidates,
+           CAST(SUM(CASE WHEN bn > {LSH_BUCKET_CAP} THEN bn * (bn - 1) // 2 - (bn - 1) ELSE 0 END) AS BIGINT)
+             AS candidates_avoided
+    FROM bsz
+    """,
+)
+def dedup_lsh_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accounting row for the LSH_BUCKET_CAP hot-bucket guard — the
+    "no silent truncation" contract: how many (band, sig) buckets
+    exist, how many exceeded the ceiling (and so short-circuited to
+    star contraction in ``dedup_minhash_lsh``), how many documents sat
+    in them, and how many quadratic candidate pairs the cap converted
+    into linear star edges. Zero capped buckets on the natural fixtures
+    (ceiling chosen above the largest natural bucket); the bench's
+    duplicate-dense replicated corpus is where the counts move."""
+    capped = F.col("bn") > LSH_BUCKET_CAP
+    all_pairs = F.expr("bn * (bn - 1) DIV 2")
+    return _lsh_bucket_stats(_lsh_bands(spark, sf_dir)).agg(
+        F.lit(LSH_BUCKET_CAP).alias("bucket_cap"),
+        F.count("*").alias("n_buckets"),
+        F.sum(F.when(capped, F.lit(1)).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_capped_buckets"),
+        F.sum(F.when(capped, F.col("bn")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("docs_in_capped"),
+        F.sum(F.when(~capped, all_pairs).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("pairwise_candidates"),
+        F.sum(F.when(capped, F.col("bn") - 1).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("star_candidates"),
+        F.sum(F.when(capped, all_pairs - (F.col("bn") - 1)).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("candidates_avoided"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # 3b. Near-dup clustering (connected components over candidate pairs)
 # ---------------------------------------------------------------------------
@@ -414,11 +551,9 @@ bands AS (
   SELECT doc_id, b.band, {{band_sig}} AS sig
   FROM mh, (SELECT unnest(range(0, {MINHASH_BANDS})) AS b) b(band)
 ),
+{{capped_cand}},
 cand AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
+  SELECT doc_a, doc_b FROM cand0 GROUP BY doc_a, doc_b
 ),
 verified AS (
   SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
@@ -566,6 +701,7 @@ _CLUSTERS_ORACLE = (
         shingles=_DUCK_SHINGLES_CTE,
         mh_cols=_DUCK_MINHASH_COLS,
         band_sig=_DUCK_BAND_SIG,
+        capped_cand=_DUCK_CAPPED_CAND,
     )
     + """
     , edges AS (

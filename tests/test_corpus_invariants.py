@@ -171,3 +171,55 @@ def test_semantic_dedup_salting_is_output_invisible(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(S, "SEMDEDUP_SALT", 1)
     unsalted = sorted(map(tuple, S.semantic_dedup(spark, sf_dir).collect()))
     assert salted == unsalted and salted
+
+
+def test_lsh_hot_bucket_cap_is_linear_and_preserves_components(
+    spark, sf_dir, tmp_path
+):
+    """Duplicate-dense corpus (30 docs replicated 40x with shifted ids,
+    identical text): every (band, sig) bucket's membership multiplies by
+    40, pushing it over LSH_BUCKET_CAP. The guard must (a) surface the
+    capped buckets in dedup_lsh_bucket_audit — no silent truncation,
+    (b) emit exactly linear star candidates (docs_in_capped minus one hub
+    per bucket) instead of quadratic pairs, and (c) keep every
+    replica family (exact dups by construction) in ONE connected
+    component — star contraction through the bucket-min hub preserves
+    connectivity."""
+    from cs_5542_lab_6_spark.operators import dedup as D
+    from cs_5542_lab_6_spark.session import clear_caches
+    from cs_5542_lab_6_spark.sources.tables import load_table
+
+    factor, n_docs = 40, 30
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < n_docs)
+    reps = spark.range(factor).select(F.col("id").alias("replica"))
+    dense_dir = str(tmp_path / "dense")
+    (
+        docs.crossJoin(F.broadcast(reps))
+        .withColumn("doc_id", F.col("doc_id") + F.col("replica") * F.lit(1000))
+        .drop("replica")
+        .write.mode("overwrite")
+        .parquet(f"{dense_dir}/documents.parquet")
+    )
+    try:
+        audit = D.dedup_lsh_bucket_audit(spark, dense_dir).collect()[0]
+        assert audit["n_capped_buckets"] > 0
+        assert audit["candidates_avoided"] > 0
+        assert (
+            audit["star_candidates"]
+            == audit["docs_in_capped"] - audit["n_capped_buckets"]
+        )
+
+        pairs = D.minhash_pairs(spark, dense_dir)
+        labels = D.star_components(
+            pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
+        )
+        split_families = (
+            labels.withColumn("orig", F.col("node") % F.lit(1000))
+            .groupBy("orig")
+            .agg(F.count_distinct("lbl").alias("k"), F.count("*").alias("m"))
+            .where((F.col("k") > 1) | (F.col("m") < factor))
+            .count()
+        )
+        assert split_families == 0
+    finally:
+        clear_caches(spark)
