@@ -1300,6 +1300,7 @@ PQ_SUBDIM = EMBED_DIM // PQ_M  # dims per subspace
 # ivf_centroids). All ids exist at every fixture SF and avoid QUERY_IDS.
 PQ_ANCHORS = (11, 23, 37, 53, 67, 89, 101, 113, 131, 149, 163, 179, 197, 211, 229, 241)
 PQ_K = len(PQ_ANCHORS)
+PQ_SCALE = 1000  # fixed-point factor for Lloyd training (KMEANS_SCALE twin)
 
 _PQ_ANCHOR_VALUES = ", ".join(f"({a}, {j})" for j, a in enumerate(PQ_ANCHORS))
 _PQ_MS = ", ".join(f"({m})" for m in range(PQ_M))
@@ -1387,6 +1388,179 @@ def _pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_codes_build(spark, sf_dir)
 
 
+# --- trained PQ codebook (per-subspace Lloyd, exact-integer arithmetic) ----
+
+PQ_TRAIN_ROUNDS = 2  # Lloyd refinement rounds beyond the anchor seed
+PQ_TRAIN_MOD = 10    # deterministic training sample: vec_id % MOD == 0
+
+
+def pq_codes_for(spark: SparkSession, sf_dir: str, cb: DataFrame) -> DataFrame:
+    """Encode the whole collection against an arbitrary (m, j, c)
+    codebook relation — the parametrized core of ``pq_codes_build``
+    (anchor-sampled codebook) reused by the trained-codebook branch of
+    ``ann_pq_recall_eval``. One narrow explode + broadcast codebook
+    join + per-(vec, m) argmin; identical tie-break (d2, then j) in the
+    oracles."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    ms = F.array([F.lit(m) for m in range(PQ_M)])
+    sub = e.select("vec_id", "label", F.explode(ms).alias("m"), "v").select(
+        "vec_id",
+        "label",
+        "m",
+        F.slice(F.col("v"), F.col("m") * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sv"),
+    )
+    cand = sub.join(F.broadcast(cb), "m").select(
+        "vec_id", "label", "m", "j", _pq_sqdiff("sv", "c").alias("d2")
+    )
+    best = cand.groupBy("vec_id", "label", "m").agg(
+        F.min(F.struct("d2", "j")).alias("b")
+    )
+    return best.select("vec_id", "label", "m", F.col("b.j").alias("j"))
+
+
+def pq_codebook_train_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained PQ codebook (warehouse stage ``pq_codebook``): per-subspace
+    Lloyd — PQ_TRAIN_ROUNDS exact-integer k-means rounds per subspace,
+    seeded from the anchor codebook and trained on the deterministic
+    ``vec_id % PQ_TRAIN_MOD == 0`` sample. Returns (m, j, c) with the
+    same shape as the sampled ``_pq_codebook``, so it drops into every
+    ADC consumer unchanged.
+
+    Engine-exact by the ``embedding_kmeans`` recipe (similarity.py:555):
+    fixed-point coordinates (round(x*1000) as BIGINT), integer squared
+    distances, argmin tie-broken on j, centroid update by integer
+    truncating division, empty clusters carrying the previous round's
+    centroid — no float accumulation anywhere until the final /1000.0.
+
+    Scale shape: training points live long-form (vec_id, m, dim, val);
+    each round is one broadcast join against the PQ_M*PQ_K*PQ_SUBDIM-row
+    centroid relation + two map-side-combinable aggs. Training cost is
+    |sample|-bounded, never |collection| — at 100 TB you train on a
+    fixed sample and only the one-off ENCODE pass touches every row."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    ms = F.array([F.lit(m) for m in range(PQ_M)])
+    sub = e.select("vec_id", F.explode(ms).alias("m"), "v").select(
+        "vec_id",
+        "m",
+        F.posexplode(
+            F.slice(F.col("v"), F.col("m") * PQ_SUBDIM + 1, PQ_SUBDIM)
+        ).alias("dim", "x"),
+    ).select(
+        "vec_id",
+        "m",
+        "dim",
+        F.round(F.col("x") * PQ_SCALE).cast("long").alias("val"),
+    )
+    tr = sub.filter(F.col("vec_id") % PQ_TRAIN_MOD == 0)
+    anchors = spark.createDataFrame(
+        [(a, j) for j, a in enumerate(PQ_ANCHORS)], schema="anchor_id long, j int"
+    )
+    cb = (
+        sub.join(F.broadcast(anchors), sub.vec_id == F.col("anchor_id"))
+        .select("m", "j", "dim", F.col("val").alias("cval"))
+    )
+    # cut the shared training scan once; every round re-joins it
+    tr = tr.localCheckpoint(eager=True)
+    cb = cb.localCheckpoint(eager=True)
+    for _ in range(PQ_TRAIN_ROUNDS):
+        d = (
+            tr.join(F.broadcast(cb), ["m", "dim"])
+            .withColumn(
+                "sq", (F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))
+            )
+            .groupBy("vec_id", "m", "j")
+            .agg(F.sum("sq").alias("dist"))
+        )
+        best = (
+            d.groupBy("vec_id", "m")
+            .agg(F.min(F.struct("dist", "j")).alias("b"))
+            .select("vec_id", "m", F.col("b.j").alias("j"))
+        )
+        upd = (
+            best.join(tr, ["vec_id", "m"])
+            .groupBy("m", "j", "dim")
+            .agg(F.expr("sum(val) div count(*)").alias("ucval"))
+        )
+        cb = (
+            cb.join(upd, ["m", "j", "dim"], "left")
+            .select(
+                "m",
+                "j",
+                "dim",
+                F.coalesce("ucval", "cval").alias("cval"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cb.groupBy("m", "j").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "cval"))),
+            lambda s: s["cval"] / F.lit(float(PQ_SCALE)),
+        ).alias("c")
+    )
+
+
+def _pq_codebook_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(m, j, c): the ``pq_codebook`` warehouse checkpoint when warm, the
+    per-subspace Lloyd training otherwise — deterministic either way."""
+    from ..pipeline.corpus import _warm_path
+
+    p = _warm_path(sf_dir, "pq_codebook", spark)
+    if p:
+        return spark.read.parquet(p)
+    return pq_codebook_train_build(spark, sf_dir)
+
+
+def _duck_trained_codebook_ctes() -> str:
+    """DuckDB twin of pq_codebook_train_build, ending in
+    ``tcb(m, j, c)`` — PQ_TRAIN_ROUNDS unrolled Lloyd rounds over the
+    fixed-point training sample, anchor-seeded, empty clusters carried."""
+    rounds = []
+    prev = "tcb0"
+    for r in range(1, PQ_TRAIN_ROUNDS + 1):
+        rounds.append(f"""
+    asg{r}_d AS (
+      SELECT p.vec_id, p.m, c.j, SUM((p.val - c.cval) * (p.val - c.cval)) AS dist
+      FROM trn p JOIN {prev} c ON p.m = c.m AND p.dim = c.dim
+      GROUP BY p.vec_id, p.m, c.j
+    ),
+    asg{r} AS (
+      SELECT vec_id, m, j FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, j) AS rn
+        FROM asg{r}_d
+      ) WHERE rn = 1
+    ),
+    upd{r} AS (
+      SELECT a.m, a.j, p.dim, SUM(p.val) // COUNT(*) AS ucval
+      FROM asg{r} a JOIN trn p ON p.vec_id = a.vec_id AND p.m = a.m
+      GROUP BY a.m, a.j, p.dim
+    ),
+    tcb{r} AS (
+      SELECT c.m, c.j, c.dim, COALESCE(u.ucval, c.cval) AS cval
+      FROM {prev} c LEFT JOIN upd{r} u
+        ON u.m = c.m AND u.j = c.j AND u.dim = c.dim
+    )""")
+        prev = f"tcb{r}"
+    return f"""
+    subpts AS (
+      SELECT vec_id, ms.m, t.i AS dim,
+             CAST(round(v[ms.m * {PQ_SUBDIM} + t.i + 1] * {PQ_SCALE}) AS BIGINT) AS val
+      FROM e CROSS JOIN ms, unnest(range(0, {PQ_SUBDIM})) AS t(i)
+    ),
+    trn AS (SELECT * FROM subpts WHERE vec_id % {PQ_TRAIN_MOD} = 0),
+    tcb0 AS (
+      SELECT s.m, a.j, s.dim, s.val AS cval
+      FROM subpts s JOIN anchors a ON s.vec_id = a.anchor_id
+    ),{",".join(rounds)},
+    tcb AS (
+      SELECT m, j, list_transform(array_agg(cval ORDER BY dim), x -> x / {PQ_SCALE}.0) AS c
+      FROM {prev} GROUP BY m, j
+    )"""
+
+
 @query(
     "ann_pq_adc_topk",
     oracle=f"""
@@ -1460,12 +1634,23 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-aggregates {PQ_M} rows per vector — a narrow shuffle-free scan
     of the codes plus one TakeOrdered. The codebook itself broadcasts
     at {PQ_M * PQ_K} rows."""
+    return pq_adc_topk_for(
+        spark, sf_dir, _pq_codebook(spark, sf_dir), _pq_codes(spark, sf_dir)
+    )
+
+
+def pq_adc_topk_for(
+    spark: SparkSession, sf_dir: str, cb: DataFrame, codes: DataFrame
+) -> DataFrame:
+    """ADC top-k scoring parametrized over the (codebook, codes) pair —
+    the registered ``ann_pq_adc_topk`` passes the anchor-sampled
+    artifacts; ``ann_pq_recall_eval``'s trained branch passes the
+    Lloyd-trained codebook plus its re-encode. Identical scoring plan
+    either way (broadcast distance table, code-scan hash-agg)."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     ms = F.array([F.lit(m) for m in range(PQ_M)])
-    cb = _pq_codebook(spark, sf_dir)
-    codes = _pq_codes(spark, sf_dir)
     qsub = (
         e.filter(F.col("vec_id").isin(*QUERY_IDS))
         .select(F.col("vec_id").alias("qid"), F.explode(ms).alias("m"), "v")
@@ -1495,88 +1680,6 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("qid", F.col("rank").cast("int"), "vec_id", "label", "approx_d2")
         .orderBy("qid", "rank")
-    )
-
-
-# ---------------------------------------------------------------------------
-# PQ recall against the exact L2 ranking (metric-matched truth)
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "ann_pq_recall_eval",
-    oracle=f"""
-    WITH {_DUCK_EMB},
-    l2 AS (
-      SELECT q.qid, e.vec_id,
-             round(list_sum(list_transform(range(1, {EMBED_DIM} + 1),
-                   i -> (q.qv[i] - e.v[i]) * (q.qv[i] - e.v[i]))), 4) AS d2
-      FROM q JOIN e ON e.vec_id <> q.qid
-    ),
-    truth AS (
-      SELECT qid, vec_id FROM (
-        SELECT *, row_number() OVER (PARTITION BY qid ORDER BY d2, vec_id) AS rank
-        FROM l2
-      ) WHERE rank <= {TOP_K}
-    ),
-    pq AS (SELECT qid, vec_id FROM ({_ann_sub("ann_pq_adc_topk")}) t)
-    SELECT t.qid, 'pq_adc' AS method,
-           CAST(COUNT(p.vec_id) AS BIGINT) AS n_hits,
-           round(CAST(COUNT(p.vec_id) AS DOUBLE) / {TOP_K}, 4) AS recall_at_k
-    FROM truth t LEFT JOIN pq p ON t.qid = p.qid AND t.vec_id = p.vec_id
-    GROUP BY t.qid
-    ORDER BY t.qid
-    """,
-)
-def ann_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@{TOP_K} of the PQ-ADC tier against the EXACT squared-L2
-    ranking — metric-matched truth (ADC approximates L2 distance, so
-    scoring it against the cosine truth of ann_recall_eval would
-    conflate quantization error with the metric gap). This is the
-    codebook-quality dial: sampled codebooks set the floor, a trained
-    codebook raises recall through the same seam without touching the
-    query.
-
-    Scale shape: identical to ann_recall_eval — truth on the fixed
-    query sample, candidate lists joined on (qid, vec_id), everything
-    downstream of the two composed tier queries is tens of rows."""
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    qset = e.filter(F.col("vec_id").isin(*QUERY_IDS)).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
-    )
-    d2 = F.aggregate(
-        F.zip_with(F.col("qv"), F.col("v"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    scored = (
-        e.crossJoin(F.broadcast(qset))
-        .filter(F.col("vec_id") != F.col("qid"))
-        .select("qid", "vec_id", F.round(d2, 4).alias("d2"))
-    )
-    rank = F.row_number().over(
-        W.partitionBy("qid").orderBy(F.asc("d2"), F.asc("vec_id"))
-    )
-    truth = (
-        scored.withColumn("rank", rank)
-        .filter(F.col("rank") <= TOP_K)
-        .select("qid", "vec_id")
-    )
-    pq = ann_pq_adc_topk(spark, sf_dir).select("qid", "vec_id")
-    hit = pq.withColumn("_h", F.lit(1))
-    return (
-        truth.join(hit, ["qid", "vec_id"], "left")
-        .groupBy("qid")
-        .agg(
-            F.lit("pq_adc").alias("method"),
-            F.sum(F.coalesce(F.col("_h"), F.lit(0))).cast("bigint").alias("n_hits"),
-            F.round(
-                F.sum(F.coalesce(F.col("_h"), F.lit(0))).cast("double") / TOP_K, 4
-            ).alias("recall_at_k"),
-        )
-        .orderBy("qid")
     )
 
 
@@ -1733,3 +1836,185 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", F.col("rank").cast("int"), "vec_id", "label", "approx_d2")
         .orderBy("qid", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# PQ recall against the exact L2 ranking (metric-matched truth) — sampled
+# vs Lloyd-trained codebooks vs the composed IVF-PQ tier
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ann_pq_recall_eval",
+    oracle=f"""
+    WITH {_DUCK_EMB},
+    l2 AS (
+      SELECT q.qid, e.vec_id,
+             round(list_sum(list_transform(range(1, {EMBED_DIM} + 1),
+                   i -> (q.qv[i] - e.v[i]) * (q.qv[i] - e.v[i]))), 4) AS d2
+      FROM q JOIN e ON e.vec_id <> q.qid
+    ),
+    truth AS (
+      SELECT qid, vec_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid ORDER BY d2, vec_id) AS rank
+        FROM l2
+      ) WHERE rank <= {TOP_K}
+    ),
+    pq AS (SELECT qid, vec_id FROM ({_ann_sub("ann_pq_adc_topk")}) t),
+    ivfpq AS (SELECT qid, vec_id FROM ({_ann_sub("ann_ivf_pq_topk")}) t),
+    anchors(anchor_id, j) AS (VALUES {_PQ_ANCHOR_VALUES}),
+    ms(m) AS (VALUES {_PQ_MS}),
+    {_duck_trained_codebook_ctes()},
+    tsub AS (
+      SELECT vec_id, ms.m,
+             list_slice(v, ms.m * {PQ_SUBDIM} + 1, (ms.m + 1) * {PQ_SUBDIM}) AS sv
+      FROM e CROSS JOIN ms
+    ),
+    tcand AS (
+      SELECT s.vec_id, s.m, cb.j, {_pq_sqdiff_duck('s.sv', 'cb.c')} AS d2
+      FROM tsub s JOIN tcb cb ON cb.m = s.m
+    ),
+    tcodes AS (
+      SELECT vec_id, m, j FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, j) AS rn
+        FROM tcand
+      ) WHERE rn = 1
+    ),
+    tqsub AS (
+      SELECT qid, ms.m,
+             list_slice(qv, ms.m * {PQ_SUBDIM} + 1, (ms.m + 1) * {PQ_SUBDIM}) AS sv
+      FROM q CROSS JOIN ms
+    ),
+    tqtab AS (
+      SELECT qs.qid, cb.m, cb.j,
+             CAST(round({_pq_sqdiff_duck('qs.sv', 'cb.c')}, 6) AS DECIMAL(18,6)) AS td
+      FROM tqsub qs JOIN tcb cb ON cb.m = qs.m
+    ),
+    tscored AS (
+      SELECT t.qid, c.vec_id,
+             round(CAST(SUM(t.td) AS DOUBLE), 4) AS approx_d2
+      FROM tcodes c JOIN tqtab t ON t.m = c.m AND t.j = c.j
+      WHERE c.vec_id <> t.qid
+      GROUP BY t.qid, c.vec_id
+    ),
+    ttop AS (
+      SELECT qid, vec_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY qid ORDER BY approx_d2, vec_id) AS rank
+        FROM tscored
+      ) WHERE rank <= {TOP_K}
+    ),
+    rows_ AS (
+      SELECT t.qid, 'pq_adc' AS method,
+             CAST(COUNT(p.vec_id) AS BIGINT) AS n_hits,
+             round(CAST(COUNT(p.vec_id) AS DOUBLE) / {TOP_K}, 4) AS recall_at_k
+      FROM truth t LEFT JOIN pq p ON t.qid = p.qid AND t.vec_id = p.vec_id
+      GROUP BY t.qid
+      UNION ALL
+      SELECT t.qid, 'pq_adc_trained' AS method,
+             CAST(COUNT(p.vec_id) AS BIGINT) AS n_hits,
+             round(CAST(COUNT(p.vec_id) AS DOUBLE) / {TOP_K}, 4) AS recall_at_k
+      FROM truth t LEFT JOIN ttop p ON t.qid = p.qid AND t.vec_id = p.vec_id
+      GROUP BY t.qid
+      UNION ALL
+      SELECT t.qid, 'ivf_pq' AS method,
+             CAST(COUNT(p.vec_id) AS BIGINT) AS n_hits,
+             round(CAST(COUNT(p.vec_id) AS DOUBLE) / {TOP_K}, 4) AS recall_at_k
+      FROM truth t LEFT JOIN ivfpq p ON t.qid = p.qid AND t.vec_id = p.vec_id
+      GROUP BY t.qid
+    )
+    SELECT qid, method, n_hits, recall_at_k,
+           SUM(CASE WHEN method = 'pq_adc_trained' THEN n_hits ELSE 0 END) OVER ()
+             >= SUM(CASE WHEN method = 'pq_adc' THEN n_hits ELSE 0 END) OVER ()
+             AS trained_ge_sampled
+    FROM rows_
+    ORDER BY qid, method
+    """,
+)
+def ann_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} against the EXACT squared-L2 ranking for the three
+    PQ-family tiers — metric-matched truth (ADC approximates L2, so
+    scoring against the cosine truth of ann_recall_eval would conflate
+    quantization error with the metric gap):
+
+    - ``pq_adc``: the anchor-sampled codebook (the cheap baseline).
+    - ``pq_adc_trained``: the same ADC scoring with the per-subspace
+      Lloyd-trained ``pq_codebook`` stage (r10 verdict item 3) and its
+      re-encode — the codebook-quality dial, measured honestly on the
+      same truth. ``trained_ge_sampled`` pins training's value as an
+      in-query envelope boolean (total hits across the query set; the
+      oracle states the same rule, so a training regression flips the
+      boolean in BOTH engines and fails the hash).
+    - ``ivf_pq``: the composed coarse-probe + ADC tier, whose recall
+      is bounded above by pq_adc's (probing prunes candidates).
+
+    Scale shape: truth on the fixed query sample (localCheckpointed —
+    TOP_K*|Q| rows — so the three hit joins reuse it instead of
+    re-instantiating the brute-force cross join per branch); each tier's
+    candidate list is TOP_K*|Q| rows; the envelope boolean is one
+    global window over the 3*|Q|-row union."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    qset = e.filter(F.col("vec_id").isin(*QUERY_IDS)).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("v"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        e.crossJoin(F.broadcast(qset))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", F.round(d2, 4).alias("d2"))
+    )
+    rank = F.row_number().over(
+        W.partitionBy("qid").orderBy(F.asc("d2"), F.asc("vec_id"))
+    )
+    truth = (
+        scored.withColumn("rank", rank)
+        .filter(F.col("rank") <= TOP_K)
+        .select("qid", "vec_id")
+        .localCheckpoint(eager=True)
+    )
+    tcb = _pq_codebook_trained(spark, sf_dir)
+    trained = pq_adc_topk_for(spark, sf_dir, tcb, pq_codes_for(spark, sf_dir, tcb))
+    tiers = (
+        ("pq_adc", ann_pq_adc_topk(spark, sf_dir)),
+        ("pq_adc_trained", trained),
+        ("ivf_pq", ann_ivf_pq_topk(spark, sf_dir)),
+    )
+
+    def hit_rows(method: str, cand: DataFrame) -> DataFrame:
+        hit = cand.select("qid", "vec_id").withColumn("_h", F.lit(1))
+        return (
+            truth.join(hit, ["qid", "vec_id"], "left")
+            .groupBy("qid")
+            .agg(
+                F.lit(method).alias("method"),
+                F.sum(F.coalesce(F.col("_h"), F.lit(0)))
+                .cast("bigint")
+                .alias("n_hits"),
+                F.round(
+                    F.sum(F.coalesce(F.col("_h"), F.lit(0))).cast("double") / TOP_K,
+                    4,
+                ).alias("recall_at_k"),
+            )
+        )
+
+    rows = hit_rows(*tiers[0])
+    for t in tiers[1:]:
+        rows = rows.unionByName(hit_rows(*t))
+    w = W.partitionBy()  # 3*|Q| rows — a 9-row global window, never data
+    tot_trained = F.sum(
+        F.when(F.col("method") == "pq_adc_trained", F.col("n_hits")).otherwise(
+            F.lit(0)
+        )
+    ).over(w)
+    tot_sampled = F.sum(
+        F.when(F.col("method") == "pq_adc", F.col("n_hits")).otherwise(F.lit(0))
+    ).over(w)
+    return rows.withColumn(
+        "trained_ge_sampled", tot_trained >= tot_sampled
+    ).orderBy("qid", "method")

@@ -42,6 +42,7 @@ from ..operators.similarity import (
     ivf_centroids_build,
     kmeans_assign_build,
     lsh_codes_build,
+    pq_codebook_train_build,
     pq_codes_build,
 )
 from .corpus import (
@@ -78,6 +79,7 @@ STAGES: tuple[tuple[str, Callable[[SparkSession, str], DataFrame], tuple[str, ..
     ("ivf_centroids", ivf_centroids_build, ()),
     ("lsh_codes", lsh_codes_build, ()),
     ("pq_codes", pq_codes_build, ()),
+    ("pq_codebook", pq_codebook_train_build, ()),
     ("kmeans_assign", kmeans_assign_build, ()),
     ("bm25_postings", bm25_postings_build, ()),
     ("bm25_doclen", bm25_doclen_build, ()),

@@ -51,6 +51,7 @@ def test_build_checkpoint_resume_verify(spark, sf_dir, tmp_path):
         "bm25_doclen",
         "trigram_postings",
         "winnow_fps",
+        "pq_codebook",
     }
     assert all(v["status"] == "OK" for v in report.values())
     assert not any(v["skipped"] for v in report.values())
@@ -119,6 +120,8 @@ def test_warm_warehouse_queries_equal_cold(spark, sf_dir, tmp_path, monkeypatch)
         "ann_lsh_multiprobe_topk",
         # PQ family: ADC served from the materialized pq_codes stage
         "ann_pq_adc_topk",
+        # trained-codebook branch served from the pq_codebook stage (r11)
+        "ann_pq_recall_eval",
         # IVF-PQ composes both index stages (ivf_centroids + pq_codes)
         "ann_ivf_pq_topk",
         # SemDeDup family: cluster assignment from the kmeans_assign stage
@@ -163,6 +166,7 @@ def test_warm_warehouse_queries_equal_cold(spark, sf_dir, tmp_path, monkeypatch)
         assert C._warm_path(sf_dir, "ivf_centroids") is not None
         assert C._warm_path(sf_dir, "lsh_codes") is not None
         assert C._warm_path(sf_dir, "pq_codes") is not None
+        assert C._warm_path(sf_dir, "pq_codebook") is not None
         assert C._warm_path(sf_dir, "kmeans_assign") is not None
         assert C._warm_path(sf_dir, "winnow_fps") is not None
         warm = {
