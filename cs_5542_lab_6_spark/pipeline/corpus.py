@@ -45,7 +45,14 @@ from ..functions.embedding import (
     embed_signature,
     embed_text,
 )
-from ..functions.text import clean_text, normalize_entity, sha_id, words
+from ..functions.text import (
+    DUCK_TOKEN_HASH,
+    clean_text,
+    normalize_entity,
+    sha_id,
+    token_hash,
+    words,
+)
 from ..registry import query
 from ..sources import fan_out, load_table
 
@@ -1809,4 +1816,227 @@ def kg_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_degree",
         )
         .orderBy("log2_bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sparse-KG shadow relation: link prediction + neighborhood similarity
+# ---------------------------------------------------------------------------
+# The fixture KG is a COMPLETE graph (30 nodes, all 435 edges at the small
+# SFs), so any operator over NON-edges is degenerate on the raw relation.
+# The shadow relation keeps the deterministic 1/KG_SPARSE_MOD of canonical
+# edges whose token_hash(u|v) lands on residue 0 — engine and oracle state
+# the identical rule, so both see the same sparsified graph and the
+# held-out edges give link prediction something real to rank.
+# Reference graph surface: sql/01_create_schema.sql:44-63 (nodes/edges
+# DDL) and tools.py:186-200 (the KG traversal tool this extends).
+
+KG_SPARSE_MOD = 3
+LINKPRED_TOP = 100  # deterministic cap: (score desc, u, v) tie-break
+
+_DUCK_SPARSE_KG = f"""
+    canon AS (
+      SELECT least(a.node_id, b.node_id) AS u,
+             greatest(a.node_id, b.node_id) AS v
+      FROM ents a JOIN ents b
+        ON a.chunk_id = b.chunk_id AND a.node_id <> b.node_id
+      GROUP BY 1, 2
+    ),
+    sparse AS (
+      SELECT u, v FROM canon
+      WHERE {DUCK_TOKEN_HASH.format(t="u || '|' || v")} % {KG_SPARSE_MOD} = 0
+    ),
+    nbr AS (
+      SELECT u AS c, v AS n FROM sparse
+      UNION ALL
+      SELECT v AS c, u AS n FROM sparse
+    ),
+    deg AS (SELECT c AS node, COUNT(*) AS d FROM nbr GROUP BY c)
+"""
+
+
+def _kg_sparse_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical (u < v) sparse-KG edges — the kg_edges checkpoint's
+    distinct pair set when warm, the co-occurrence derive otherwise,
+    filtered to the deterministic hash residue. Eagerly localCheckpointed:
+    every consumer fans it out 4-5 ways (symmetric neighbor lists, degree
+    counts, the anti-join probe), and the relation is |E|-bounded."""
+    pe = _warm_path(sf_dir, "kg_edges", spark)
+    if pe:
+        canon = (
+            spark.read.parquet(pe)
+            .select(
+                F.col("source_node_id").alias("u"),
+                F.col("target_node_id").alias("v"),
+            )
+            .distinct()
+        )
+    else:
+        ents = chunk_entities_df(spark, sf_dir).select("chunk_id", "node_id")
+        a, b = ents.alias("a"), ents.alias("b")
+        canon = (
+            a.join(
+                b,
+                (F.col("a.chunk_id") == F.col("b.chunk_id"))
+                & (F.col("a.node_id") != F.col("b.node_id")),
+            )
+            .select(
+                F.least(F.col("a.node_id"), F.col("b.node_id")).alias("u"),
+                F.greatest(F.col("a.node_id"), F.col("b.node_id")).alias("v"),
+            )
+            .distinct()
+        )
+    sparse = canon.where(
+        token_hash(F.concat_ws("|", "u", "v")) % KG_SPARSE_MOD == 0
+    )
+    return sparse.localCheckpoint(eager=True)
+
+
+def _kg_sparse_nbr_deg(sparse: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Symmetric neighbor list (c, n) + degree relation (c, d) over the
+    sparse edge set — shared by both sparse-graph queries."""
+    nbr = sparse.select(F.col("u").alias("c"), F.col("v").alias("n")).unionByName(
+        sparse.select(F.col("v").alias("c"), F.col("u").alias("n"))
+    )
+    deg = nbr.groupBy("c").agg(F.count("*").alias("d"))
+    return nbr, deg
+
+
+@query(
+    "kg_link_prediction",
+    oracle=f"""
+    WITH {_CORPUS_CTES},
+    {_DUCK_SPARSE_KG},
+    cand AS (
+      SELECT a.n AS u, b.n AS v, a.c AS w
+      FROM nbr a JOIN nbr b ON a.c = b.c AND a.n < b.n
+    ),
+    scored AS (
+      SELECT c.u, c.v,
+             CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+             CAST(SUM(CAST(round(1.0 / ln(d.d), 6) AS DECIMAL(18,6))) AS DOUBLE) AS aa
+      FROM cand c JOIN deg d ON d.node = c.w
+      GROUP BY c.u, c.v
+    )
+    SELECT u, v, common_neighbors, round(aa, 4) AS adamic_adar
+    FROM scored s
+    WHERE NOT EXISTS (SELECT 1 FROM sparse e WHERE e.u = s.u AND e.v = s.v)
+    ORDER BY round(aa, 4) DESC, u, v
+    LIMIT {LINKPRED_TOP}
+    """,
+)
+def kg_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the sparsified KG: rank node pairs NOT
+    currently connected by their common-neighbor count and Adamic-Adar
+    score (sum over shared neighbors w of 1/ln(deg(w)) — rare shared
+    neighbors weigh more). The machine-learning-adjacent graph primitive
+    (recommend an edge / complete the KG) the complete fixture graph
+    blocked until the sparse shadow relation (r10 verdict item 4).
+
+    Engine-exact floats: each 1/ln(d) addend rounds to 6 decimals and
+    sums through DECIMAL(18,6) (the calibration/PQ-ADC recipe), so the
+    score is addition-order-independent; Spark's ln and DuckDB's ln
+    agree bit-for-bit on integer degrees (verified 2..2000).
+
+    Scale shape: candidates come from WEDGES ONLY (the nbr self-join on
+    the shared center), so work is sum-of-deg² — bounded by the
+    triangle-stats wedge budget, never the node² all-pairs relation; the
+    anti-join against the edge set and the deterministic
+    (score, u, v) top-{LINKPRED_TOP} cut both ride the same
+    |candidates|-sized relation."""
+    sparse = _kg_sparse_edges(spark, sf_dir)
+    nbr, deg = _kg_sparse_nbr_deg(sparse)
+    x, y = nbr.alias("x"), nbr.alias("y")
+    cand = x.join(
+        y, (F.col("x.c") == F.col("y.c")) & (F.col("x.n") < F.col("y.n"))
+    ).select(F.col("x.n").alias("u"), F.col("y.n").alias("v"), F.col("x.c").alias("w"))
+    scored = (
+        cand.join(deg.select(F.col("c").alias("w"), "d"), "w")
+        .groupBy("u", "v")
+        .agg(
+            F.count("*").cast("bigint").alias("common_neighbors"),
+            F.sum(
+                F.round(F.lit(1.0) / F.log(F.col("d").cast("double")), 6).cast(
+                    "decimal(18,6)"
+                )
+            ).alias("aa"),
+        )
+    )
+    nonedge = scored.join(sparse, ["u", "v"], "left_anti")
+    return (
+        nonedge.select(
+            "u",
+            "v",
+            "common_neighbors",
+            F.round(F.col("aa").cast("double"), 4).alias("adamic_adar"),
+        )
+        .orderBy(F.desc("adamic_adar"), "u", "v")
+        .limit(LINKPRED_TOP)
+    )
+
+
+@query(
+    "kg_sparse_neighborhood_jaccard",
+    oracle=f"""
+    WITH {_CORPUS_CTES},
+    {_DUCK_SPARSE_KG},
+    common AS (
+      SELECT e.u, e.v, CAST(COUNT(*) AS BIGINT) AS cn
+      FROM sparse e
+      JOIN nbr a ON a.c = e.u
+      JOIN nbr b ON b.c = e.v AND b.n = a.n
+      GROUP BY e.u, e.v
+    )
+    SELECT e.u, e.v,
+           COALESCE(c.cn, 0) AS common_neighbors,
+           du.d AS deg_u, dv.d AS deg_v,
+           round(CAST(COALESCE(c.cn, 0) AS DOUBLE)
+                 / (du.d + dv.d - COALESCE(c.cn, 0)), 4) AS jaccard
+    FROM sparse e
+    JOIN deg du ON du.node = e.u
+    JOIN deg dv ON dv.node = e.v
+    LEFT JOIN common c ON c.u = e.u AND c.v = e.v
+    ORDER BY e.u, e.v
+    """,
+)
+def kg_sparse_neighborhood_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood Jaccard similarity per sparse-KG edge:
+    |Γ(u)∩Γ(v)| / |Γ(u)∪Γ(v)| — the structural-equivalence measure
+    (are these two connected entities redundant?) that, like link
+    prediction above, needs missing edges to be non-trivial. Integers
+    end-to-end (shared-neighbor count via the two-sided neighbor join,
+    union size = deg_u + deg_v - common since u∉Γ(u)) with ONE final
+    division — engine-exact.
+
+    Scale shape: the common-neighbor join fans each edge out by its
+    endpoints' degrees (sum-of-deg² wedge budget again); degree lookups
+    are node-count-sized broadcastable joins."""
+    sparse = _kg_sparse_edges(spark, sf_dir)
+    nbr, deg = _kg_sparse_nbr_deg(sparse)
+    na = nbr.select(F.col("c").alias("u"), F.col("n").alias("wn"))
+    nb_ = nbr.select(F.col("c").alias("v"), F.col("n").alias("wn"))
+    common = (
+        sparse.join(na, "u")
+        .join(nb_, ["v", "wn"])
+        .groupBy("u", "v")
+        .agg(F.count("*").cast("bigint").alias("cn"))
+    )
+    du = deg.select(F.col("c").alias("u"), F.col("d").alias("deg_u"))
+    dv = deg.select(F.col("c").alias("v"), F.col("d").alias("deg_v"))
+    cn0 = F.coalesce(F.col("cn"), F.lit(0).cast("bigint"))
+    return (
+        sparse.join(du, "u")
+        .join(dv, "v")
+        .join(common, ["u", "v"], "left")
+        .select(
+            "u",
+            "v",
+            cn0.alias("common_neighbors"),
+            "deg_u",
+            "deg_v",
+            F.round(
+                cn0.cast("double") / (F.col("deg_u") + F.col("deg_v") - cn0), 4
+            ).alias("jaccard"),
+        )
+        .orderBy("u", "v")
     )
