@@ -16,7 +16,7 @@ Windows are epoch-aligned in UTC (session timezone pinned in
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -359,4 +359,136 @@ def events_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("stage")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Arrival-time lateness audit (r10 verdict item 5)
+# ---------------------------------------------------------------------------
+# The fixture has a single timestamp (no arrival time), so the arrival
+# order is DERIVED deterministically: events are hash-shuffled into a
+# global sequence (token_hash of the event id, ties by id) and cut into
+# LATENESS_BATCH_ROWS-row micro-batches — the engine/oracle-identical
+# stand-in for ingest order. The drop rule below is Spark's OWN, pinned
+# empirically against a real maxFilesPerTrigger=1 stream in
+# tests/test_streaming.py (predicted append output == actual, row-exact):
+#   - the watermark truncates event-time maxima to MILLISECONDS
+#     (EventTimeStats is ms-resolution);
+#   - the late filter applied during micro-batch k uses the watermark
+#     computed from data through batch k-2 — one batch LATER than the
+#     displayed/emission watermark (Spark finalizes a batch's watermark
+#     after the batch, and the state operator filters with the value
+#     planned before the previous one committed);
+#   - an event is dropped iff its window END <= that filter watermark.
+
+LATENESS_BATCH_ROWS = 100
+LATENESS_DELAY_MS = 10 * 60 * 1000  # the audited watermark delay: 10 minutes
+
+
+def lateness_arrival(ev: DataFrame) -> DataFrame:
+    """events + (rk, b): the derived arrival sequence and micro-batch id —
+    shared by the audit query and the stream-replay pin test."""
+    from ..functions.text import token_hash
+
+    arr = ev.withColumn(
+        "rk",
+        F.row_number().over(
+            W.orderBy(token_hash(F.col("event_id").cast("string")), "event_id")
+        ),
+    )
+    return arr.withColumn("b", F.expr(f"(rk - 1) div {LATENESS_BATCH_ROWS}"))
+
+
+def lateness_flagged(ev: DataFrame) -> DataFrame:
+    """Arrival-batched events + per-event ``dropped`` flag under the
+    pinned Spark drop rule (see the section comment) — the shared core
+    of ``events_lateness_audit`` and the replay test's prediction."""
+    arr = lateness_arrival(ev)
+    bmax = arr.groupBy("b").agg(
+        F.expr("floor(max(unix_micros(ts)) / 1000)").cast("long").alias("bmax_ms")
+    )
+    two_behind = W.orderBy("b").rowsBetween(W.unboundedPreceding, -2)
+    wmf = bmax.withColumn("pm", F.max("bmax_ms").over(two_behind)).select(
+        "b",
+        F.timestamp_millis(F.col("pm") - F.lit(LATENESS_DELAY_MS)).alias("wm"),
+    )
+    win = F.window("ts", "1 day")
+    return (
+        arr.join(wmf, "b")
+        .select(
+            "b",
+            "ts",
+            "event_type",
+            win["start"].alias("window_start"),
+            win["end"].alias("window_end"),
+            (F.col("wm").isNotNull() & (win["end"] <= F.col("wm"))).alias("dropped"),
+        )
+    )
+
+
+@query(
+    "events_lateness_audit",
+    oracle=f"""
+    WITH arr AS (
+      SELECT ts,
+             row_number() OVER (
+               ORDER BY CAST(concat('0x', substr(sha256(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2147483647,
+                        event_id) AS rk
+      FROM events
+    ),
+    batched AS (SELECT ts, (rk - 1) // {LATENESS_BATCH_ROWS} AS b FROM arr),
+    bmax AS (
+      SELECT b, MAX(epoch_us(ts)) // 1000 AS bmax_ms FROM batched GROUP BY b
+    ),
+    wmf AS (
+      SELECT b,
+             make_timestamp((MAX(bmax_ms) OVER (
+               ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+               - {LATENESS_DELAY_MS}) * 1000) AS wm
+      FROM bmax
+    ),
+    flagged AS (
+      SELECT CAST(date_trunc('day', e.ts) AS TIMESTAMP) AS window_start,
+             CAST(date_trunc('day', e.ts) AS TIMESTAMP) + INTERVAL '1 day' AS window_end,
+             CASE WHEN w.wm IS NOT NULL
+                   AND CAST(date_trunc('day', e.ts) AS TIMESTAMP) + INTERVAL '1 day' <= w.wm
+                  THEN 1 ELSE 0 END AS dropped
+      FROM batched e JOIN wmf w ON w.b = e.b
+    )
+    SELECT window_start, window_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(dropped) AS BIGINT) AS n_dropped_late,
+           CAST(COUNT(*) - SUM(dropped) AS BIGINT) AS n_kept,
+           round(CAST(SUM(dropped) AS DOUBLE) / COUNT(*), 4) AS drop_rate
+    FROM flagged
+    GROUP BY window_start, window_end
+    ORDER BY window_start
+    """,
+)
+def events_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-lateness observability: for each tumbling 1-day window,
+    how many events a {LATENESS_DELAY_MS // 60000}-minute watermark would
+    have dropped under the derived arrival order — the operational twin
+    of ``stream_tumbling_daily_append``'s emission rule (the streaming
+    pipeline you'd actually run needs exactly this report to size its
+    delay). The drop rule is Spark's own, semantics pinned row-exact
+    against a real replayed stream in tests/test_streaming.py.
+
+    Scale shape: one global sequence assignment (at 100 TB you'd carry a
+    real ingest/batch id instead — the rule is unchanged), one per-batch
+    max aggregation, a batch-count-sized running-max window, and one
+    (window, day) aggregation; nothing is quadratic and the only
+    broadcast is the |batches|-row watermark relation."""
+    ev = load_table(spark, sf_dir, "events")
+    flagged = lateness_flagged(ev)
+    d = F.col("dropped").cast("long")
+    return (
+        flagged.groupBy("window_start", "window_end")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(d).cast("bigint").alias("n_dropped_late"),
+            (F.count("*") - F.sum(d)).cast("bigint").alias("n_kept"),
+            F.round(F.sum(d).cast("double") / F.count("*"), 4).alias("drop_rate"),
+        )
+        .orderBy("window_start")
     )

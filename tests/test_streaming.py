@@ -235,3 +235,88 @@ def test_real_transform_with_state_matches_fallback(spark, sf_dir):
         tws.tws_available = orig
 
     assert real == fallback
+
+
+def test_lateness_audit_drop_rule_matches_real_stream(spark, sf_dir, tmp_path):
+    """The events_lateness_audit drop rule IS Spark's: replay the derived
+    arrival order through a real maxFilesPerTrigger=1 file stream (one
+    parquet file per derived micro-batch, lexicographic names) with the
+    same 10-minute watermark and a 1-day append aggregation. The
+    predicted output — kept events only, windows closed by the final
+    watermark — must equal the stream's actual append output row-exactly,
+    and the stream must report watermark drops (the rule binds)."""
+    from pyspark.sql import functions as F
+
+    from cs_5542_lab_6_spark.sources.tables import load_table
+    from cs_5542_lab_6_spark.streaming.batch_twins import (
+        LATENESS_DELAY_MS,
+        lateness_flagged,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    flagged = lateness_flagged(ev)
+
+    # one file per derived micro-batch, written in batch order
+    src = tmp_path / "arrival"
+    src.mkdir()
+    arr = flagged.select("b", "ts").withColumn("value", F.lit(1.0))
+    batches = [r.b for r in arr.select("b").distinct().orderBy("b").collect()]
+    for b in batches:
+        one = arr.filter(F.col("b") == b).select("ts", "value").coalesce(1)
+        tmp = tmp_path / f"stage_{b}"
+        one.write.mode("overwrite").parquet(str(tmp))
+        part = next(tmp.glob("part-*.parquet"))
+        part.rename(src / f"batch_{b:06d}.parquet")
+
+    sdf = (
+        spark.readStream.schema("ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    agg = (
+        sdf.withWatermark("ts", f"{LATENESS_DELAY_MS // 60000} minutes")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .count()
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("lateness_replay")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_dropped_stream = sum(
+        so["numRowsDroppedByWatermark"]
+        for p in q.recentProgress
+        for so in p["stateOperators"]
+    )
+
+    # prediction from the pinned rule: kept events, emitted windows only
+    bmax_ms = (
+        flagged.groupBy("b")
+        .agg(F.expr("floor(max(unix_micros(ts)) / 1000)").cast("long").alias("m"))
+        .agg(F.max("m"))
+        .collect()[0][0]
+    )
+    final_wm = F.timestamp_millis(F.lit(bmax_ms - LATENESS_DELAY_MS))
+    pred = (
+        flagged.filter(~F.col("dropped"))
+        .filter(F.col("window_end") <= final_wm)
+        .groupBy("window_start", "window_end")
+        .agg(F.count("*").alias("count"))
+    )
+    predicted = sorted(
+        (r.window_start, r.window_end, r["count"]) for r in pred.collect()
+    )
+    actual = sorted(
+        (r.ws, r.wend, r["count"])
+        for r in spark.sql(
+            "SELECT w.start AS ws, w.end AS wend, count FROM lateness_replay"
+        ).collect()
+    )
+    assert n_dropped_stream > 0  # the watermark rule actually binds
+    assert predicted == actual
