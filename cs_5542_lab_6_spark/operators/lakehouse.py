@@ -66,7 +66,15 @@ def orders_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     renumber/lead pass. No joins, no driver state; at 100 TB the single
     hash partition exchange on the dimension key is the floor for any
     change-tracking build."""
-    orders = load_table(spark, sf_dir, "orders")
+    return scd2_build(load_table(spark, sf_dir, "orders")).orderBy(
+        "o_custkey", "version"
+    )
+
+
+def scd2_build(orders: DataFrame) -> DataFrame:
+    """Full SCD2 dimension from an order changelog — the shared core of
+    ``orders_scd2_dimension`` (whole table), ``orders_scd2_incremental``
+    (the pre-cut base), and ``stream_scd2_apply``'s initial state."""
     w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     changes = (
         orders.withColumn(
@@ -78,16 +86,13 @@ def orders_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("prev_prio")
     )
-    return (
-        changes.select(
-            "o_custkey",
-            F.row_number().over(w).cast("int").alias("version"),
-            F.col("o_orderpriority").alias("priority"),
-            F.col("o_orderdate").alias("valid_from"),
-            F.lead("o_orderdate").over(w).alias("valid_to"),
-            F.lead("o_orderdate").over(w).isNull().alias("is_current"),
-        )
-        .orderBy("o_custkey", "version")
+    return changes.select(
+        "o_custkey",
+        F.row_number().over(w).cast("int").alias("version"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+        F.lead("o_orderdate").over(w).isNull().alias("is_current"),
     )
 
 
@@ -578,24 +583,20 @@ def orders_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # the existing dimension (normally a stored table; derived here so
     # the query is self-contained and hermetic)
-    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    base_changes = (
-        base.withColumn("prev_prio", F.lag("o_orderpriority").over(w))
-        .filter(
-            F.col("prev_prio").isNull()
-            | (F.col("prev_prio") != F.col("o_orderpriority"))
-        )
-        .drop("prev_prio")
-    )
-    dim = base_changes.select(
-        "o_custkey",
-        F.row_number().over(w).cast("int").alias("version"),
-        F.col("o_orderpriority").alias("priority"),
-        F.col("o_orderdate").alias("valid_from"),
-        F.lead("o_orderdate").over(w).alias("valid_to"),
-        F.lead("o_orderdate").over(w).isNull().alias("is_current"),
-    )
+    dim = scd2_build(base)
+    return scd2_apply_delta(dim, delta).orderBy("o_custkey", "version")
 
+
+def scd2_apply_delta(dim: DataFrame, delta: DataFrame) -> DataFrame:
+    """Apply an order delta to an existing SCD2 dimension — the MERGE
+    core shared by ``orders_scd2_incremental`` (one delta) and
+    ``stream_scd2_apply`` (one delta per micro-batch via foreachBatch).
+    Requires every delta order to be dated at or after the applied
+    history (the append-only changelog contract); under that contract,
+    applying deltas one batch at a time composes to the same dimension
+    as one big apply — the streaming test pins it against the full
+    rebuild."""
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     affected = delta.select("o_custkey").distinct()
     # closed versions are immutable; open versions of UNAFFECTED
     # customers also pass through

@@ -586,3 +586,144 @@ def stream_user_top_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming SCD2: foreachBatch delta-apply over a multi-file changelog
+# ---------------------------------------------------------------------------
+
+
+def scd2_stream_run(spark: SparkSession, sf_dir: str, workdir: str) -> int:
+    """Drive the streaming SCD2 apply inside ``workdir`` and return the
+    final state version. Layout (all under workdir):
+
+    - ``delta/d<year>.parquet`` — the post-SCD2_CUT changelog, one file
+      per order year, lexicographic names AND strictly increasing
+      mtimes (the file source orders on modification time; both orders
+      agree, so replay is deterministic). Written only if missing.
+    - ``dim_v0`` — the initial dimension (full SCD2 build over pre-cut
+      orders). Written only if missing.
+    - ``dim_v<k>`` — state after micro-batch k: foreachBatch reads
+      ``dim_v<k-1>``, applies the batch's delta through the SAME
+      ``scd2_apply_delta`` the batch-incremental query uses, writes
+      ``dim_v<k>``. Versioned state makes replay idempotent: a re-run
+      with a fresh checkpoint recomputes every version from the same
+      inputs and overwrites byte-identical parquet.
+    - ``ckpt`` — the streaming checkpoint.
+
+    This is the nightly-MERGE-as-a-stream shape: at 100 TB the versioned
+    dirs become table snapshots/commits and foreachBatch's apply is the
+    same broadcast-delta plan, sized by |batch| + |affected customers|,
+    never the closed history."""
+    import glob
+    import shutil
+
+    from ..operators.lakehouse import SCD2_CUT, scd2_apply_delta, scd2_build
+    from ..sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey"
+    )
+    cut = F.lit(SCD2_CUT).cast("date")
+    delta_dir = os.path.join(workdir, "delta")
+    if not os.path.isdir(delta_dir):
+        os.makedirs(delta_dir)
+        delta = orders.filter(F.col("o_orderdate") >= cut)
+        years = sorted(
+            r[0] for r in delta.select(F.year("o_orderdate")).distinct().collect()
+        )
+        for i, y in enumerate(years):
+            stage = os.path.join(workdir, f"stage_{y}")
+            delta.filter(F.year("o_orderdate") == y).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(stage)
+            part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            dst = os.path.join(delta_dir, f"d{y}.parquet")
+            shutil.move(part, dst)
+            shutil.rmtree(stage, ignore_errors=True)
+            os.utime(dst, times=(1_000_000 + i, 1_000_000 + i))
+    dim0 = os.path.join(workdir, "dim_v0")
+    if not os.path.isdir(dim0):
+        scd2_build(orders.filter(F.col("o_orderdate") < cut)).write.mode(
+            "overwrite"
+        ).parquet(dim0)
+
+    state = {"v": 0}
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        cur = batch_df.sparkSession.read.parquet(
+            os.path.join(workdir, f"dim_v{state['v']}")
+        )
+        nxt = scd2_apply_delta(cur, batch_df)
+        nxt.write.mode("overwrite").parquet(
+            os.path.join(workdir, f"dim_v{state['v'] + 1}")
+        )
+        state["v"] += 1
+
+    sdf = (
+        spark.readStream.schema(
+            "o_custkey bigint, o_orderpriority string, "
+            "o_orderdate timestamp, o_orderkey bigint"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(delta_dir)
+    )
+    q = (
+        sdf.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return state["v"]
+
+
+@query(
+    "stream_scd2_apply",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+             lag(o_orderpriority) OVER w AS prev_prio
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    changes AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+      FROM seq
+      WHERE prev_prio IS NULL OR prev_prio <> o_orderpriority
+    )
+    SELECT o_custkey,
+           CAST(row_number() OVER w AS INTEGER) AS version,
+           o_orderpriority AS priority,
+           o_orderdate AS valid_from,
+           lead(o_orderdate) OVER w AS valid_to,
+           (lead(o_orderdate) OVER w IS NULL) AS is_current
+    FROM changes
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, version
+    """,
+)
+def stream_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD2 maintenance (r10 verdict item 6): the post-cut
+    order changelog replayed as a multi-file stream, one micro-batch per
+    file, each batch MERGEd into the stored dimension via foreachBatch +
+    ``scd2_apply_delta`` (operators/lakehouse.py). The oracle is the
+    full batch rebuild over ALL orders — the driver hash-checks that
+    N sequential streamed merges land byte-identical to the one-shot
+    dimension, Spark's exactly-once foreachBatch contract composed with
+    the append-only changelog contract. Replay determinism (fresh
+    checkpoint, same state dirs) is pinned in tests/test_streaming.py."""
+    import shutil
+    import tempfile
+
+    workdir = tempfile.mkdtemp(prefix="scd2_stream_")
+    try:
+        final_v = scd2_stream_run(spark, sf_dir, workdir)
+        out = (
+            spark.read.parquet(os.path.join(workdir, f"dim_v{final_v}"))
+            .orderBy("o_custkey", "version")
+            .localCheckpoint(eager=True)
+        )
+        return out
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)

@@ -4,6 +4,8 @@ with their batch twins row-for-row."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from cs_5542_lab_6_spark.streaming.batch_twins import (
@@ -320,3 +322,35 @@ def test_lateness_audit_drop_rule_matches_real_stream(spark, sf_dir, tmp_path):
     )
     assert n_dropped_stream > 0  # the watermark rule actually binds
     assert predicted == actual
+
+
+def test_scd2_stream_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """write_metrics_stream_idempotent's replay discipline for the SCD2
+    stream: run the changelog stream to completion, wipe ONLY the
+    checkpoint (state dirs and delta files stay), run again — every
+    micro-batch reprocesses against the same versioned state and the
+    final dimension must equal both the first run's and the one-shot
+    batch rebuild."""
+    import shutil
+
+    from cs_5542_lab_6_spark.operators.lakehouse import orders_scd2_dimension
+    from cs_5542_lab_6_spark.streaming.stream import scd2_stream_run
+
+    wd = str(tmp_path / "scd2")
+    os.makedirs(wd)
+    v1 = scd2_stream_run(spark, sf_dir, wd)
+    assert v1 >= 2  # genuinely multi-batch
+    first = sorted(
+        map(tuple, spark.read.parquet(f"{wd}/dim_v{v1}").collect())
+    )
+
+    shutil.rmtree(f"{wd}/ckpt")  # lose the stream's memory, keep the state
+    v2 = scd2_stream_run(spark, sf_dir, wd)
+    assert v2 == v1
+    replayed = sorted(
+        map(tuple, spark.read.parquet(f"{wd}/dim_v{v2}").collect())
+    )
+    assert replayed == first
+
+    batch = sorted(map(tuple, orders_scd2_dimension(spark, sf_dir).collect()))
+    assert replayed == batch
