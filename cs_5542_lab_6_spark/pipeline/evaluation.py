@@ -245,13 +245,14 @@ def eval_rag_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     pm = _warm_path(sf_dir, "kg_map", spark)
+    # no .distinct(): (chunk_id, node_id) is UNIQUE by construction in
+    # both sources (chunk_entities_df's per-chunk first-seen dedup is
+    # what kg_map materializes), so deduping here was a pure extra
+    # shuffle of the bridge relation — the r11 plan audit removed it.
     bridge = (
-        (
-            spark.read.parquet(pm).select("chunk_id", "node_id")
-            if pm
-            else chunk_entities_df(spark, sf_dir).select("chunk_id", "node_id")
-        )
-        .distinct()
+        spark.read.parquet(pm).select("chunk_id", "node_id")
+        if pm
+        else chunk_entities_df(spark, sf_dir).select("chunk_id", "node_id")
     )
     gw = W.partitionBy("qid").orderBy(F.desc("n_matched"), F.asc("chunk_id"))
     gtop = (
