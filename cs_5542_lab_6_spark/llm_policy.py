@@ -221,7 +221,14 @@ class ChatCompletionsPolicy:
                     }
                 )
             elif role == "tool":
-                cid = pending_ids.pop(0) if pending_ids else f"call_{self._next_id}"
+                if pending_ids:
+                    cid = pending_ids.pop(0)
+                else:
+                    # orphan tool turn (no matching assistant tool_calls):
+                    # synthesize a FRESH id — consecutive orphans sharing
+                    # one id would break the uniqueness contract above
+                    cid = f"call_{self._next_id}"
+                    self._next_id += 1
                 wire.append(
                     {
                         "role": "tool",
@@ -255,14 +262,27 @@ class ChatCompletionsPolicy:
                 "tool_calls": [
                     {
                         "name": tc["function"]["name"],
-                        "arguments": json.loads(
-                            tc["function"].get("arguments") or "{}"
+                        "arguments": _parse_arguments(
+                            tc["function"].get("arguments")
                         ),
                     }
                     for tc in tool_calls
                 ],
             }
         return {"content": msg.get("content") or ""}
+
+
+def _parse_arguments(raw: str | None) -> dict:
+    """Tolerant parse of a function-call arguments string: small models
+    routinely emit malformed JSON, and an uncaught decode error here
+    would crash the agent loop mid-conversation — degrade to {} (the
+    dispatcher then surfaces the tool's own missing-argument error as a
+    normal tool turn the model can react to)."""
+    try:
+        parsed = json.loads(raw or "{}")
+    except (json.JSONDecodeError, TypeError):
+        return {}
+    return parsed if isinstance(parsed, dict) else {}
 
 
 def policy_from_env(transport: Transport | None = None):

@@ -969,6 +969,14 @@ def mmr_topk_for(
         raise ValueError(f"lam must be in [0, 1], got {lam}")
     if k < 1 or n_cand < k:
         raise ValueError(f"need 1 <= k <= n_cand, got k={k} n_cand={n_cand}")
+    if qvec is not None:
+        # zip_with pads a short/long vector with nulls and a zero vector
+        # divides by norm 0 — either silently yields null cosines and a
+        # garbage ranking, so both are argument errors (r10 advice)
+        if len(qvec) != EMBED_DIM:
+            raise ValueError(f"qvec must have {EMBED_DIM} dims, got {len(qvec)}")
+        if not any(float(x) != 0.0 for x in qvec):
+            raise ValueError("qvec must have non-zero norm")
     e = _coded(spark, sf_dir).drop("bucket")
     if qid is not None:
         q = e.filter(F.col("vec_id") == qid).select(

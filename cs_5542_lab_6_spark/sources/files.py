@@ -124,12 +124,17 @@ def read_orc(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
         )
     # name presence alone is only half the drift contract: a declared
     # column whose file type diverges would otherwise flow through a
-    # silent (possibly lossy) cast — fail loudly on type drift too.
+    # silent (possibly lossy) cast — fail loudly on LOSSY drift, but
+    # admit what the declared read handles losslessly: nullability
+    # differences (containsNull/valueContainsNull/nullable are metadata,
+    # not layout) and safe numeric widening (file int read as declared
+    # bigint, float as double) — rejecting those broke previously valid
+    # datasets (r10 advice).
     mismatched = [
         f"{f.name} (declared {f.dataType.simpleString()}, "
         f"files {footer[f.name].simpleString()})"
         for f in schema.fields
-        if footer[f.name] != f.dataType
+        if not _lossless_orc_drift(footer[f.name], f.dataType)
     ]
     if mismatched:
         raise ValueError(
@@ -137,6 +142,42 @@ def read_orc(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
             f"{mismatched}; refusing to cast schema drift silently"
         )
     return spark.read.schema(schema).orc(path)
+
+
+# file type -> declared types it widens into without loss
+_ORC_SAFE_WIDEN = {
+    "tinyint": {"smallint", "int", "bigint"},
+    "smallint": {"int", "bigint"},
+    "int": {"bigint"},
+    "float": {"double"},
+}
+
+
+def _strip_nullability(dt: T.DataType) -> T.DataType:
+    """The same type with every nullable/containsNull/valueContainsNull
+    flag normalized to True, recursively — drift comparison cares about
+    layout, not null metadata."""
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [
+                T.StructField(f.name, _strip_nullability(f.dataType), True)
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_strip_nullability(dt.elementType), True)
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            _strip_nullability(dt.keyType), _strip_nullability(dt.valueType), True
+        )
+    return dt
+
+
+def _lossless_orc_drift(file_dt: T.DataType, declared_dt: T.DataType) -> bool:
+    f, d = _strip_nullability(file_dt), _strip_nullability(declared_dt)
+    if f == d:
+        return True
+    return d.simpleString() in _ORC_SAFE_WIDEN.get(f.simpleString(), set())
 
 
 def write_orc(df: DataFrame, path: str, partition_by: tuple[str, ...] = ()) -> None:

@@ -135,3 +135,35 @@ def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
     )
     with pytest.raises(ValueError, match="phantom_col"):
         read_orc(spark, path, drifted)
+
+
+def test_orc_drift_allows_lossless_widening_rejects_lossy(spark, tmp_path):
+    """The ORC drift check (r10 advice): nullability differences and safe
+    numeric widening (file int read as declared bigint, float as double)
+    are lossless and must read; genuinely lossy drift (long->int,
+    int->string) still fails loudly."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from cs_5542_lab_6_spark.sources.files import read_orc
+
+    path = str(tmp_path / "t_orc")
+    df = spark.createDataFrame(
+        [(1, 2.5, [3])], schema="a int, b float, xs array<int>"
+    )
+    df.write.orc(path)
+
+    widened = T.StructType(
+        [
+            T.StructField("a", T.LongType(), False),  # int -> bigint, non-null
+            T.StructField("b", T.DoubleType()),       # float -> double
+            # array with containsNull=False: metadata-only difference
+            T.StructField("xs", T.ArrayType(T.IntegerType(), False)),
+        ]
+    )
+    back = read_orc(spark, path, widened)
+    assert back.collect()[0][0] == 1
+
+    lossy = T.StructType([T.StructField("a", T.StringType())])
+    with pytest.raises(ValueError, match="type drift"):
+        read_orc(spark, path, lossy)

@@ -265,3 +265,41 @@ def test_parallel_build_failure_propagates_and_resume_completes(
     assert all(v["status"] == "OK" for v in report.values())
     assert report["papers"]["skipped"] is True
     assert report["bm25_postings"]["skipped"] is False
+
+
+def test_stage_deps_cover_every_warm_read(spark, sf_dir, tmp_path, monkeypatch):
+    """STAGE_DEPS is the parallel scheduler's only overwrite-race guard,
+    and it is hand-maintained (r10 advice): cross-reference it against
+    what each builder ACTUALLY reads. With a fully-built warm warehouse
+    configured, constructing every stage's plan through a spying
+    _warm_path must request only stages declared in STAGE_DEPS — an
+    undeclared warm read fails here instead of racing a concurrent
+    overwrite in build_corpus."""
+    from cs_5542_lab_6_spark.pipeline import corpus as C
+    from cs_5542_lab_6_spark.pipeline import ingest as I
+    from cs_5542_lab_6_spark.session import clear_caches
+
+    root = tmp_path / "wh"
+    out = str(root / os.path.basename(sf_dir.rstrip("/")))
+    I.build_corpus(spark, sf_dir, out, resume=False)
+    monkeypatch.setenv(C.WAREHOUSE_ENV, str(root))
+
+    real = C._warm_path
+    requested: list[str] = []
+
+    def spy(sf, stage, spark_=None):
+        requested.append(stage)
+        return real(sf, stage, spark_)
+
+    monkeypatch.setattr(C, "_warm_path", spy)
+    try:
+        for name, builder, _ in I.STAGES:
+            requested.clear()
+            builder(spark, sf_dir)  # plan construction resolves warm reads
+            undeclared = set(requested) - set(I.STAGE_DEPS.get(name, ()))
+            assert not undeclared, (
+                f"stage {name!r} reads warm checkpoint(s) {sorted(undeclared)} "
+                f"not declared in STAGE_DEPS — the parallel build can race"
+            )
+    finally:
+        clear_caches(spark)

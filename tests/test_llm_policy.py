@@ -187,3 +187,35 @@ def test_schema_parity_with_reference_names():
         "search_knowledge_graph": ["entities"],
         "summarize_context": ["question"],
     }
+
+
+def test_orphan_tool_turns_get_unique_ids():
+    """Consecutive tool turns with no preceding assistant tool_calls each
+    synthesize a FRESH tool_call_id (r10 advice: a shared fallback id
+    broke the uniqueness contract)."""
+    t = FakeTransport([_content_reply("ok")])
+    policy = ChatCompletionsPolicy(t)
+    policy(
+        [
+            {"role": "user", "content": "q"},
+            {"role": "tool", "content": "orphan one"},
+            {"role": "tool", "content": "orphan two"},
+        ]
+    )
+    (p,) = t.payloads
+    ids = [m["tool_call_id"] for m in p["messages"] if m["role"] == "tool"]
+    assert len(ids) == len(set(ids)) == 2
+
+
+def test_malformed_tool_arguments_degrade_to_empty_dict():
+    """A model emitting broken JSON for function arguments must not crash
+    the agent loop mid-conversation (r10 advice) — the call surfaces with
+    {} arguments and the dispatcher's own error handling takes over."""
+    reply = _tool_call_reply("search_papers", {})
+    reply["choices"][0]["message"]["tool_calls"][0]["function"]["arguments"] = (
+        '{"query": unquoted oops'
+    )
+    out = ChatCompletionsPolicy(FakeTransport([reply]))(
+        [{"role": "user", "content": "q"}]
+    )
+    assert out["tool_calls"][0]["arguments"] == {}
