@@ -48,60 +48,58 @@ _REGISTRY: dict[str, Q] = {}
 # tests/test_oracle_parity.py (rows+schema+exact-value over all
 # registered oracles) and at sf0.1 by tests/test_scale_canary.py.
 _PRIORITY: tuple[str, ...] = (
-    # --- New in round 10 (registered this round; first driver check):
-    "eval_rag_comparison",         # vector-RAG vs graph-RAG overlap/coverage
-    "ann_ivf_pq_topk",             # IVF probe pruning composed with PQ-ADC
-    # --- CHANGED in round 10 (must be re-driver-checked):
-    "doc_winnowing_fingerprints",  # now served from the winnow_fps stage
-    "doc_winnowing_overlap",       # same stage; inverted-index join on it
-    "semantic_dedup",              # salted in-cluster pair join
-    "mmr_diversified_topk",        # now a wrapper over mmr_topk_for
-    "late_interaction_maxsim",     # now a wrapper over late_interaction_for
-    # (corpus_bpe_train's DISTRIBUTED path changed in r10, but the driver
-    # executes the default local-cutover path, which is untouched and
-    # stays property-pinned to the same replica as the distributed one.)
-    # --- Staleness fill (r9 verdict item 1): every remaining slot goes
-    # --- to the least-recently driver-checked registered rows, oldest
-    # --- first — r4 vintage, then the whole r5 cohort, then the oldest
-    # --- r6 row. After this window no registered query is older than
-    # --- r6 vintage (the two rows-only sketches sit at r7).
-    "doc_lookup",                    # r4
-    "sql_script_segment_revenue",    # r4
-    "agent_search_papers",           # r5 from here down
-    "ann_brute_force_topk",
-    "bm25_doc_topk",
-    "chunk_vector_topk",
-    "contamination_scan",
-    "corpus_delete_cascade",
-    "customer_balance_distribution",
-    "dedup_exact",
-    "doc_pii_scrub",
-    "doc_quality_scores",
-    "doc_train_test_split",
-    "embedding_quantize_int8",
-    "events_asof_last_click",
-    "events_conversion_funnel",
-    "events_props_map",
-    "events_range_pairs",
-    "events_salted_type_stats",
-    "events_sliding_2d",
-    "events_tumbling_daily",
-    "hybrid_rrf_topk",
-    "kg_map_build",
-    "kg_neighborhood",
-    "kg_nodes_build",
-    "lineitem_unpivot_metrics",
-    "multimodal_frame_sample",
-    "multimodal_metadata",
-    "nation_order_stats",
-    "segment_nation_setops",
-    "stream_click_purchase_join",
-    "stream_dedup_events",
-    "stream_session_windows",
-    "stream_tumbling_daily_append",
-    "supplier_weekly_moving_avg",
-    "table_keyset_checksums",
-    "top3_orders_per_customer",      # last r5 row: the whole r5 cohort fits
+    # --- New in round 11 (registered this round; first driver check):
+    "dedup_lsh_bucket_audit",         # LSH hot-bucket cap accounting
+    "kg_link_prediction",             # sparse-KG Adamic-Adar over non-edges
+    "kg_sparse_neighborhood_jaccard", # sparse-KG per-edge neighborhood overlap
+    "events_lateness_audit",          # watermark drop counts, pinned rule
+    "stream_scd2_apply",              # foreachBatch SCD2 == batch rebuild
+    # --- CHANGED in round 11 (must be re-driver-checked):
+    "ann_pq_recall_eval",             # +trained/ivf_pq branches, new schema
+    "dedup_minhash_lsh",              # hot-bucket star-contraction guard
+    "dedup_clusters",                 # pair relation + oracle carry the cap
+    "dedup_clusters_star",            # same capped pair relation
+    "dedup_method_eval",              # composes the capped LSH pair list
+    # (also code-touched with byte-identical outputs and unchanged
+    # oracles, re-verified by test_oracle_parity.py every session:
+    # ann_pq_adc_topk, orders_scd2_dimension/_incremental,
+    # eval_rag_comparison, mmr_diversified_topk)
+    # --- Staleness fill: the ENTIRE r6-vintage cohort (34 rows) — after
+    # --- this window no registered row is older than r7.
+    "agent_paper_details",
+    "chunk_windows_demo",
+    "contamination_purge_counts",
+    "corpus_datasheet",
+    "corpus_mixture_plan",
+    "corpus_stratified_sample",
+    "corpus_weighted_sample",
+    "customer_order_count_histogram",
+    "customer_order_presence",
+    "customer_order_value_extremes",
+    "dedup_incremental",
+    "discounted_bulk_revenue",
+    "doc_sequence_packing",
+    "doc_token_familiarity",
+    "embedding_kmeans",
+    "events_daily_anomaly",
+    "events_retention_cohorts",
+    "kg_pagerank",
+    "kg_triangle_stats",
+    "language_id_confusion",
+    "large_order_customers",
+    "nation_price_medians",
+    "nation_trade_flows",
+    "national_supplier_share",
+    "order_priority_exists_counts",
+    "promo_revenue_share",
+    "quiet_wealthy_customers",
+    "returned_item_customers",
+    "small_quantity_part_revenue",
+    "source_blocklist_filter",
+    "source_overlap_matrix",
+    "source_quality_profile",
+    "stream_user_enriched_counts",
+    "top_supplier_revenue",
     # --- Regression guards that stay in every window
     "chunks_build",            # corpus chunker (pure-Catalyst UDTF twin)
     "kg_edges_build",          # co-occurrence one-shuffle expansion
@@ -109,8 +107,8 @@ _PRIORITY: tuple[str, ...] = (
     "eval_metrics_log",        # JSON sink (red in r4, fixed r5)
     "stream_tumbling_daily",   # real Structured Streaming
     "ann_ivf_topk",            # warm ivf_centroids seam, cold path
-    # Rotated out this window: the r8/r9 registrations (all driver-green
-    # in r9) and the remaining r6+ vintages. Every rotated-out query
+    # Rotated out this window: the r8-r10 registrations (all driver-green
+    # in their landing rounds) and the r7 vintage. Every rotated-out query
     # keeps session-level parity coverage at sf0.01 via
     # tests/test_oracle_parity.py plus the opt-in sf0.1 scale sweep.
 )

@@ -20,34 +20,33 @@ DRIVER_WINDOW = 50
 # lands, and (b) the window refreshes the stalest driver rows (r1/r4
 # vintage) plus the permanent regression-guard core.
 REFERENCE_PARITY = [
-    # new in round 10 — first driver check the round they land
-    "eval_rag_comparison",
-    "ann_ivf_pq_topk",
-    # changed in round 10 — re-driver-check
-    "doc_winnowing_fingerprints",  # served from the winnow_fps stage
-    "doc_winnowing_overlap",
-    "semantic_dedup",              # salted pair join
-    "mmr_diversified_topk",        # wrapper over mmr_topk_for
-    "late_interaction_maxsim",     # wrapper over late_interaction_for
-    # staleness debt the r9 verdict named explicitly (r4/r5 vintage —
-    # the r10 window additionally holds the WHOLE r5 cohort; these are
-    # the rows whose absence would re-violate the freshness contract)
-    "doc_lookup",
-    "sql_script_segment_revenue",
-    "agent_search_papers",
-    "bm25_doc_topk",
-    "dedup_exact",
-    "doc_pii_scrub",
-    "hybrid_rrf_topk",
-    "events_asof_last_click",
-    "kg_neighborhood",
-    "kg_nodes_build",
-    "kg_map_build",
-    "multimodal_metadata",
-    "multimodal_frame_sample",
-    "stream_dedup_events",
-    "stream_session_windows",
-    "events_tumbling_daily",
+    # new in round 11 — first driver check the round they land
+    "dedup_lsh_bucket_audit",
+    "kg_link_prediction",
+    "kg_sparse_neighborhood_jaccard",
+    "events_lateness_audit",
+    "stream_scd2_apply",
+    # changed in round 11 — re-driver-check (output or oracle changed)
+    "ann_pq_recall_eval",          # trained/ivf_pq branches, new schema
+    "dedup_minhash_lsh",           # hot-bucket cap in plan AND oracle
+    "dedup_clusters",
+    "dedup_clusters_star",
+    "dedup_method_eval",
+    # staleness debt the r10 verdict named explicitly: the whole
+    # r6-vintage cohort must re-enter the window (sample pins — the
+    # registry holds all 34; absence of any of these re-violates the
+    # freshness contract)
+    "agent_paper_details",
+    "chunk_windows_demo",
+    "contamination_purge_counts",
+    "corpus_datasheet",
+    "dedup_incremental",
+    "embedding_kmeans",
+    "kg_pagerank",
+    "kg_triangle_stats",
+    "source_overlap_matrix",
+    "stream_user_enriched_counts",
+    "top_supplier_revenue",
     # regression guards that must stay in every window
     "chunks_build",
     "kg_edges_build",
