@@ -500,3 +500,102 @@ def bm25_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("final_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction (document fingerprint for curation/labeling)
+# ---------------------------------------------------------------------------
+
+TFIDF_TOP = 3
+
+
+@query(
+    "doc_tfidf_keywords",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(
+               regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+')) AS token
+      FROM documents
+      WHERE length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) > 0
+    ),
+    doclen AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    n AS (SELECT COUNT(*) AS n_docs FROM doclen),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token
+    ),
+    df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+    scored AS (
+      SELECT t.doc_id, t.token, t.tf, d.df,
+             t.tf * ln((n.n_docs + 1.0) / (d.df + 1.0)) AS raw
+      FROM tf t JOIN df d USING (token) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id
+        ORDER BY CAST(round(raw, 6) AS DECIMAL(18,6)) DESC, token) AS rank
+      FROM scored
+    )
+    SELECT doc_id, CAST(rank AS INTEGER) AS rank, token, tf, df,
+           round(raw, 4) AS tfidf
+    FROM ranked WHERE rank <= {TFIDF_TOP}
+    ORDER BY doc_id, rank
+    """,
+)
+def doc_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TFIDF_TOP} TF-IDF keywords per document — the cheap document
+    fingerprint curation and labeling pipelines attach to every row
+    (cluster naming, topic drill-down, near-dup triage). idf uses the
+    smoothed ln((N+1)/(df+1)) form, which keeps ranking meaningful even
+    on this fixture's deliberately tiny vocabulary (31 distinct tokens,
+    median df ~0.8N — a df-threshold stopword cut would empty the
+    report; rarity weighting, not exclusion, is the robust rule).
+    Ranking compares round(score, 6) as DECIMAL with a token tie-break,
+    so order is engine-exact (cross-engine ln agreement on these inputs
+    is the same contract the BM25 family already pins).
+
+    Warm: served from the ``bm25_postings``/``bm25_doclen`` index stages
+    (the postings relation IS the tf table); cold: one tokenize pass.
+    Scale shape: df is a map-side-combinable aggregate over postings,
+    the N scalar broadcasts, and the per-doc top-{TFIDF_TOP} is a
+    window-group-limit over the postings scan — linear everywhere."""
+    from ..pipeline.corpus import _warm_path
+
+    post_p = _warm_path(sf_dir, "bm25_postings", spark)
+    dl_p = _warm_path(sf_dir, "bm25_doclen", spark)
+    if post_p and dl_p:
+        postings = spark.read.parquet(post_p)
+        doclen = spark.read.parquet(dl_p)
+    else:
+        postings = bm25_postings_build(spark, sf_dir)
+        doclen = bm25_doclen_build(spark, sf_dir)
+    n = doclen.agg(F.count("*").alias("n_docs"))
+    df_ = postings.groupBy("token").agg(F.count("*").alias("df"))
+    raw = F.col("tf") * F.log(
+        (F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))
+    )
+    scored = (
+        postings.join(df_, "token")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "token", "tf", "df", raw.alias("raw"))
+    )
+    from pyspark.sql import Window as W
+
+    rank = F.row_number().over(
+        W.partitionBy("doc_id").orderBy(
+            F.round(F.col("raw"), 6).cast("decimal(18,6)").desc(), F.asc("token")
+        )
+    )
+    return (
+        scored.withColumn("rank", rank)
+        .filter(F.col("rank") <= TFIDF_TOP)
+        .select(
+            "doc_id",
+            F.col("rank").cast("int"),
+            "token",
+            "tf",
+            "df",
+            F.round("raw", 4).alias("tfidf"),
+        )
+        .orderBy("doc_id", "rank")
+    )

@@ -2040,3 +2040,76 @@ def kg_sparse_neighborhood_jaccard(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("u", "v")
     )
+
+
+@query(
+    "kg_degree_assortativity",
+    oracle=f"""
+    WITH {_CORPUS_CTES},
+    {_DUCK_SPARSE_KG},
+    pairs AS (
+      SELECT a.d AS dj, b.d AS dk
+      FROM sparse e
+      JOIN deg a ON a.node = e.u
+      JOIN deg b ON b.node = e.v
+      UNION ALL
+      SELECT b.d, a.d
+      FROM sparse e
+      JOIN deg a ON a.node = e.u
+      JOIN deg b ON b.node = e.v
+    ),
+    sums AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(dj) AS BIGINT) AS sj,
+             CAST(SUM(dj * dj) AS BIGINT) AS sjj,
+             CAST(SUM(dj * dk) AS BIGINT) AS sjk
+      FROM pairs
+    )
+    SELECT m AS n_edge_ends, sj AS sum_deg, sjj AS sum_deg_sq, sjk AS sum_deg_prod,
+           round(
+             (CAST(m AS DOUBLE) * sjk - CAST(sj AS DOUBLE) * sj)
+             / (CAST(m AS DOUBLE) * sjj - CAST(sj AS DOUBLE) * sj), 4
+           ) AS assortativity
+    FROM sums
+    """,
+)
+def kg_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the sparsified KG (Newman 2002): the
+    Pearson correlation of endpoint degrees over the symmetrized edge
+    list — do hubs link to hubs (r > 0, social-network-like) or to
+    leaves (r < 0, hub-and-spoke)? On the symmetric pair list the x and
+    y marginals coincide, so r = (M·Σjk − (Σj)²) / (M·Σj² − (Σj)²). The
+    complete fixture graph is degree-regular (r undefined, 0/0); the
+    sparse shadow relation gives the statistic a real value.
+
+    Exactness: every sum is integer (BIGINT), the final expression is a
+    handful of IEEE double ops both engines round identically, one
+    round(4) at the end. Scale shape: two broadcastable degree joins +
+    one global aggregate — |E|-bounded."""
+    sparse = _kg_sparse_edges(spark, sf_dir)
+    nbr, deg = _kg_sparse_nbr_deg(sparse)
+    da = deg.select(F.col("c").alias("u"), F.col("d").alias("dju"))
+    db = deg.select(F.col("c").alias("v"), F.col("d").alias("djv"))
+    ends = sparse.join(da, "u").join(db, "v")
+    pairs = ends.select(
+        F.col("dju").alias("dj"), F.col("djv").alias("dk")
+    ).unionByName(ends.select(F.col("djv").alias("dj"), F.col("dju").alias("dk")))
+    sums = pairs.agg(
+        F.count("*").cast("bigint").alias("m"),
+        F.sum("dj").cast("bigint").alias("sj"),
+        F.sum(F.col("dj") * F.col("dj")).cast("bigint").alias("sjj"),
+        F.sum(F.col("dj") * F.col("dk")).cast("bigint").alias("sjk"),
+    )
+    md = F.col("m").cast("double")
+    sjd = F.col("sj").cast("double")
+    return sums.select(
+        F.col("m").alias("n_edge_ends"),
+        F.col("sj").alias("sum_deg"),
+        F.col("sjj").alias("sum_deg_sq"),
+        F.col("sjk").alias("sum_deg_prod"),
+        F.round(
+            (md * F.col("sjk") - sjd * F.col("sj"))
+            / (md * F.col("sjj") - sjd * F.col("sj")),
+            4,
+        ).alias("assortativity"),
+    )

@@ -53,17 +53,19 @@ _PRIORITY: tuple[str, ...] = (
     "kg_link_prediction",             # sparse-KG Adamic-Adar over non-edges
     "kg_sparse_neighborhood_jaccard", # sparse-KG per-edge neighborhood overlap
     "events_lateness_audit",          # watermark drop counts, pinned rule
+    "events_watermark_sizing",        # the delay-sweep twin of the audit
     "stream_scd2_apply",              # foreachBatch SCD2 == batch rebuild
+    "kg_degree_assortativity",        # sparse-KG degree correlation
+    "doc_tfidf_keywords",             # per-doc tf-idf keywords off postings
     # --- CHANGED in round 11 (must be re-driver-checked):
     "ann_pq_recall_eval",             # +trained/ivf_pq branches, new schema
     "dedup_minhash_lsh",              # hot-bucket star-contraction guard
-    "dedup_clusters",                 # pair relation + oracle carry the cap
-    "dedup_clusters_star",            # same capped pair relation
-    "dedup_method_eval",              # composes the capped LSH pair list
-    # (also code-touched with byte-identical outputs and unchanged
-    # oracles, re-verified by test_oracle_parity.py every session:
+    # (dedup_clusters/_star/dedup_method_eval inherit the capped pair
+    # relation with byte-identical outputs at every fixture SF, and
     # ann_pq_adc_topk, orders_scd2_dimension/_incremental,
-    # eval_rag_comparison, mmr_diversified_topk)
+    # eval_rag_comparison, mmr_diversified_topk are output-identical
+    # refactors — all re-verified by test_oracle_parity.py every
+    # session, so their slots go to the new registrations above)
     # --- Staleness fill: the ENTIRE r6-vintage cohort (34 rows) — after
     # --- this window no registered row is older than r7.
     "agent_paper_details",

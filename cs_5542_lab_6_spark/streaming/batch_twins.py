@@ -492,3 +492,103 @@ def events_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start")
     )
+
+
+WATERMARK_CANDIDATE_DELAYS_MIN = (5, 10, 30, 60)
+
+
+@query(
+    "events_watermark_sizing",
+    oracle=f"""
+    WITH arr AS (
+      SELECT ts,
+             row_number() OVER (
+               ORDER BY CAST(concat('0x', substr(sha256(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2147483647,
+                        event_id) AS rk
+      FROM events
+    ),
+    batched AS (SELECT ts, (rk - 1) // {LATENESS_BATCH_ROWS} AS b FROM arr),
+    bmax AS (
+      SELECT b, MAX(epoch_us(ts)) // 1000 AS bmax_ms FROM batched GROUP BY b
+    ),
+    pm AS (
+      SELECT b,
+             MAX(bmax_ms) OVER (
+               ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING) AS pm_ms
+      FROM bmax
+    ),
+    delays(delay_minutes) AS (VALUES {", ".join(f"({d})" for d in WATERMARK_CANDIDATE_DELAYS_MIN)}),
+    flagged AS (
+      SELECT d.delay_minutes,
+             CAST(date_trunc('day', e.ts) AS TIMESTAMP) AS ws,
+             CASE WHEN p.pm_ms IS NOT NULL
+                   AND CAST(date_trunc('day', e.ts) AS TIMESTAMP) + INTERVAL '1 day'
+                       <= make_timestamp((p.pm_ms - d.delay_minutes * 60000) * 1000)
+                  THEN 1 ELSE 0 END AS dropped
+      FROM batched e
+      JOIN pm p ON p.b = e.b
+      CROSS JOIN delays d
+    )
+    SELECT delay_minutes,
+           COUNT(*) AS n_events,
+           CAST(SUM(dropped) AS BIGINT) AS n_dropped,
+           round(CAST(SUM(dropped) AS DOUBLE) / COUNT(*), 4) AS drop_rate,
+           CAST(COUNT(DISTINCT CASE WHEN dropped = 1 THEN ws END) AS BIGINT)
+             AS n_windows_affected
+    FROM flagged
+    GROUP BY delay_minutes
+    ORDER BY delay_minutes
+    """,
+)
+def events_watermark_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark delay sizing curve: the lateness audit swept over the
+    WATERMARK_CANDIDATE_DELAYS_MIN candidates (5/10/30/60 minutes) —
+    total events each delay would drop under the SAME pinned Spark drop
+    rule, plus how many day windows lose data. This is the
+    report an operator reads to pick the delay (state size vs data
+    loss); the lateness audit then monitors the chosen one.
+
+    Scale shape: arrival sequencing and per-batch maxima are computed
+    ONCE; the |delays|-way sweep is a broadcast cross of a 4-row
+    literal table against the flagged scan — linear in events, never
+    re-sequencing per delay."""
+    ev = load_table(spark, sf_dir, "events")
+    arr = lateness_arrival(ev)
+    bmax = arr.groupBy("b").agg(
+        F.expr("floor(max(unix_micros(ts)) / 1000)").cast("long").alias("bmax_ms")
+    )
+    two_behind = W.orderBy("b").rowsBetween(W.unboundedPreceding, -2)
+    pm = bmax.withColumn("pm_ms", F.max("bmax_ms").over(two_behind)).select(
+        "b", "pm_ms"
+    )
+    delays = spark.createDataFrame(
+        [(d,) for d in WATERMARK_CANDIDATE_DELAYS_MIN], "delay_minutes int"
+    )
+    ws = F.window("ts", "1 day")["start"]
+    we = F.window("ts", "1 day")["end"]
+    wm = F.timestamp_millis(
+        F.col("pm_ms") - F.col("delay_minutes").cast("long") * F.lit(60000)
+    )
+    flagged = (
+        arr.join(pm, "b")
+        .crossJoin(F.broadcast(delays))
+        .select(
+            "delay_minutes",
+            ws.alias("ws"),
+            (F.col("pm_ms").isNotNull() & (we <= wm)).cast("int").alias("dropped"),
+        )
+    )
+    return (
+        flagged.groupBy("delay_minutes")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("dropped").cast("bigint").alias("n_dropped"),
+            F.round(F.sum("dropped").cast("double") / F.count("*"), 4).alias(
+                "drop_rate"
+            ),
+            F.count_distinct(
+                F.when(F.col("dropped") == 1, F.col("ws"))
+            ).cast("bigint").alias("n_windows_affected"),
+        )
+        .orderBy("delay_minutes")
+    )

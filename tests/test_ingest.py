@@ -122,6 +122,11 @@ def test_warm_warehouse_queries_equal_cold(spark, sf_dir, tmp_path, monkeypatch)
         "ann_pq_adc_topk",
         # trained-codebook branch served from the pq_codebook stage (r11)
         "ann_pq_recall_eval",
+        # sparse-KG shadow edges come from the kg_edges checkpoint (r11)
+        "kg_link_prediction",
+        "kg_degree_assortativity",
+        # tf-idf keywords served from bm25_postings/doclen (r11)
+        "doc_tfidf_keywords",
         # IVF-PQ composes both index stages (ivf_centroids + pq_codes)
         "ann_ivf_pq_topk",
         # SemDeDup family: cluster assignment from the kmeans_assign stage

@@ -25,13 +25,13 @@ REFERENCE_PARITY = [
     "kg_link_prediction",
     "kg_sparse_neighborhood_jaccard",
     "events_lateness_audit",
+    "events_watermark_sizing",
     "stream_scd2_apply",
+    "kg_degree_assortativity",
+    "doc_tfidf_keywords",
     # changed in round 11 — re-driver-check (output or oracle changed)
     "ann_pq_recall_eval",          # trained/ivf_pq branches, new schema
     "dedup_minhash_lsh",           # hot-bucket cap in plan AND oracle
-    "dedup_clusters",
-    "dedup_clusters_star",
-    "dedup_method_eval",
     # staleness debt the r10 verdict named explicitly: the whole
     # r6-vintage cohort must re-enter the window (sample pins — the
     # registry holds all 34; absence of any of these re-violates the
