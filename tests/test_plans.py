@@ -314,6 +314,10 @@ _BNLJ_ALLOWED = {
                                        # branches reuse it plan-free
     "events_cms_heavy_hitters": 1,     # 1-row stream-size scalar for the
                                        # eps bound
+    "events_watermark_sizing": 1,      # 4-row candidate-delay literal table
+                                       # crossed onto the flagged scan
+    "doc_tfidf_keywords": 1,           # 1-row corpus-size (N) scalar onto
+                                       # the postings scan
     "events_ams_f2_sketch": 1,         # 1-row median-estimate scalar
     "table_fk_integrity": 6,           # per FK edge, the 1-row orphan-count
                                        # scalar crossed onto the 1-row
