@@ -1522,6 +1522,27 @@ def _pq_codebook_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_codebook_train_build(spark, sf_dir)
 
 
+def pq_codes_trained_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cold trained-codebook encode stage (warehouse stage
+    ``pq_codes_trained``): the collection re-encoded against the Lloyd
+    ``pq_codebook`` — the second index artifact a trained IVFPQ deploy
+    materializes at ingest. Codes are a pure function of vectors +
+    trained codebook, so warm reads are row-identical to the cold
+    re-encode (the same build-once contract as ``pq_codes``)."""
+    return pq_codes_for(spark, sf_dir, _pq_codebook_trained(spark, sf_dir))
+
+
+def _pq_codes_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, m, j) under the trained codebook: warm stage scan
+    or the full re-encode."""
+    from ..pipeline.corpus import _warm_path
+
+    p = _warm_path(sf_dir, "pq_codes_trained", spark)
+    if p:
+        return spark.read.parquet(p)
+    return pq_codes_trained_build(spark, sf_dir)
+
+
 def _duck_trained_codebook_ctes() -> str:
     """DuckDB twin of pq_codebook_train_build, ending in
     ``tcb(m, j, c)`` — PQ_TRAIN_ROUNDS unrolled Lloyd rounds over the
@@ -1987,7 +2008,7 @@ def ann_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     tcb = _pq_codebook_trained(spark, sf_dir)
-    trained = pq_adc_topk_for(spark, sf_dir, tcb, pq_codes_for(spark, sf_dir, tcb))
+    trained = pq_adc_topk_for(spark, sf_dir, tcb, _pq_codes_trained(spark, sf_dir))
     tiers = (
         ("pq_adc", ann_pq_adc_topk(spark, sf_dir)),
         ("pq_adc_trained", trained),

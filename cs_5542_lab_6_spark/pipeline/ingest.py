@@ -44,6 +44,7 @@ from ..operators.similarity import (
     lsh_codes_build,
     pq_codebook_train_build,
     pq_codes_build,
+    pq_codes_trained_build,
 )
 from .corpus import (
     chunks_with_embeddings_df,
@@ -80,6 +81,7 @@ STAGES: tuple[tuple[str, Callable[[SparkSession, str], DataFrame], tuple[str, ..
     ("lsh_codes", lsh_codes_build, ()),
     ("pq_codes", pq_codes_build, ()),
     ("pq_codebook", pq_codebook_train_build, ()),
+    ("pq_codes_trained", pq_codes_trained_build, ()),
     ("kmeans_assign", kmeans_assign_build, ()),
     ("bm25_postings", bm25_postings_build, ()),
     ("bm25_doclen", bm25_doclen_build, ()),
@@ -112,6 +114,7 @@ STAGE_DEPS: dict[str, tuple[str, ...]] = {
     "kg_map": ("chunks",),
     "doc_minhash": ("doc_shingles",),
     "dedup_clusters": ("doc_minhash", "doc_shingles"),
+    "pq_codes_trained": ("pq_codebook",),
 }
 
 

@@ -52,6 +52,7 @@ def test_build_checkpoint_resume_verify(spark, sf_dir, tmp_path):
         "trigram_postings",
         "winnow_fps",
         "pq_codebook",
+        "pq_codes_trained",
     }
     assert all(v["status"] == "OK" for v in report.values())
     assert not any(v["skipped"] for v in report.values())
@@ -172,6 +173,7 @@ def test_warm_warehouse_queries_equal_cold(spark, sf_dir, tmp_path, monkeypatch)
         assert C._warm_path(sf_dir, "lsh_codes") is not None
         assert C._warm_path(sf_dir, "pq_codes") is not None
         assert C._warm_path(sf_dir, "pq_codebook") is not None
+        assert C._warm_path(sf_dir, "pq_codes_trained") is not None
         assert C._warm_path(sf_dir, "kmeans_assign") is not None
         assert C._warm_path(sf_dir, "winnow_fps") is not None
         warm = {
