@@ -150,6 +150,8 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserted in tests/test_ingest.py). Cold: the full derivation."""
     from ..pipeline.corpus import _warm_path
 
+    if k < 1:
+        raise ValueError(f"need k >= 1, got {k}")
     post_p = _warm_path(sf_dir, "bm25_postings", spark)
     dl_p = _warm_path(sf_dir, "bm25_doclen", spark)
     if post_p and dl_p:
@@ -543,7 +545,15 @@ TFIDF_TOP = 3
     """,
 )
 def doc_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{TFIDF_TOP} TF-IDF keywords per document — the cheap document
+    """Registered entry: ``tfidf_keywords_for`` at the fixed literal
+    k={TFIDF_TOP} the driver hashes; see that function for semantics."""
+    return tfidf_keywords_for(spark, sf_dir)
+
+
+def tfidf_keywords_for(
+    spark: SparkSession, sf_dir: str, *, k: int = TFIDF_TOP
+) -> DataFrame:
+    """Top-``k`` TF-IDF keywords per document — the cheap document
     fingerprint curation and labeling pipelines attach to every row
     (cluster naming, topic drill-down, near-dup triage). idf uses the
     smoothed ln((N+1)/(df+1)) form, which keeps ranking meaningful even
@@ -561,6 +571,8 @@ def doc_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     window-group-limit over the postings scan — linear everywhere."""
     from ..pipeline.corpus import _warm_path
 
+    if k < 1:
+        raise ValueError(f"need k >= 1, got {k}")
     post_p = _warm_path(sf_dir, "bm25_postings", spark)
     dl_p = _warm_path(sf_dir, "bm25_doclen", spark)
     if post_p and dl_p:
@@ -588,7 +600,7 @@ def doc_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         scored.withColumn("rank", rank)
-        .filter(F.col("rank") <= TFIDF_TOP)
+        .filter(F.col("rank") <= k)
         .select(
             "doc_id",
             F.col("rank").cast("int"),

@@ -1855,12 +1855,15 @@ _DUCK_SPARSE_KG = f"""
 """
 
 
-def _kg_sparse_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _kg_sparse_edges(
+    spark: SparkSession, sf_dir: str, mod: int = KG_SPARSE_MOD
+) -> DataFrame:
     """Canonical (u < v) sparse-KG edges — the kg_edges checkpoint's
     distinct pair set when warm, the co-occurrence derive otherwise,
-    filtered to the deterministic hash residue. Eagerly localCheckpointed:
-    every consumer fans it out 4-5 ways (symmetric neighbor lists, degree
-    counts, the anti-join probe), and the relation is |E|-bounded."""
+    filtered to the deterministic hash residue (keep 1/``mod`` of
+    edges). Eagerly localCheckpointed: every consumer fans it out 4-5
+    ways (symmetric neighbor lists, degree counts, the anti-join
+    probe), and the relation is |E|-bounded."""
     pe = _warm_path(sf_dir, "kg_edges", spark)
     if pe:
         canon = (
@@ -1886,9 +1889,7 @@ def _kg_sparse_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .distinct()
         )
-    sparse = canon.where(
-        token_hash(F.concat_ws("|", "u", "v")) % KG_SPARSE_MOD == 0
-    )
+    sparse = canon.where(token_hash(F.concat_ws("|", "u", "v")) % mod == 0)
     return sparse.localCheckpoint(eager=True)
 
 
@@ -1926,6 +1927,19 @@ def _kg_sparse_nbr_deg(sparse: DataFrame) -> tuple[DataFrame, DataFrame]:
     """,
 )
 def kg_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered entry: ``kg_link_prediction_for`` with the fixed
+    literals the driver hashes (mod={KG_SPARSE_MOD}, top={LINKPRED_TOP});
+    see that function for semantics."""
+    return kg_link_prediction_for(spark, sf_dir)
+
+
+def kg_link_prediction_for(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    mod: int = KG_SPARSE_MOD,
+    top: int = LINKPRED_TOP,
+) -> DataFrame:
     """Link prediction over the sparsified KG: rank node pairs NOT
     currently connected by their common-neighbor count and Adamic-Adar
     score (sum over shared neighbors w of 1/ln(deg(w)) — rare shared
@@ -1942,9 +1956,12 @@ def kg_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shared center), so work is sum-of-deg² — bounded by the
     triangle-stats wedge budget, never the node² all-pairs relation; the
     anti-join against the edge set and the deterministic
-    (score, u, v) top-{LINKPRED_TOP} cut both ride the same
-    |candidates|-sized relation."""
-    sparse = _kg_sparse_edges(spark, sf_dir)
+    (score, u, v) top-``top`` cut both ride the same
+    |candidates|-sized relation. ``mod`` sets the sparsification (keep
+    1/mod of edges; the kg_neighborhood_for-style parameter axis)."""
+    if mod < 1 or top < 1:
+        raise ValueError(f"need mod >= 1 and top >= 1, got mod={mod} top={top}")
+    sparse = _kg_sparse_edges(spark, sf_dir, mod)
     nbr, deg = _kg_sparse_nbr_deg(sparse)
     x, y = nbr.alias("x"), nbr.alias("y")
     cand = x.join(
@@ -1971,7 +1988,7 @@ def kg_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("aa").cast("double"), 4).alias("adamic_adar"),
         )
         .orderBy(F.desc("adamic_adar"), "u", "v")
-        .limit(LINKPRED_TOP)
+        .limit(top)
     )
 
 

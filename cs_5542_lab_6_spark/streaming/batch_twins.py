@@ -385,7 +385,9 @@ LATENESS_BATCH_ROWS = 100
 LATENESS_DELAY_MS = 10 * 60 * 1000  # the audited watermark delay: 10 minutes
 
 
-def lateness_arrival(ev: DataFrame) -> DataFrame:
+def lateness_arrival(
+    ev: DataFrame, batch_rows: int = LATENESS_BATCH_ROWS
+) -> DataFrame:
     """events + (rk, b): the derived arrival sequence and micro-batch id —
     shared by the audit query and the stream-replay pin test."""
     from ..functions.text import token_hash
@@ -396,21 +398,30 @@ def lateness_arrival(ev: DataFrame) -> DataFrame:
             W.orderBy(token_hash(F.col("event_id").cast("string")), "event_id")
         ),
     )
-    return arr.withColumn("b", F.expr(f"(rk - 1) div {LATENESS_BATCH_ROWS}"))
+    return arr.withColumn("b", F.expr(f"(rk - 1) div {batch_rows}"))
 
 
-def lateness_flagged(ev: DataFrame) -> DataFrame:
+def lateness_flagged(
+    ev: DataFrame,
+    delay_ms: int = LATENESS_DELAY_MS,
+    batch_rows: int = LATENESS_BATCH_ROWS,
+) -> DataFrame:
     """Arrival-batched events + per-event ``dropped`` flag under the
     pinned Spark drop rule (see the section comment) — the shared core
-    of ``events_lateness_audit`` and the replay test's prediction."""
-    arr = lateness_arrival(ev)
+    of ``events_lateness_audit`` (fixed literals), the replay test's
+    prediction, and the parameterized ``lateness_audit_for`` axis."""
+    if delay_ms < 0 or batch_rows < 1:
+        raise ValueError(
+            f"need delay_ms >= 0 and batch_rows >= 1, got {delay_ms}/{batch_rows}"
+        )
+    arr = lateness_arrival(ev, batch_rows)
     bmax = arr.groupBy("b").agg(
         F.expr("floor(max(unix_micros(ts)) / 1000)").cast("long").alias("bmax_ms")
     )
     two_behind = W.orderBy("b").rowsBetween(W.unboundedPreceding, -2)
     wmf = bmax.withColumn("pm", F.max("bmax_ms").over(two_behind)).select(
         "b",
-        F.timestamp_millis(F.col("pm") - F.lit(LATENESS_DELAY_MS)).alias("wm"),
+        F.timestamp_millis(F.col("pm") - F.lit(delay_ms)).alias("wm"),
     )
     win = F.window("ts", "1 day")
     return (

@@ -121,3 +121,57 @@ def test_late_interaction_validation(spark, sf_dir):
         late_interaction_for(spark, sf_dir, [])
     with pytest.raises(ValueError, match="collide"):
         late_interaction_for(spark, sf_dir, ["a b", "a-b"])
+
+
+def test_link_prediction_wrapper_matches_registered(spark, sf_dir):
+    from cs_5542_lab_6_spark.pipeline.corpus import (
+        KG_SPARSE_MOD,
+        LINKPRED_TOP,
+        kg_link_prediction,
+        kg_link_prediction_for,
+    )
+
+    reg = kg_link_prediction(spark, sf_dir).collect()
+    api = kg_link_prediction_for(
+        spark, sf_dir, mod=KG_SPARSE_MOD, top=LINKPRED_TOP
+    ).collect()
+    assert [tuple(r) for r in reg] == [tuple(r) for r in api]
+    # a denser sparsification (keep 1/2 of edges) leaves FEWER non-edges
+    # reachable by wedges than 1/3 leaves... both must at least run and
+    # respect the top cap
+    assert kg_link_prediction_for(spark, sf_dir, mod=2, top=7).count() <= 7
+    with pytest.raises(ValueError):
+        kg_link_prediction_for(spark, sf_dir, mod=0)
+
+
+def test_tfidf_keywords_k_axis(spark, sf_dir):
+    from cs_5542_lab_6_spark.operators.ranking import (
+        TFIDF_TOP,
+        doc_tfidf_keywords,
+        tfidf_keywords_for,
+    )
+
+    reg = doc_tfidf_keywords(spark, sf_dir).collect()
+    api = tfidf_keywords_for(spark, sf_dir, k=TFIDF_TOP).collect()
+    assert [tuple(r) for r in reg] == [tuple(r) for r in api]
+    # k=1 is exactly the rank-1 head of the registered result
+    one = tfidf_keywords_for(spark, sf_dir, k=1).collect()
+    assert [tuple(r) for r in one] == [tuple(r) for r in reg if r["rank"] == 1]
+    with pytest.raises(ValueError):
+        tfidf_keywords_for(spark, sf_dir, k=0)
+
+
+def test_lateness_audit_delay_axis(spark, sf_dir):
+    """A larger watermark delay can only drop FEWER events (monotone in
+    delay) — the property the sizing sweep's report rests on."""
+    from cs_5542_lab_6_spark.sources import load_table
+    from cs_5542_lab_6_spark.streaming.batch_twins import lateness_flagged
+
+    ev = load_table(spark, sf_dir, "events")
+    drops = {
+        d: lateness_flagged(ev, delay_ms=d * 60000).filter("dropped").count()
+        for d in (5, 60)
+    }
+    assert drops[60] <= drops[5]
+    with pytest.raises(ValueError):
+        lateness_flagged(ev, delay_ms=-1)
