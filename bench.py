@@ -125,6 +125,17 @@ HEADLINE = [
     # and the composed IVF-PQ ANN tier
     "eval_rag_comparison",
     "ann_ivf_pq_topk",
+    # round-11 additions: the capped-LSH audit, the sparse-KG analytics,
+    # the watermark observability pair, streaming SCD2, and tf-idf
+    # keywords off the postings index
+    "dedup_lsh_bucket_audit",
+    "kg_link_prediction",
+    "kg_sparse_neighborhood_jaccard",
+    "kg_degree_assortativity",
+    "events_lateness_audit",
+    "events_watermark_sizing",
+    "stream_scd2_apply",
+    "doc_tfidf_keywords",
 ]
 
 
