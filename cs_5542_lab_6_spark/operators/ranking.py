@@ -150,8 +150,6 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserted in tests/test_ingest.py). Cold: the full derivation."""
     from ..pipeline.corpus import _warm_path
 
-    if k < 1:
-        raise ValueError(f"need k >= 1, got {k}")
     post_p = _warm_path(sf_dir, "bm25_postings", spark)
     dl_p = _warm_path(sf_dir, "bm25_doclen", spark)
     if post_p and dl_p:
