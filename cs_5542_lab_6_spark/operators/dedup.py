@@ -290,7 +290,12 @@ _ROWS_PER_BAND = MINHASH_PERMS // MINHASH_BANDS
 # connectivity for clustering — all members shared a full band
 # signature, so provisionally chaining them through one hub is the
 # right contraction, and exact-Jaccard verification still runs on every
-# emitted candidate. The ceiling (32) sits above the largest natural
+# emitted candidate. CANDIDATE-level connectivity is provably identical
+# to the uncapped join (tests pin it on replicated AND mutated corpora);
+# after verification a capped bucket can in principle split differently
+# (a hub-spoke edge may fail Jaccard where some member-member pair would
+# have passed) — the accepted trade for linearity, and the audit row
+# makes every binding of the cap visible. The ceiling (32) sits above the largest natural
 # bucket in any fixture (20 at sf0.1), so fixture results are
 # byte-identical with or without the guard; the duplicate-dense bench
 # stress corpus (documents replicated 10-50x -> buckets of 50-1000)

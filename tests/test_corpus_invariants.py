@@ -223,3 +223,58 @@ def test_lsh_hot_bucket_cap_is_linear_and_preserves_components(
         assert split_families == 0
     finally:
         clear_caches(spark)
+
+
+def test_lsh_cap_preserves_components_on_mutated_corpora(
+    spark, tmp_path, monkeypatch
+):
+    """Generalization of the replica-corpus cap test: on corpora whose
+    near-dup families are MUTATED copies (so buckets mix partial band
+    matches, not just exact dups), the capped candidate relation must
+    yield the SAME connected components as the uncapped pairwise join —
+    star contraction may change which pairs are emitted, never which
+    docs are transitively connected through shared buckets."""
+    import random
+
+    from cs_5542_lab_6_spark.operators import dedup as D
+    from cs_5542_lab_6_spark.session import clear_caches
+
+    vocab = [f"tok{i}" for i in range(40)]
+
+    def corpus(seed: int) -> list[tuple]:
+        rng = random.Random(seed)
+        rows, doc_id = [], 0
+        for fam in range(6):
+            base = [rng.choice(vocab) for _ in range(30)]
+            for _ in range(rng.randint(8, 14)):  # family of mutated copies
+                words_ = list(base)
+                for _ in range(rng.randint(0, 3)):  # light mutation
+                    words_[rng.randrange(len(words_))] = rng.choice(vocab)
+                text = " ".join(words_)
+                rows.append((doc_id, text, "en", "syn", len(text)))
+                doc_id += 1
+        return rows
+
+    def components(sf: str) -> dict[int, int]:
+        bands = D._lsh_bands(spark, sf)
+        cand = D._lsh_capped_candidates(bands).select(
+            F.col("doc_a").alias("s"), F.col("doc_b").alias("d")
+        )
+        labels = D.star_components(cand.distinct())
+        return {r["node"]: r["lbl"] for r in labels.collect()}
+
+    for seed in (7, 23):
+        sf = str(tmp_path / f"c{seed}")
+        spark.createDataFrame(
+            corpus(seed), "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+        try:
+            monkeypatch.setattr(D, "LSH_BUCKET_CAP", 5)  # binds on families
+            capped = components(sf)
+            monkeypatch.setattr(D, "LSH_BUCKET_CAP", 10**9)  # never binds
+            uncapped = components(sf)
+            # same partition of the same node set (labels are min-ids, so
+            # equality of the dicts IS equality of the partitions)
+            assert capped == uncapped and capped
+        finally:
+            clear_caches(spark)
