@@ -278,3 +278,38 @@ def test_lsh_cap_preserves_components_on_mutated_corpora(
             assert capped == uncapped and capped
         finally:
             clear_caches(spark)
+
+
+def test_link_prediction_math_on_hand_verified_graphs(spark, monkeypatch):
+    """kg_link_prediction's wedge/anti-join/Adamic-Adar math on graphs
+    with hand-computable answers (the fixture + oracle only cover one
+    co-occurrence shape): a path a-b-c-d predicts exactly (a,c) and
+    (b,d) with AA = 1/ln(2); a 5-leaf star predicts every leaf pair
+    with AA = 1/ln(5) and common_neighbors = 1."""
+    from cs_5542_lab_6_spark.pipeline import corpus as C
+
+    def run(edges):
+        df = spark.createDataFrame(edges, "u string, v string")
+        monkeypatch.setattr(
+            C, "_kg_sparse_edges", lambda *_a, **_k: df.localCheckpoint(eager=True)
+        )
+        return {
+            (r.u, r.v): (r.common_neighbors, r.adamic_adar)
+            for r in C.kg_link_prediction_for(spark, "unused").collect()
+        }
+
+    import math
+
+    path = run([("a", "b"), ("b", "c"), ("c", "d")])
+    aa2 = round(round(1.0 / math.log(2), 6), 4)
+    assert path == {("a", "c"): (1, aa2), ("b", "d"): (1, aa2)}
+
+    leaves = [f"l{i}" for i in range(5)]
+    star = run([("h", leaf) for leaf in leaves])
+    aa5 = round(round(1.0 / math.log(5), 6), 4)
+    expected = {
+        (a, b): (1, aa5)
+        for i, a in enumerate(leaves)
+        for b in leaves[i + 1 :]
+    }
+    assert star == expected
