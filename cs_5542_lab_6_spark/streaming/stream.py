@@ -629,19 +629,29 @@ def scd2_stream_run(spark: SparkSession, sf_dir: str, workdir: str) -> int:
     if not os.path.isdir(delta_dir):
         os.makedirs(delta_dir)
         delta = orders.filter(F.col("o_orderdate") >= cut)
+        # ONE job writes every year bucket (hive-partitioned, one file
+        # per year via repartition on the key), then the part files are
+        # renamed into the flat lexicographic layout the stream reads —
+        # the per-year filtered-write loop this replaces re-scanned
+        # orders once per year
+        stage = os.path.join(workdir, "stage_delta")
+        (
+            delta.withColumn("y", F.year("o_orderdate"))
+            .repartition("y")
+            .write.mode("overwrite")
+            .partitionBy("y")
+            .parquet(stage)
+        )
         years = sorted(
-            r[0] for r in delta.select(F.year("o_orderdate")).distinct().collect()
+            int(os.path.basename(d).split("=")[1])
+            for d in glob.glob(os.path.join(stage, "y=*"))
         )
         for i, y in enumerate(years):
-            stage = os.path.join(workdir, f"stage_{y}")
-            delta.filter(F.year("o_orderdate") == y).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(stage)
-            part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            part = glob.glob(os.path.join(stage, f"y={y}", "part-*.parquet"))[0]
             dst = os.path.join(delta_dir, f"d{y}.parquet")
             shutil.move(part, dst)
-            shutil.rmtree(stage, ignore_errors=True)
             os.utime(dst, times=(1_000_000 + i, 1_000_000 + i))
+        shutil.rmtree(stage, ignore_errors=True)
     dim0 = os.path.join(workdir, "dim_v0")
     if not os.path.isdir(dim0):
         scd2_build(orders.filter(F.col("o_orderdate") < cut)).write.mode(
