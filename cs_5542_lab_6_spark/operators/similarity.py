@@ -1977,11 +1977,13 @@ def ann_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``ivf_pq``: the composed coarse-probe + ADC tier, whose recall
       is bounded above by pq_adc's (probing prunes candidates).
 
-    Scale shape: truth on the fixed query sample (localCheckpointed —
-    TOP_K*|Q| rows — so the three hit joins reuse it instead of
-    re-instantiating the brute-force cross join per branch); each tier's
-    candidate list is TOP_K*|Q| rows; the envelope boolean is one
-    global window over the 3*|Q|-row union."""
+    Scale shape: truth on the fixed query sample, fully LAZY — the three
+    hit-join branches re-reference the same truth subtree and Catalyst's
+    ReuseExchangeAndSubquery computes it once (measured FASTER than an
+    eager localCheckpoint cut, the same result as eval_rag_comparison
+    and dedup_method_eval: reuse beats blocking materialization); each
+    tier's candidate list is TOP_K*|Q| rows; the envelope boolean is
+    one global window over the 3*|Q|-row union."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -2005,7 +2007,6 @@ def ann_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", rank)
         .filter(F.col("rank") <= TOP_K)
         .select("qid", "vec_id")
-        .localCheckpoint(eager=True)
     )
     tcb = _pq_codebook_trained(spark, sf_dir)
     trained = pq_adc_topk_for(spark, sf_dir, tcb, _pq_codes_trained(spark, sf_dir))

@@ -307,11 +307,12 @@ _BNLJ_ALLOWED = {
     "events_heavy_hitters_sketch": 1,  # 1-row HLL universe scalar
     "supplier_bloom_semi_join": 2,     # 1-row build-count + 1-row bits-count
                                        # scalars cross-joined onto the report
-    "ann_pq_recall_eval": 1,           # the ivf_pq branch's q × nlist
-                                       # centroid cross; the exact-L2 truth
-                                       # cross join is eagerly checkpointed
-                                       # (TOP_K*|Q| rows) so the 3 tier
-                                       # branches reuse it plan-free
+    "ann_pq_recall_eval": 4,           # the 3-row query-set broadcast of the
+                                       # exact-L2 truth appears once per tier
+                                       # branch (3; ReuseExchange computes the
+                                       # scan once — measured faster than an
+                                       # eager checkpoint) + the ivf_pq
+                                       # branch's q × nlist centroid cross
     "events_cms_heavy_hitters": 1,     # 1-row stream-size scalar for the
                                        # eps bound
     "events_watermark_sizing": 1,      # 4-row candidate-delay literal table
