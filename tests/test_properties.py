@@ -760,3 +760,55 @@ def test_winnowing_stage_matches_python_replica(spark, texts):
     }
     for i, t in enumerate(texts):
         assert got[i] == _py_winnow(t), (i, t)
+
+
+# --- SCD2 delta composition (r11 streaming SCD2's foundational claim) ------
+
+_scd2_orders = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=4),    # custkey
+        st.integers(min_value=0, max_value=11),   # month offset from epoch
+        st.integers(min_value=1, max_value=500),  # orderkey
+        st.sampled_from(["1-URGENT", "2-HIGH", "3-MEDIUM"]),
+    ),
+    min_size=1,
+    max_size=30,
+    unique_by=lambda t: t[2],
+)
+
+
+@PROP
+@given(_scd2_orders, st.integers(min_value=0, max_value=11), st.integers(min_value=0, max_value=11))
+def test_scd2_delta_apply_composes_to_full_rebuild(spark, rows, cut_a, cut_b):
+    """The streaming SCD2's foundational algebra, on random changelogs:
+    splitting an append-only order stream at ANY month boundaries and
+    applying the segments sequentially through scd2_apply_delta must
+    land byte-identical to the one-shot scd2_build — the property the
+    stream_scd2_apply oracle checks once on the fixture, here replayed
+    across random histories, duplicate dates, and repeat priorities."""
+    import datetime as dt
+
+    from cs_5542_lab_6_spark.operators.lakehouse import (
+        scd2_apply_delta,
+        scd2_build,
+    )
+
+    lo, hi = sorted((cut_a, cut_b))
+    data = [
+        (ck, dt.datetime(2020, 1 + m, 1), ok, pr) for ck, m, ok, pr in rows
+    ]
+    orders = spark.createDataFrame(
+        data,
+        "o_custkey long, o_orderdate timestamp, o_orderkey long, o_orderpriority string",
+    )
+    seg1 = orders.filter(F.month("o_orderdate") - 1 < lo)
+    seg2 = orders.filter(
+        (F.month("o_orderdate") - 1 >= lo) & (F.month("o_orderdate") - 1 < hi)
+    )
+    seg3 = orders.filter(F.month("o_orderdate") - 1 >= hi)
+    dim = scd2_build(seg1)
+    dim = scd2_apply_delta(dim, seg2)
+    dim = scd2_apply_delta(dim, seg3)
+    got = sorted(map(tuple, dim.collect()))
+    want = sorted(map(tuple, scd2_build(orders).collect()))
+    assert got == want

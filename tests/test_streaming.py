@@ -354,3 +354,75 @@ def test_scd2_stream_replay_is_idempotent(spark, sf_dir, tmp_path):
 
     batch = sorted(map(tuple, orders_scd2_dimension(spark, sf_dir).collect()))
     assert replayed == batch
+
+
+def test_lateness_rule_holds_at_other_batch_sizes(spark, sf_dir, tmp_path):
+    """The pinned drop rule is not an artifact of the 100-row batching:
+    replay at 250 rows per micro-batch (different batch count, different
+    watermark trajectory) and the predicted append output must again be
+    row-exact against the real stream."""
+    from pyspark.sql import functions as F
+
+    from cs_5542_lab_6_spark.sources.tables import load_table
+    from cs_5542_lab_6_spark.streaming.batch_twins import (
+        LATENESS_DELAY_MS,
+        lateness_flagged,
+    )
+
+    rows = 250
+    ev = load_table(spark, sf_dir, "events")
+    flagged = lateness_flagged(ev, batch_rows=rows)
+
+    src = tmp_path / "arrival250"
+    src.mkdir()
+    arr = flagged.select("b", "ts")
+    for b in [r.b for r in arr.select("b").distinct().orderBy("b").collect()]:
+        tmp = tmp_path / f"stage_{b}"
+        arr.filter(F.col("b") == b).select("ts").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp))
+        next(tmp.glob("part-*.parquet")).rename(src / f"batch_{b:06d}.parquet")
+
+    sdf = (
+        spark.readStream.schema("ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    agg = (
+        sdf.withWatermark("ts", f"{LATENESS_DELAY_MS // 60000} minutes")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .count()
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("lateness_replay_250")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt250"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    bmax_ms = (
+        flagged.groupBy("b")
+        .agg(F.expr("floor(max(unix_micros(ts)) / 1000)").cast("long").alias("m"))
+        .agg(F.max("m"))
+        .collect()[0][0]
+    )
+    final_wm = F.timestamp_millis(F.lit(bmax_ms - LATENESS_DELAY_MS))
+    pred = (
+        flagged.filter(~F.col("dropped"))
+        .filter(F.col("window_end") <= final_wm)
+        .groupBy("window_start", "window_end")
+        .agg(F.count("*").alias("count"))
+    )
+    predicted = sorted(
+        (r.window_start, r.window_end, r["count"]) for r in pred.collect()
+    )
+    actual = sorted(
+        (r.ws, r.wend, r["count"])
+        for r in spark.sql(
+            "SELECT w.start AS ws, w.end AS wend, count FROM lateness_replay_250"
+        ).collect()
+    )
+    assert predicted == actual
