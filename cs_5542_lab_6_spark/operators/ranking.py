@@ -544,7 +544,7 @@ TFIDF_TOP = 3
 )
 def doc_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered entry: ``tfidf_keywords_for`` at the fixed literal
-    k={TFIDF_TOP} the driver hashes; see that function for semantics."""
+    k=TFIDF_TOP the driver hashes; see that function for semantics."""
     return tfidf_keywords_for(spark, sf_dir)
 
 

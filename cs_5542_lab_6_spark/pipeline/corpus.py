@@ -1928,7 +1928,7 @@ def _kg_sparse_nbr_deg(sparse: DataFrame) -> tuple[DataFrame, DataFrame]:
 )
 def kg_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered entry: ``kg_link_prediction_for`` with the fixed
-    literals the driver hashes (mod={KG_SPARSE_MOD}, top={LINKPRED_TOP});
+    literals the driver hashes (mod=KG_SPARSE_MOD, top=LINKPRED_TOP);
     see that function for semantics."""
     return kg_link_prediction_for(spark, sf_dir)
 
