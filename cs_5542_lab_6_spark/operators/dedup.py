@@ -492,7 +492,30 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, b.band, {_DUCK_BAND_SIG} AS sig
       FROM mh, (SELECT unnest(range(0, {MINHASH_BANDS})) AS b) b(band)
     ),
-    bsz AS (SELECT band, sig, COUNT(*) AS bn FROM bands GROUP BY band, sig)
+    bsz AS (
+      SELECT band, sig, COUNT(*) AS bn, MIN(doc_id) AS bmin
+      FROM bands GROUP BY band, sig
+    ),
+    star AS (
+      SELECT DISTINCT z.bmin AS doc_a, b.doc_id AS doc_b
+      FROM bands b JOIN bsz z ON b.band = z.band AND b.sig = z.sig
+      WHERE z.bn > {LSH_BUCKET_CAP} AND b.doc_id <> z.bmin
+    ),
+    star_ver AS (
+      SELECT s.doc_a, s.doc_b, COUNT(*) AS n_inter
+      FROM star s
+      JOIN sh a ON a.doc_id = s.doc_a
+      JOIN sh b ON b.doc_id = s.doc_b AND b.xs = a.xs
+      GROUP BY s.doc_a, s.doc_b
+    ),
+    star_pass AS (
+      SELECT COUNT(*) AS n
+      FROM star_ver v
+      JOIN sizes sa ON v.doc_a = sa.doc_id
+      JOIN sizes sb ON v.doc_b = sb.doc_id
+      WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter)
+            >= {MINHASH_VERIFY_THRESHOLD}
+    )
     SELECT {LSH_BUCKET_CAP} AS bucket_cap,
            CAST(COUNT(*) AS BIGINT) AS n_buckets,
            CAST(SUM(CASE WHEN bn > {LSH_BUCKET_CAP} THEN 1 ELSE 0 END) AS BIGINT)
@@ -504,7 +527,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CASE WHEN bn > {LSH_BUCKET_CAP} THEN bn - 1 ELSE 0 END) AS BIGINT)
              AS star_candidates,
            CAST(SUM(CASE WHEN bn > {LSH_BUCKET_CAP} THEN bn * (bn - 1) // 2 - (bn - 1) ELSE 0 END) AS BIGINT)
-             AS candidates_avoided
+             AS candidates_avoided,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM star)
+             - (SELECT CAST(n AS BIGINT) FROM star_pass)
+             AS star_edges_failing_verify
     FROM bsz
     """,
 )
@@ -516,10 +542,58 @@ def dedup_lsh_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     in them, and how many quadratic candidate pairs the cap converted
     into linear star edges. Zero capped buckets on the natural fixtures
     (ceiling chosen above the largest natural bucket); the bench's
-    duplicate-dense replicated corpus is where the counts move."""
+    duplicate-dense replicated corpus is where the counts move.
+
+    ``star_edges_failing_verify`` (r11 advice) measures the cap's actual
+    recall exposure, not just its candidate accounting: the number of
+    DISTINCT star (hub, member) edges whose exact Jaccard fails the
+    verify threshold. Every such edge is a place where post-verification
+    components COULD split differently from the uncapped join (the
+    member might have passed against some non-hub member). Zero means
+    the contraction cost nothing on this corpus; the column stays 0 on
+    every natural fixture trivially (no capped buckets) and is pinned
+    nonzero-aware on a synthetic capped corpus in tests."""
     capped = F.col("bn") > LSH_BUCKET_CAP
     all_pairs = F.expr("bn * (bn - 1) DIV 2")
-    return _lsh_bucket_stats(_lsh_bands(spark, sf_dir)).agg(
+    bands = _lsh_bands(spark, sf_dir)
+    stats = _lsh_bucket_stats(bands)
+
+    # Star edges actually emitted for capped buckets, verified exactly —
+    # the same |candidates|-sized join shape as dedup_minhash_lsh's
+    # verify, so the audit stays linear in what the cap emits.
+    star = (
+        bands.join(stats, ["band", "sig"])
+        .where(capped & (F.col("doc_id") != F.col("bmin")))
+        .select(F.col("bmin").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh = _doc_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    va, vb = sh.alias("va"), sh.alias("vb")
+    inter = (
+        star.join(va, F.col("va.doc_id") == F.col("doc_a"))
+        .join(
+            vb,
+            (F.col("vb.doc_id") == F.col("doc_b"))
+            & (F.col("vb.xs") == F.col("va.xs")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sz_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sz_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_inter")
+    )
+    n_pass = (
+        inter.join(sz_a, "doc_a")
+        .join(sz_b, "doc_b")
+        .where(jac >= MINHASH_VERIFY_THRESHOLD)
+        .agg(F.count("*").cast("long").alias("n_pass"))
+    )
+    n_star = star.agg(F.count("*").cast("long").alias("n_star"))
+
+    base = stats.agg(
         F.lit(LSH_BUCKET_CAP).alias("bucket_cap"),
         F.count("*").alias("n_buckets"),
         F.sum(F.when(capped, F.lit(1)).otherwise(F.lit(0)))
@@ -537,6 +611,17 @@ def dedup_lsh_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(capped, all_pairs - (F.col("bn") - 1)).otherwise(F.lit(0)))
         .cast("long")
         .alias("candidates_avoided"),
+    )
+    # two 1-row scalar broadcasts (whitelisted in test_plans): the audit
+    # row is a single row, so stitching the star-verify scalars on costs
+    # nothing at any scale
+    return (
+        base.crossJoin(n_star)
+        .crossJoin(n_pass)
+        .withColumn(
+            "star_edges_failing_verify", F.col("n_star") - F.col("n_pass")
+        )
+        .drop("n_star", "n_pass")
     )
 
 
@@ -741,7 +826,16 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     requires: clustering is an INDEX ARTIFACT, recomputing it per
     consumer query is the r7 verdict's #1 scale bug), the iterative
     cold derivation otherwise. Warm ≡ cold is asserted in
-    tests/test_ingest.py."""
+    tests/test_ingest.py.
+
+    Inherited LSH_BUCKET_CAP caveat (r11 advice): the pair relation this
+    clusters is the CAPPED candidate join — on a boilerplate-dense shard
+    a hot bucket contributes star (hub, member) edges only, so a
+    component can split differently from the uncapped join when a
+    hub-spoke edge fails Jaccard verification where some member-member
+    pair would have passed. ``dedup_lsh_bucket_audit``'s
+    ``star_edges_failing_verify`` column counts exactly those exposure
+    points (0 on every natural fixture — no capped buckets exist)."""
     from ..pipeline.corpus import _warm_path
 
     p = _warm_path(sf_dir, "dedup_clusters", spark)

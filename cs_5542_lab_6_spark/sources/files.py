@@ -175,8 +175,29 @@ def _strip_nullability(dt: T.DataType) -> T.DataType:
 
 def _lossless_orc_drift(file_dt: T.DataType, declared_dt: T.DataType) -> bool:
     f, d = _strip_nullability(file_dt), _strip_nullability(declared_dt)
+    return _widens_losslessly(f, d)
+
+
+def _widens_losslessly(f: T.DataType, d: T.DataType) -> bool:
+    """True iff a file column of type ``f`` reads losslessly as declared
+    type ``d`` — equality, safe numeric widening, or the same widening
+    NESTED inside arrays/maps/structs (file array<int> declared
+    array<bigint> is exactly as lossless as the top-level case; r11
+    advice). Struct widening requires identical field names in order —
+    reordering or renaming is drift, not widening."""
     if f == d:
         return True
+    if isinstance(f, T.ArrayType) and isinstance(d, T.ArrayType):
+        return _widens_losslessly(f.elementType, d.elementType)
+    if isinstance(f, T.MapType) and isinstance(d, T.MapType):
+        return _widens_losslessly(f.keyType, d.keyType) and _widens_losslessly(
+            f.valueType, d.valueType
+        )
+    if isinstance(f, T.StructType) and isinstance(d, T.StructType):
+        return len(f.fields) == len(d.fields) and all(
+            ff.name == df_.name and _widens_losslessly(ff.dataType, df_.dataType)
+            for ff, df_ in zip(f.fields, d.fields)
+        )
     return d.simpleString() in _ORC_SAFE_WIDEN.get(f.simpleString(), set())
 
 

@@ -593,9 +593,17 @@ def stream_user_top_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def scd2_stream_run(spark: SparkSession, sf_dir: str, workdir: str) -> int:
+def scd2_stream_run(
+    spark: SparkSession,
+    sf_dir: str,
+    workdir: str,
+    fail_at_batch: int | None = None,
+) -> int:
     """Drive the streaming SCD2 apply inside ``workdir`` and return the
-    final state version. Layout (all under workdir):
+    final state version. ``fail_at_batch`` is a test seam: raise before
+    applying that micro-batch, simulating a crash with partial progress
+    (the kept checkpoint then resumes from the failed batch on the next
+    call). Layout (all under workdir):
 
     - ``delta/d<year>.parquet`` — the post-SCD2_CUT changelog, one file
       per order year, lexicographic names AND strictly increasing
@@ -658,17 +666,26 @@ def scd2_stream_run(spark: SparkSession, sf_dir: str, workdir: str) -> int:
             "overwrite"
         ).parquet(dim0)
 
-    state = {"v": 0}
-
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if fail_at_batch is not None and batch_id == fail_at_batch:
+            raise RuntimeError(
+                f"injected crash before applying batch {batch_id}"
+            )
+        # State is keyed off Spark's batch_id — the standard foreachBatch
+        # exactly-once idiom: batch k always reads dim_v<k> and writes
+        # dim_v<k+1>, so a restart that KEEPS the checkpoint (crash with
+        # partial progress) replays only uncommitted batches against the
+        # state version they originally saw, and a replayed batch
+        # overwrites its own output idempotently. A driver-local counter
+        # here would restart at 0 on such a resume and merge later deltas
+        # onto dim_v0.
         cur = batch_df.sparkSession.read.parquet(
-            os.path.join(workdir, f"dim_v{state['v']}")
+            os.path.join(workdir, f"dim_v{batch_id}")
         )
         nxt = scd2_apply_delta(cur, batch_df)
         nxt.write.mode("overwrite").parquet(
-            os.path.join(workdir, f"dim_v{state['v'] + 1}")
+            os.path.join(workdir, f"dim_v{batch_id + 1}")
         )
-        state["v"] += 1
 
     sdf = (
         spark.readStream.schema(
@@ -685,7 +702,14 @@ def scd2_stream_run(spark: SparkSession, sf_dir: str, workdir: str) -> int:
         .start()
     )
     q.awaitTermination()
-    return state["v"]
+    # The final version is whatever the highest committed batch produced —
+    # read it off disk rather than a driver counter so a kept-checkpoint
+    # resume (which replays only a suffix of batches) still reports the
+    # true head version.
+    return max(
+        int(os.path.basename(d)[len("dim_v"):])
+        for d in glob.glob(os.path.join(workdir, "dim_v*"))
+    )
 
 
 @query(

@@ -208,6 +208,10 @@ def test_lsh_hot_bucket_cap_is_linear_and_preserves_components(
             audit["star_candidates"]
             == audit["docs_in_capped"] - audit["n_capped_buckets"]
         )
+        # replicas are byte-identical text, so every star (hub, member)
+        # edge is an exact dup (Jaccard 1.0): the cap's recall-exposure
+        # column must report zero failing hub verifications here
+        assert audit["star_edges_failing_verify"] == 0
 
         pairs = D.minhash_pairs(spark, dense_dir)
         labels = D.star_components(

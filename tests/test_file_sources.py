@@ -167,3 +167,67 @@ def test_orc_drift_allows_lossless_widening_rejects_lossy(spark, tmp_path):
     lossy = T.StructType([T.StructField("a", T.StringType())])
     with pytest.raises(ValueError, match="type drift"):
         read_orc(spark, path, lossy)
+
+
+def test_orc_drift_widening_recurses_into_nested_types(spark, tmp_path):
+    """Nested lossless widening (r11 advice): file array<int> declared
+    array<bigint>, an int inside a struct declared bigint, and map values
+    widening float->double are the same lossless case as the top level
+    and must read; a lossy element type (array<bigint> declared
+    array<int>) still fails."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from cs_5542_lab_6_spark.sources.files import read_orc
+
+    path = str(tmp_path / "t_orc_nested")
+    df = spark.createDataFrame(
+        [([1, 2], {"k": float(1.5)}, (7, "x"))],
+        schema="xs array<int>, m map<string,float>, s struct<a:int,b:string>",
+    )
+    df.write.orc(path)
+
+    widened = T.StructType(
+        [
+            T.StructField("xs", T.ArrayType(T.LongType())),
+            T.StructField("m", T.MapType(T.StringType(), T.DoubleType())),
+            T.StructField(
+                "s",
+                T.StructType(
+                    [
+                        T.StructField("a", T.LongType()),
+                        T.StructField("b", T.StringType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    back = read_orc(spark, path, widened).collect()[0]
+    assert back.xs == [1, 2] and back.m == {"k": 1.5} and back.s.a == 7
+
+    lossy = T.StructType([T.StructField("xs", T.ArrayType(T.IntegerType()))])
+    # file already array<int>: that exact declared type is fine...
+    assert read_orc(spark, path, lossy).collect()[0].xs == [1, 2]
+    # ...but declaring a NARROWER element than the files carry is drift
+    wide_files = str(tmp_path / "t_orc_wide")
+    spark.createDataFrame([([1],)], schema="xs array<bigint>").write.orc(wide_files)
+    with pytest.raises(ValueError, match="type drift"):
+        read_orc(spark, wide_files, lossy)
+    # struct field RENAME is drift even when the layout matches
+    renamed = T.StructType(
+        [
+            T.StructField("xs", T.ArrayType(T.LongType())),
+            T.StructField("m", T.MapType(T.StringType(), T.DoubleType())),
+            T.StructField(
+                "s",
+                T.StructType(
+                    [
+                        T.StructField("z", T.LongType()),
+                        T.StructField("b", T.StringType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    with pytest.raises(ValueError, match="type drift"):
+        read_orc(spark, path, renamed)

@@ -338,6 +338,9 @@ _BNLJ_ALLOWED = {
     "curation_by_source": 1,           # same composed scalar, one level up
     "customer_top_orders_lateral": 1,  # decorrelated lateral may plan a domain join
     "corpus_vocab_growth": 1,          # 1-row doc_id bounds scalar
+    "dedup_lsh_bucket_audit": 2,       # 1-row star-edge count + 1-row verify-
+                                       # pass count crossed onto the 1-row
+                                       # bucket-accounting aggregate
 }
 
 # Iterative/streaming queries whose plan construction executes multi-round

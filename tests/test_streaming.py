@@ -356,6 +356,33 @@ def test_scd2_stream_replay_is_idempotent(spark, sf_dir, tmp_path):
     assert replayed == batch
 
 
+def test_scd2_stream_resumes_partial_progress(spark, sf_dir, tmp_path):
+    """The OTHER restart shape (r11 advice): a crash mid-run that KEEPS
+    the checkpoint. Spark replays only the uncommitted batches with
+    their original batch_ids, so the apply must key its state read off
+    batch_id — a driver-local counter would restart at 0 and merge the
+    tail deltas onto dim_v0. Inject a crash before batch 2, resume with
+    the same workdir/checkpoint, and the final dimension must equal the
+    one-shot batch rebuild."""
+    import pyspark.errors
+
+    from cs_5542_lab_6_spark.operators.lakehouse import orders_scd2_dimension
+    from cs_5542_lab_6_spark.streaming.stream import scd2_stream_run
+
+    wd = str(tmp_path / "scd2_partial")
+    os.makedirs(wd)
+    with pytest.raises(pyspark.errors.exceptions.base.PySparkException):
+        scd2_stream_run(spark, sf_dir, wd, fail_at_batch=2)
+    # batches 0 and 1 committed before the crash; the tail did not run
+    assert os.path.isdir(f"{wd}/dim_v2") and not os.path.isdir(f"{wd}/dim_v3")
+
+    v = scd2_stream_run(spark, sf_dir, wd)  # same checkpoint, no injection
+    assert v >= 3
+    resumed = sorted(map(tuple, spark.read.parquet(f"{wd}/dim_v{v}").collect()))
+    batch = sorted(map(tuple, orders_scd2_dimension(spark, sf_dir).collect()))
+    assert resumed == batch
+
+
 def test_lateness_rule_holds_at_other_batch_sizes(spark, sf_dir, tmp_path):
     """The pinned drop rule is not an artifact of the 100-row batching:
     replay at 250 rows per micro-batch (different batch count, different
