@@ -136,6 +136,9 @@ HEADLINE = [
     "events_watermark_sizing",
     "stream_scd2_apply",
     "doc_tfidf_keywords",
+    # round-12 addition: streaming near-dup admission (micro-batch screen
+    # against the standing shingle index)
+    "stream_dedup_admission",
 ]
 
 

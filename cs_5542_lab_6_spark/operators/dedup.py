@@ -69,18 +69,24 @@ def shingle_array(w: Column, k: int = SHINGLE_K) -> Column:
     )
 
 
-def doc_shingles_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cold (doc_id, xs) derivation — one row per distinct shingle *hash*
-    per document, straight from raw text. This is the warehouse-stage
-    builder (``ingest.STAGES``); query-side consumers go through
-    ``_doc_shingles`` which prefers the materialized checkpoint."""
-    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+def shingles_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, xs) for an arbitrary (doc_id, text, ...) relation — the
+    one shingle derivation every dedup path shares (warehouse stage,
+    incremental batch screen, streaming admission micro-batches)."""
     toks = docs.select("doc_id", words(F.lower(F.col("text"))).alias("w"))
     return (
         toks.select("doc_id", F.explode(shingle_array(F.col("w"))).alias("s"))
         .select("doc_id", token_hash("s").alias("xs"))
         .distinct()
     )
+
+
+def doc_shingles_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cold (doc_id, xs) derivation — one row per distinct shingle *hash*
+    per document, straight from raw text. This is the warehouse-stage
+    builder (``ingest.STAGES``); query-side consumers go through
+    ``_doc_shingles`` which prefers the materialized checkpoint."""
+    return shingles_of(fan_out(load_table(spark, sf_dir, "documents"), "doc_id"))
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1297,10 +1303,11 @@ def contamination_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NEW_BATCH_MOD = 10  # doc_id % 10 == 0 models "today's ingest batch"
 
-
-@query(
-    "dedup_incremental",
-    oracle=f"""
+# Shared by dedup_incremental and the streaming admission twin
+# (streaming/stream.py stream_dedup_admission): the stream replays the
+# same cut in micro-batches against the same standing index, so N
+# per-batch screens must land byte-identical to this one-shot screen.
+DEDUP_INCREMENTAL_ORACLE = f"""
     WITH {_DUCK_SHINGLES_CTE},
     inter AS (
       SELECT a.doc_id AS new_doc_id, b.doc_id AS match_doc_id, COUNT(*) AS n_inter
@@ -1333,8 +1340,10 @@ NEW_BATCH_MOD = 10  # doc_id % 10 == 0 models "today's ingest batch"
     FROM documents d LEFT JOIN best b ON d.doc_id = b.new_doc_id
     WHERE d.doc_id % {NEW_BATCH_MOD} = 0
     ORDER BY new_doc_id
-    """,
-)
+    """
+
+
+@query("dedup_incremental", oracle=DEDUP_INCREMENTAL_ORACLE)
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental (batch-vs-index) near-dedup: screen 'today's ingest'
     (doc_id % NEW_BATCH_MOD == 0) against the standing corpus WITHOUT

@@ -48,60 +48,61 @@ _REGISTRY: dict[str, Q] = {}
 # tests/test_oracle_parity.py (rows+schema+exact-value over all
 # registered oracles) and at sf0.1 by tests/test_scale_canary.py.
 _PRIORITY: tuple[str, ...] = (
-    # --- New in round 11 (registered this round; first driver check):
-    "dedup_lsh_bucket_audit",         # LSH hot-bucket cap accounting
-    "kg_link_prediction",             # sparse-KG Adamic-Adar over non-edges
-    "kg_sparse_neighborhood_jaccard", # sparse-KG per-edge neighborhood overlap
-    "events_lateness_audit",          # watermark drop counts, pinned rule
-    "events_watermark_sizing",        # the delay-sweep twin of the audit
-    "stream_scd2_apply",              # foreachBatch SCD2 == batch rebuild
-    "kg_degree_assortativity",        # sparse-KG degree correlation
-    "doc_tfidf_keywords",             # per-doc tf-idf keywords off postings
-    # --- CHANGED in round 11 (must be re-driver-checked):
-    "ann_pq_recall_eval",             # +trained/ivf_pq branches, new schema
-    "dedup_minhash_lsh",              # hot-bucket star-contraction guard
-    # (dedup_clusters/_star/dedup_method_eval inherit the capped pair
-    # relation with byte-identical outputs at every fixture SF, and
-    # ann_pq_adc_topk, orders_scd2_dimension/_incremental,
-    # eval_rag_comparison, mmr_diversified_topk are output-identical
-    # refactors — all re-verified by test_oracle_parity.py every
-    # session, so their slots go to the new registrations above)
-    # --- Staleness fill: the ENTIRE r6-vintage cohort (34 rows) — after
-    # --- this window no registered row is older than r7.
-    "agent_paper_details",
-    "chunk_windows_demo",
-    "contamination_purge_counts",
-    "corpus_datasheet",
-    "corpus_mixture_plan",
-    "corpus_stratified_sample",
-    "corpus_weighted_sample",
-    "customer_order_count_histogram",
-    "customer_order_presence",
-    "customer_order_value_extremes",
-    "dedup_incremental",
-    "discounted_bulk_revenue",
-    "doc_sequence_packing",
-    "doc_token_familiarity",
-    "embedding_kmeans",
-    "events_daily_anomaly",
-    "events_retention_cohorts",
-    "kg_pagerank",
-    "kg_triangle_stats",
-    "language_id_confusion",
-    "large_order_customers",
-    "nation_price_medians",
-    "nation_trade_flows",
-    "national_supplier_share",
-    "order_priority_exists_counts",
-    "promo_revenue_share",
-    "quiet_wealthy_customers",
-    "returned_item_customers",
-    "small_quantity_part_revenue",
-    "source_blocklist_filter",
-    "source_overlap_matrix",
-    "source_quality_profile",
-    "stream_user_enriched_counts",
-    "top_supplier_revenue",
+    # --- New in round 12 (registered this round; first driver check):
+    "stream_dedup_admission",         # micro-batch screen vs standing index
+    # --- CHANGED in round 12 (oracle gained star_edges_failing_verify):
+    "dedup_lsh_bucket_audit",
+    # --- Changed-oracle COMPOSITIONS owed a fresh row (r11 verdict item
+    # --- 1: their oracle text changed with the r11 LSH cap, but their
+    # --- last driver rows are r7/r7/r10 — the hard signal against the
+    # --- CURRENT oracle text lands this round):
+    "dedup_clusters",
+    "dedup_clusters_star",
+    "dedup_method_eval",
+    # --- Staleness fill: 39 of the 41 remaining r7-vintage rows (the
+    # --- whole cohort minus the two rows-only sketches deferred to r13:
+    # --- orders_approx_stats / events_heavy_hitters_sketch, each pinned
+    # --- in-window by an exact hash-checked twin since r8/r9). After
+    # --- this window the r7 cohort is 2 rows — under the verdict's <=10.
+    "bm25_rerank_topk",
+    "corpus_bpe_merge_candidates",
+    "corpus_bpe_tokenize_stats",
+    "corpus_bpe_train",
+    "corpus_curation_decisions",
+    "corpus_duplicate_sentences",
+    "corpus_snapshot_diff",
+    "corpus_vocab_growth",
+    "curation_by_source",
+    "customer_rfm_segments",
+    "customer_top_orders_lateral",
+    "dedup_rate_by_source",
+    "doc_lm_perplexity",
+    "doc_quality_filter_funnel",
+    "doc_token_entropy",
+    "events_hourly_seasonality",
+    "events_props_variant",
+    "events_session_windows",
+    "events_transition_matrix",
+    "excess_stock_suppliers",
+    "kg_degree_distribution",
+    "kg_reachability_sql",
+    "kg_two_hop",
+    "min_cost_part_supplier",
+    "multimodal_decode_features",
+    "nation_market_share",
+    "orders_date_spine_gaps",
+    "orders_merge_upsert",
+    "orders_mv_incremental_refresh",
+    "priority_price_gini",
+    "product_type_profit",
+    "sole_late_supplier_orders",
+    "sql_script_pipe_revenue",
+    "sql_script_procedural_threshold",
+    "stream_user_stats_stateful",
+    "stream_user_top_purchases",
+    "supplier_part_variety",
+    "tokenizer_fertility_by_lang",
+    "user_click_purchase_cogroup",
     # --- Regression guards that stay in every window
     "chunks_build",            # corpus chunker (pure-Catalyst UDTF twin)
     "kg_edges_build",          # co-occurrence one-shuffle expansion
@@ -109,10 +110,20 @@ _PRIORITY: tuple[str, ...] = (
     "eval_metrics_log",        # JSON sink (red in r4, fixed r5)
     "stream_tumbling_daily",   # real Structured Streaming
     "ann_ivf_topk",            # warm ivf_centroids seam, cold path
-    # Rotated out this window: the r8-r10 registrations (all driver-green
-    # in their landing rounds) and the r7 vintage. Every rotated-out query
-    # keeps session-level parity coverage at sf0.01 via
-    # tests/test_oracle_parity.py plus the opt-in sf0.1 scale sweep.
+    # --- r13 rotation plan (write-down required by the r11 verdict,
+    # --- item 8; apply verbatim next round): window = any r13 new/changed
+    # --- queries, then the 2 deferred r7 rows (orders_approx_stats,
+    # --- events_heavy_hitters_sketch), then the ENTIRE 23-row r8 cohort
+    # --- (active_customer_keys, agent_chunk_context, ann_lsh_topk,
+    # --- chunks_with_embeddings, corpus_chunk_ratio,
+    # --- corpus_token_frequencies, corpus_verify, dedup_embedding_nn,
+    # --- dedup_simhash, doc_fingerprints, doc_language_id,
+    # --- doc_token_stats, order_fill_status, order_status_priority_cube,
+    # --- orders_per_month, papers_build, part_catalog_slugs,
+    # --- returnflag_pivot, revenue_forecast,
+    # --- status_priority_grouping_sets, top_orders_by_revenue,
+    # --- user_event_gaps, vector_topk_filtered), then stalest-r9 fill to
+    # --- 44, then the 6 guards. That clears every pre-r9 vintage.
 )
 
 

@@ -598,12 +598,18 @@ def scd2_stream_run(
     sf_dir: str,
     workdir: str,
     fail_at_batch: int | None = None,
+    files_per_trigger: int = 1,
 ) -> int:
     """Drive the streaming SCD2 apply inside ``workdir`` and return the
     final state version. ``fail_at_batch`` is a test seam: raise before
     applying that micro-batch, simulating a crash with partial progress
     (the kept checkpoint then resumes from the failed batch on the next
-    call). Layout (all under workdir):
+    call). ``files_per_trigger`` sets maxFilesPerTrigger — the registered
+    query keeps 1 (one changelog file per micro-batch, the replay
+    contract the tests pin); larger values model a catch-up replay that
+    merges several days per trigger (the apply is batch-size-agnostic:
+    sequential composition ≡ rebuild is Hypothesis-checked across
+    arbitrary splits). Layout (all under workdir):
 
     - ``delta/d<year>.parquet`` — the post-SCD2_CUT changelog, one file
       per order year, lexicographic names AND strictly increasing
@@ -692,7 +698,7 @@ def scd2_stream_run(
             "o_custkey bigint, o_orderpriority string, "
             "o_orderdate timestamp, o_orderkey bigint"
         )
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", files_per_trigger)
         .parquet(delta_dir)
     )
     q = (
@@ -710,6 +716,219 @@ def scd2_stream_run(
         int(os.path.basename(d)[len("dim_v"):])
         for d in glob.glob(os.path.join(workdir, "dim_v*"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming near-dup admission: document changelog screened per micro-batch
+# against the standing shingle index
+# ---------------------------------------------------------------------------
+
+ADMISSION_FILES = 4  # arrival files = micro-batches (maxFilesPerTrigger=1)
+
+
+def dedup_admission_stream_run(
+    spark: SparkSession,
+    sf_dir: str,
+    workdir: str,
+    fail_at_batch: int | None = None,
+) -> int:
+    """Drive the streaming near-dup admission inside ``workdir`` and
+    return the number of processed micro-batches. Layout:
+
+    - ``arrivals/a<g>.parquet`` — the "new ingest" cut of documents
+      (doc_id % NEW_BATCH_MOD == 0, the same cut ``dedup_incremental``
+      screens) split into ADMISSION_FILES files by a deterministic
+      arrival group, lexicographic names and increasing mtimes (the
+      file source orders on mtime; both orders agree). Written only if
+      missing.
+    - ``index/`` + ``index_sizes/`` — the STANDING corpus shingle index
+      (every non-new doc's (doc_id, xs) rows and per-doc shingle
+      counts), materialized once at setup. This is the warm-warehouse
+      shape: each micro-batch screens against compact hashed parquet,
+      never against raw text.
+    - ``verdicts/b<k>`` — batch k's admission verdicts (one row per
+      arriving doc: best index match by exact Jaccard or 'unique').
+      batch_id-keyed OVERWRITE, the same exactly-once idiom as the SCD2
+      stream: a replayed batch rewrites its own output idempotently.
+    - ``index_delta/b<k>`` — the shingles of batch k's ADMITTED docs,
+      the index maintenance a standing admission pipeline performs
+      (standing index ∪ deltas = the index a later replay would screen
+      against). Also batch_id-keyed.
+    - ``ckpt`` — the streaming checkpoint.
+
+    Cost per batch is |batch| × avg-postings join work against the
+    index — never |corpus|²; at 100 TB the index side is the
+    materialized shingle warehouse and the batch side broadcasts.
+    ``fail_at_batch`` is the same crash-injection test seam as
+    ``scd2_stream_run``."""
+    import glob
+    import shutil
+
+    from ..operators.dedup import (
+        JACCARD_THRESHOLD,
+        NEW_BATCH_MOD,
+        shingles_of,
+        _doc_shingles,
+    )
+    from ..sources.tables import load_table
+
+    is_new = F.col("doc_id") % NEW_BATCH_MOD == 0
+    arrivals_dir = os.path.join(workdir, "arrivals")
+    if not os.path.isdir(arrivals_dir):
+        os.makedirs(arrivals_dir)
+        stage = os.path.join(workdir, "stage_arrivals")
+        (
+            load_table(spark, sf_dir, "documents")
+            .filter(is_new)
+            .select("doc_id", "text")
+            .withColumn(
+                "g",
+                (F.col("doc_id") / NEW_BATCH_MOD).cast("bigint")
+                % ADMISSION_FILES,
+            )
+            .repartition("g")
+            .write.mode("overwrite")
+            .partitionBy("g")
+            .parquet(stage)
+        )
+        groups = sorted(
+            int(os.path.basename(d).split("=")[1])
+            for d in glob.glob(os.path.join(stage, "g=*"))
+        )
+        for i, g in enumerate(groups):
+            part = glob.glob(os.path.join(stage, f"g={g}", "part-*.parquet"))[0]
+            dst = os.path.join(arrivals_dir, f"a{g}.parquet")
+            shutil.move(part, dst)
+            os.utime(dst, times=(1_000_000 + i, 1_000_000 + i))
+        shutil.rmtree(stage, ignore_errors=True)
+
+    index_dir = os.path.join(workdir, "index")
+    sizes_dir = os.path.join(workdir, "index_sizes")
+    if not os.path.isdir(index_dir):
+        idx = _doc_shingles(spark, sf_dir).filter(~is_new)
+        idx.write.mode("overwrite").parquet(index_dir)
+        spark.read.parquet(index_dir).groupBy("doc_id").agg(
+            F.count("*").alias("n")
+        ).write.mode("overwrite").parquet(sizes_dir)
+
+    def _screen(batch_df: DataFrame, batch_id: int) -> None:
+        if fail_at_batch is not None and batch_id == fail_at_batch:
+            raise RuntimeError(
+                f"injected crash before screening batch {batch_id}"
+            )
+        from pyspark.sql import Window as W
+
+        sess = batch_df.sparkSession
+        sh_b = shingles_of(batch_df)
+        b_sizes = sh_b.groupBy("doc_id").agg(F.count("*").alias("n"))
+        idx = sess.read.parquet(index_dir)
+        idx_sizes = sess.read.parquet(sizes_dir)
+        inter = (
+            sh_b.alias("a")
+            .join(idx.alias("b"), F.col("a.xs") == F.col("b.xs"))
+            .groupBy(
+                F.col("a.doc_id").alias("new_doc_id"),
+                F.col("b.doc_id").alias("match_doc_id"),
+            )
+            .agg(F.count("*").alias("n_inter"))
+        )
+        jac = F.col("n_inter") / (
+            F.col("sa.n") + F.col("sb.n") - F.col("n_inter")
+        )
+        scored = (
+            inter.join(
+                b_sizes.alias("sa"), F.col("new_doc_id") == F.col("sa.doc_id")
+            )
+            .join(
+                idx_sizes.alias("sb"),
+                F.col("match_doc_id") == F.col("sb.doc_id"),
+            )
+            .withColumn("jac", jac)
+            .filter(F.col("jac") >= JACCARD_THRESHOLD)
+            .select("new_doc_id", "match_doc_id", "jac")
+        )
+        rn = F.row_number().over(
+            W.partitionBy("new_doc_id").orderBy(
+                F.desc("jac"), F.asc("match_doc_id")
+            )
+        )
+        best = scored.withColumn("rn", rn).filter(F.col("rn") == 1).drop("rn")
+        verdicts = (
+            batch_df.select(F.col("doc_id").alias("new_doc_id"))
+            .join(best, "new_doc_id", "left")
+            .select(
+                "new_doc_id",
+                F.col("match_doc_id").cast("long").alias("match_doc_id"),
+                F.round("jac", 4).alias("jaccard"),
+                F.when(F.col("match_doc_id").isNull(), "unique")
+                .otherwise("duplicate")
+                .alias("verdict"),
+            )
+            .localCheckpoint(eager=True)  # one screen, two consumers below
+        )
+        verdicts.write.mode("overwrite").parquet(
+            os.path.join(workdir, "verdicts", f"b{batch_id}")
+        )
+        admitted = verdicts.filter(F.col("verdict") == "unique").select(
+            F.col("new_doc_id").alias("doc_id")
+        )
+        sh_b.join(admitted, "doc_id").write.mode("overwrite").parquet(
+            os.path.join(workdir, "index_delta", f"b{batch_id}")
+        )
+
+    sdf = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(arrivals_dir)
+    )
+    q = (
+        sdf.writeStream.foreachBatch(_screen)
+        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return len(glob.glob(os.path.join(workdir, "verdicts", "b*")))
+
+
+def _admission_oracle() -> str:
+    from ..operators.dedup import DEDUP_INCREMENTAL_ORACLE
+
+    return DEDUP_INCREMENTAL_ORACLE
+
+
+@query(
+    "stream_dedup_admission",
+    oracle=_admission_oracle(),
+)
+def stream_dedup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup admission (r11 verdict item 5): the "today's
+    ingest" document cut replayed as a multi-file changelog stream, each
+    micro-batch screened in foreachBatch against the standing shingle
+    index — |batch|-cost per trigger — with admitted docs' shingles
+    appended as index deltas. The oracle is the one-shot batch screen
+    (``dedup_incremental``, operators/dedup.py): the batches partition
+    the cut and every batch screens against the same standing index
+    snapshot, so N per-batch screens must union to exactly the batch
+    result. Mirrors the reference's aspirational Snowpipe incremental
+    ingest (proposal/ProjectProposal.md:174) the way stream_scd2_apply
+    mirrors nightly MERGE. Replay idempotence (checkpoint wipe AND
+    kept-checkpoint crash resume) and index-delta maintenance are pinned
+    in tests/test_streaming.py."""
+    import shutil
+    import tempfile
+
+    workdir = tempfile.mkdtemp(prefix="dedup_admission_")
+    try:
+        dedup_admission_stream_run(spark, sf_dir, workdir)
+        out = (
+            spark.read.parquet(os.path.join(workdir, "verdicts", "b*"))
+            .orderBy("new_doc_id")
+            .localCheckpoint(eager=True)
+        )
+        return out
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
 
 
 @query(

@@ -20,33 +20,29 @@ DRIVER_WINDOW = 50
 # lands, and (b) the window refreshes the stalest driver rows (r1/r4
 # vintage) plus the permanent regression-guard core.
 REFERENCE_PARITY = [
-    # new in round 11 — first driver check the round they land
+    # new in round 12 — first driver check the round it lands
+    "stream_dedup_admission",
+    # changed in round 12 — the audit oracle gained a column
     "dedup_lsh_bucket_audit",
-    "kg_link_prediction",
-    "kg_sparse_neighborhood_jaccard",
-    "events_lateness_audit",
-    "events_watermark_sizing",
-    "stream_scd2_apply",
-    "kg_degree_assortativity",
-    "doc_tfidf_keywords",
-    # changed in round 11 — re-driver-check (output or oracle changed)
-    "ann_pq_recall_eval",          # trained/ivf_pq branches, new schema
-    "dedup_minhash_lsh",           # hot-bucket cap in plan AND oracle
-    # staleness debt the r10 verdict named explicitly: the whole
-    # r6-vintage cohort must re-enter the window (sample pins — the
-    # registry holds all 34; absence of any of these re-violates the
-    # freshness contract)
-    "agent_paper_details",
-    "chunk_windows_demo",
-    "contamination_purge_counts",
-    "corpus_datasheet",
-    "dedup_incremental",
-    "embedding_kmeans",
-    "kg_pagerank",
-    "kg_triangle_stats",
-    "source_overlap_matrix",
-    "stream_user_enriched_counts",
-    "top_supplier_revenue",
+    # changed-oracle compositions the r11 verdict named first: oracle
+    # text changed with the r11 LSH cap, last driver rows predate it
+    "dedup_clusters",
+    "dedup_clusters_star",
+    "dedup_method_eval",
+    # staleness debt the r11 verdict named explicitly: the r7-vintage
+    # cohort (sample pins — the registry holds 39 of the 41 remaining;
+    # absence of any of these re-violates the freshness contract)
+    "bm25_rerank_topk",
+    "corpus_bpe_train",
+    "customer_rfm_segments",
+    "doc_lm_perplexity",
+    "kg_two_hop",
+    "multimodal_decode_features",
+    "orders_merge_upsert",
+    "orders_mv_incremental_refresh",
+    "sql_script_pipe_revenue",
+    "stream_user_stats_stateful",
+    "user_click_purchase_cogroup",
     # regression guards that must stay in every window
     "chunks_build",
     "kg_edges_build",

@@ -7,6 +7,7 @@ from __future__ import annotations
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from cs_5542_lab_6_spark.streaming.batch_twins import (
     events_session_windows,
@@ -380,6 +381,83 @@ def test_scd2_stream_resumes_partial_progress(spark, sf_dir, tmp_path):
     assert v >= 3
     resumed = sorted(map(tuple, spark.read.parquet(f"{wd}/dim_v{v}").collect()))
     batch = sorted(map(tuple, orders_scd2_dimension(spark, sf_dir).collect()))
+    assert resumed == batch
+
+
+def test_dedup_admission_stream_replay_and_index_delta(spark, sf_dir, tmp_path):
+    """The streaming admission's two contracts beyond the driver's oracle
+    row: (a) checkpoint-wipe replay idempotence — wipe ONLY ckpt, rerun,
+    every batch rescreens against the same standing index and the
+    verdict union is unchanged; (b) index maintenance — the union of the
+    per-batch index deltas is EXACTLY the shingle rows of the admitted
+    ('unique') docs, so standing index ∪ deltas is the index a
+    follow-on replay would screen against."""
+    import shutil
+
+    from cs_5542_lab_6_spark.operators.dedup import shingles_of
+    from cs_5542_lab_6_spark.sources.tables import load_table
+    from cs_5542_lab_6_spark.streaming.stream import (
+        ADMISSION_FILES,
+        dedup_admission_stream_run,
+    )
+
+    wd = str(tmp_path / "adm")
+    os.makedirs(wd)
+    n1 = dedup_admission_stream_run(spark, sf_dir, wd)
+    assert n1 == ADMISSION_FILES  # genuinely multi-batch
+    first = sorted(
+        map(tuple, spark.read.parquet(f"{wd}/verdicts/b*").collect())
+    )
+
+    shutil.rmtree(f"{wd}/ckpt")  # lose the stream's memory, keep outputs
+    n2 = dedup_admission_stream_run(spark, sf_dir, wd)
+    assert n2 == n1
+    replayed = sorted(
+        map(tuple, spark.read.parquet(f"{wd}/verdicts/b*").collect())
+    )
+    assert replayed == first
+
+    verdicts = spark.read.parquet(f"{wd}/verdicts/b*")
+    admitted = verdicts.filter(F.col("verdict") == "unique").select(
+        F.col("new_doc_id").alias("doc_id")
+    )
+    expected_delta = sorted(
+        map(
+            tuple,
+            shingles_of(load_table(spark, sf_dir, "documents"))
+            .join(admitted, "doc_id")
+            .collect(),
+        )
+    )
+    actual_delta = sorted(
+        map(tuple, spark.read.parquet(f"{wd}/index_delta/b*").collect())
+    )
+    assert actual_delta == expected_delta and actual_delta
+
+
+def test_dedup_admission_stream_resumes_partial_progress(spark, sf_dir, tmp_path):
+    """Kept-checkpoint crash resume for the admission stream — same
+    batch_id-keyed exactly-once idiom as the SCD2 stream: crash before
+    batch 2, resume with the same checkpoint, and the verdict union must
+    equal the one-shot batch screen (dedup_incremental)."""
+    import pyspark.errors
+
+    from cs_5542_lab_6_spark.operators.dedup import dedup_incremental
+    from cs_5542_lab_6_spark.streaming.stream import dedup_admission_stream_run
+
+    wd = str(tmp_path / "adm_partial")
+    os.makedirs(wd)
+    with pytest.raises(pyspark.errors.exceptions.base.PySparkException):
+        dedup_admission_stream_run(spark, sf_dir, wd, fail_at_batch=2)
+    assert os.path.isdir(f"{wd}/verdicts/b1") and not os.path.isdir(
+        f"{wd}/verdicts/b2"
+    )
+
+    dedup_admission_stream_run(spark, sf_dir, wd)  # same ckpt, no injection
+    resumed = sorted(
+        map(tuple, spark.read.parquet(f"{wd}/verdicts/b*").collect())
+    )
+    batch = sorted(map(tuple, dedup_incremental(spark, sf_dir).collect()))
     assert resumed == batch
 
 
