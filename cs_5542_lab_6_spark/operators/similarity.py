@@ -1442,10 +1442,14 @@ def pq_codebook_train_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncating division, empty clusters carrying the previous round's
     centroid — no float accumulation anywhere until the final /1000.0.
 
-    Scale shape: training points live long-form (vec_id, m, dim, val);
-    each round is one broadcast join against the PQ_M*PQ_K*PQ_SUBDIM-row
-    centroid relation + two map-side-combinable aggs. Training cost is
-    |sample|-bounded, never |collection| — at 100 TB you train on a
+    Scale shape: training points live ARRAY-form (vec_id, m, sv) — one
+    row per (vector, subspace), not per dimension — so each Lloyd round
+    is ONE argmin shuffle (distance stays inside whole-stage codegen as
+    a zip_with fold against the broadcast 256-row codebook) plus ONE
+    elementwise centroid-mean shuffle. The earlier long-form
+    (vec_id, m, dim, val) plan paid four shuffles a round over
+    PQ_SUBDIM× the rows for identical integer arithmetic. Training cost
+    is |sample|-bounded, never |collection| — at 100 TB you train on a
     fixed sample and only the one-off ENCODE pass touches every row."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
@@ -1454,14 +1458,10 @@ def pq_codebook_train_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub = e.select("vec_id", F.explode(ms).alias("m"), "v").select(
         "vec_id",
         "m",
-        F.posexplode(
-            F.slice(F.col("v"), F.col("m") * PQ_SUBDIM + 1, PQ_SUBDIM)
-        ).alias("dim", "x"),
-    ).select(
-        "vec_id",
-        "m",
-        "dim",
-        F.round(F.col("x") * PQ_SCALE).cast("long").alias("val"),
+        F.transform(
+            F.slice(F.col("v"), F.col("m") * PQ_SUBDIM + 1, PQ_SUBDIM),
+            lambda x: F.round(x * PQ_SCALE).cast("long"),
+        ).alias("sv"),
     )
     tr = sub.filter(F.col("vec_id") % PQ_TRAIN_MOD == 0)
     anchors = spark.createDataFrame(
@@ -1469,45 +1469,53 @@ def pq_codebook_train_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cb = (
         sub.join(F.broadcast(anchors), sub.vec_id == F.col("anchor_id"))
-        .select("m", "j", "dim", F.col("val").alias("cval"))
+        .select("m", "j", F.col("sv").alias("cv"))
     )
     # cut the shared training scan once; every round re-joins it
     tr = tr.localCheckpoint(eager=True)
     cb = cb.localCheckpoint(eager=True)
+    d2 = F.aggregate(
+        F.zip_with("sv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    zero = F.array_repeat(F.lit(0).cast("long"), PQ_SUBDIM)
     for _ in range(PQ_TRAIN_ROUNDS):
-        d = (
-            tr.join(F.broadcast(cb), ["m", "dim"])
-            .withColumn(
-                "sq", (F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))
+        # sv is constant within a (vec_id, m) group (the 16 candidate
+        # rows differ only in j), so first() carries it through the
+        # argmin deterministically and no join-back is needed
+        asg = (
+            tr.join(F.broadcast(cb), "m")
+            .select("vec_id", "m", "sv", "j", d2.alias("dist"))
+            .groupBy("vec_id", "m")
+            .agg(
+                F.min(F.struct("dist", "j")).alias("b"),
+                F.first("sv").alias("sv"),
             )
-            .groupBy("vec_id", "m", "j")
-            .agg(F.sum("sq").alias("dist"))
-        )
-        best = (
-            d.groupBy("vec_id", "m")
-            .agg(F.min(F.struct("dist", "j")).alias("b"))
-            .select("vec_id", "m", F.col("b.j").alias("j"))
+            .select("m", F.col("b.j").alias("j"), "sv")
         )
         upd = (
-            best.join(tr, ["vec_id", "m"])
-            .groupBy("m", "j", "dim")
-            .agg(F.expr("sum(val) div count(*)").alias("ucval"))
+            asg.groupBy("m", "j")
+            .agg(
+                F.aggregate(
+                    F.collect_list("sv"),
+                    zero,
+                    lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+                ).alias("s"),
+                F.count("*").alias("n"),
+            )
+            # same integral division as the long-form plan (x div n)
+            .select("m", "j", F.expr("transform(s, x -> x div n)").alias("ucv"))
         )
         cb = (
-            cb.join(upd, ["m", "j", "dim"], "left")
-            .select(
-                "m",
-                "j",
-                "dim",
-                F.coalesce("ucval", "cval").alias("cval"),
-            )
+            cb.join(upd, ["m", "j"], "left")
+            .select("m", "j", F.coalesce("ucv", "cv").alias("cv"))
             .localCheckpoint(eager=True)
         )
-    return cb.groupBy("m", "j").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dim", "cval"))),
-            lambda s: s["cval"] / F.lit(float(PQ_SCALE)),
-        ).alias("c")
+    return cb.select(
+        "m",
+        "j",
+        F.transform("cv", lambda x: x / F.lit(float(PQ_SCALE))).alias("c"),
     )
 
 

@@ -131,6 +131,13 @@ def _build_stage(
     from pyspark.sql import Observation
 
     path = checkpoint_path(out_dir, name)
+    # one scheduler pool per stage (a thread-local property, re-set on
+    # every call because the executor reuses threads): under FAIR mode
+    # the root pool then shares task slots across the CONCURRENT stage
+    # builders instead of head-of-line FIFO within one default pool, so
+    # the critical-path chains (iterative Lloyd / label propagation,
+    # many small jobs) are not starved by the bulk scan stages.
+    spark.sparkContext.setLocalProperty("spark.scheduler.pool", f"build_{name}")
     skipped = resume and _has_checkpoint(path)
     t0 = time.perf_counter()
     observed: dict[str, object] = {}
