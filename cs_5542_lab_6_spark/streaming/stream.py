@@ -731,16 +731,19 @@ def dedup_admission_stream_run(
     sf_dir: str,
     workdir: str,
     fail_at_batch: int | None = None,
+    n_files: int = ADMISSION_FILES,
 ) -> int:
     """Drive the streaming near-dup admission inside ``workdir`` and
     return the number of processed micro-batches. Layout:
 
     - ``arrivals/a<g>.parquet`` — the "new ingest" cut of documents
       (doc_id % NEW_BATCH_MOD == 0, the same cut ``dedup_incremental``
-      screens) split into ADMISSION_FILES files by a deterministic
-      arrival group, lexicographic names and increasing mtimes (the
-      file source orders on mtime; both orders agree). Written only if
-      missing.
+      screens) split into ``n_files`` files by a deterministic arrival
+      group, lexicographic names and increasing mtimes (the file source
+      orders on mtime; both orders agree). Written only if missing.
+      The verdict union is invariant to ``n_files`` — every batch
+      screens against the same standing index snapshot — and a test
+      pins that at other batchings.
     - ``index/`` + ``index_sizes/`` — the STANDING corpus shingle index
       (every non-new doc's (doc_id, xs) rows and per-doc shingle
       counts), materialized once at setup. This is the warm-warehouse
@@ -784,7 +787,7 @@ def dedup_admission_stream_run(
             .withColumn(
                 "g",
                 (F.col("doc_id") / NEW_BATCH_MOD).cast("bigint")
-                % ADMISSION_FILES,
+                % n_files,
             )
             .repartition("g")
             .write.mode("overwrite")

@@ -435,6 +435,26 @@ def test_dedup_admission_stream_replay_and_index_delta(spark, sf_dir, tmp_path):
     assert actual_delta == expected_delta and actual_delta
 
 
+def test_dedup_admission_verdicts_invariant_to_batching(spark, sf_dir, tmp_path):
+    """Every micro-batch screens against the same standing index
+    snapshot, so the verdict union must be invariant to how the arrival
+    cut is split into files — replay at 2 and 7 files per run and
+    compare to the one-shot batch screen."""
+    from cs_5542_lab_6_spark.operators.dedup import dedup_incremental
+    from cs_5542_lab_6_spark.streaming.stream import dedup_admission_stream_run
+
+    batch = sorted(map(tuple, dedup_incremental(spark, sf_dir).collect()))
+    for n in (2, 7):
+        wd = str(tmp_path / f"adm_{n}")
+        os.makedirs(wd)
+        got = dedup_admission_stream_run(spark, sf_dir, wd, n_files=n)
+        assert got == n
+        streamed = sorted(
+            map(tuple, spark.read.parquet(f"{wd}/verdicts/b*").collect())
+        )
+        assert streamed == batch
+
+
 def test_dedup_admission_stream_resumes_partial_progress(spark, sf_dir, tmp_path):
     """Kept-checkpoint crash resume for the admission stream — same
     batch_id-keyed exactly-once idiom as the SCD2 stream: crash before
