@@ -136,9 +136,11 @@ HEADLINE = [
     "events_watermark_sizing",
     "stream_scd2_apply",
     "doc_tfidf_keywords",
-    # round-12 addition: streaming near-dup admission (micro-batch screen
-    # against the standing shingle index)
+    # round-12 additions: streaming near-dup admission (micro-batch screen
+    # against the standing shingle index) and the embedding-space drift
+    # monitor over the LSH bucket histogram
     "stream_dedup_admission",
+    "embedding_drift_psi",
 ]
 
 

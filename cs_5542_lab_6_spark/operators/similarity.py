@@ -565,6 +565,136 @@ pts AS (
 """
 
 
+EMB_DRIFT_MOD = 10  # vec_id % 10 == 0 models "today's ingest batch"
+
+
+@query(
+    "embedding_drift_psi",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    coded AS (
+      SELECT vec_id, ({_DUCK_BUCKET}) AS bucket,
+             CASE WHEN vec_id % {EMB_DRIFT_MOD} = 0
+                  THEN 'incoming' ELSE 'reference' END AS side
+      FROM e
+    ),
+    counts AS (SELECT side, bucket, COUNT(*) AS c FROM coded GROUP BY 1, 2),
+    ref AS (SELECT bucket, c AS rc FROM counts WHERE side = 'reference'),
+    inc AS (SELECT bucket, c AS ic FROM counts WHERE side = 'incoming'),
+    rt AS (SELECT SUM(rc) AS rt FROM ref),
+    it AS (SELECT SUM(ic) AS it FROM inc),
+    joined AS (
+      SELECT ref.bucket,
+             CAST(ic AS DOUBLE) / it.it AS q,
+             CAST(rc AS DOUBLE) / rt.rt AS p
+      FROM ref JOIN inc USING (bucket) CROSS JOIN rt CROSS JOIN it
+    ),
+    psi AS (
+      SELECT COUNT(*) AS n_common,
+             COALESCE(round(SUM((q - p) * ln(q / p) ORDER BY bucket), 6), 0.0)
+               AS psi
+      FROM joined
+    )
+    SELECT CAST(rt.rt AS BIGINT) AS n_reference,
+           CAST(it.it AS BIGINT) AS n_incoming,
+           CAST(psi.n_common AS INTEGER) AS n_buckets_common,
+           CAST((SELECT COUNT(*) FROM ref LEFT JOIN inc USING (bucket)
+                 WHERE ic IS NULL) AS INTEGER) AS n_buckets_ref_only,
+           CAST((SELECT COUNT(*) FROM inc LEFT JOIN ref USING (bucket)
+                 WHERE rc IS NULL) AS INTEGER) AS n_buckets_incoming_only,
+           psi.psi
+    FROM psi CROSS JOIN rt CROSS JOIN it
+    """,
+)
+def embedding_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift monitor: Population Stability Index of the
+    LSH hyperplane-bucket distribution, "today's ingest"
+    (vec_id % EMB_DRIFT_MOD == 0, the incremental-dedup cut convention)
+    vs the standing reference collection. The token-space twin is
+    ``corpus_drift_psi`` (mixing.py); this is the vector-side check a
+    100 TB pipeline runs on every embedding refresh — a retrained or
+    misconfigured encoder moves vectors across hyperplane buckets long
+    before any single cosine looks wrong, and a healthy same-encoder
+    batch shows PSI ≈ 0.
+
+    Buckets come from ``_coded`` — the warm ``lsh_codes`` index stage
+    when available, so the monitor is an index SCAN plus a ≤2^N_PLANES
+    histogram, one pass regardless of collection size. Buckets present
+    on only one side cannot enter the (q−p)·ln(q/p) sum and are
+    reported as ref-only / incoming-only counts (visible, not silently
+    skipped); the sum folds in bucket order so the double total matches
+    DuckDB's ordered SUM to the rounded digit (the corpus_drift_psi
+    idiom)."""
+    coded = _coded(spark, sf_dir).select(
+        "bucket",
+        F.when(F.col("vec_id") % EMB_DRIFT_MOD == 0, F.lit("incoming"))
+        .otherwise(F.lit("reference"))
+        .alias("side"),
+    )
+    counts = coded.groupBy("side", "bucket").agg(F.count("*").alias("c"))
+    ref = counts.filter(F.col("side") == "reference").select(
+        "bucket", F.col("c").alias("rc")
+    )
+    inc = counts.filter(F.col("side") == "incoming").select(
+        "bucket", F.col("c").alias("ic")
+    )
+    rt = ref.agg(F.sum("rc").alias("rt"))
+    it = inc.agg(F.sum("ic").alias("it"))
+    joined = (
+        ref.join(inc, "bucket")
+        .crossJoin(F.broadcast(rt))
+        .crossJoin(F.broadcast(it))
+        .select(
+            "bucket",
+            (F.col("ic").cast("double") / F.col("it")).alias("q"),
+            (F.col("rc").cast("double") / F.col("rt")).alias("p"),
+        )
+    )
+    psi_row = joined.agg(
+        F.count("*").cast("int").alias("n_buckets_common"),
+        F.round(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "bucket",
+                            (
+                                (F.col("q") - F.col("p"))
+                                * F.log(F.col("q") / F.col("p"))
+                            ).alias("contrib"),
+                        )
+                    )
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x["contrib"],
+            ),
+            6,
+        ).alias("psi"),
+    )
+    ref_only = ref.join(inc, "bucket", "left_anti").agg(
+        F.count("*").cast("int").alias("n_buckets_ref_only")
+    )
+    inc_only = inc.join(ref, "bucket", "left_anti").agg(
+        F.count("*").cast("int").alias("n_buckets_incoming_only")
+    )
+    # five 1-row scalar broadcasts stitch the report row (whitelisted in
+    # test_plans) — everything upstream is a single hash-agg histogram
+    return (
+        rt.crossJoin(F.broadcast(it))
+        .crossJoin(F.broadcast(psi_row))
+        .crossJoin(F.broadcast(ref_only))
+        .crossJoin(F.broadcast(inc_only))
+        .select(
+            F.col("rt").cast("long").alias("n_reference"),
+            F.col("it").cast("long").alias("n_incoming"),
+            "n_buckets_common",
+            "n_buckets_ref_only",
+            "n_buckets_incoming_only",
+            "psi",
+        )
+    )
+
+
 def _duck_kmeans_assign(cent: str, out: str) -> str:
     """One Lloyd assignment round in DuckDB SQL: integer squared distance
     in long form, argmin by (dist, cluster)."""

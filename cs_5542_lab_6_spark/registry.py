@@ -50,6 +50,7 @@ _REGISTRY: dict[str, Q] = {}
 _PRIORITY: tuple[str, ...] = (
     # --- New in round 12 (registered this round; first driver check):
     "stream_dedup_admission",         # micro-batch screen vs standing index
+    "embedding_drift_psi",            # LSH-bucket PSI, incoming vs reference
     # --- CHANGED in round 12 (oracle gained star_edges_failing_verify):
     "dedup_lsh_bucket_audit",
     # --- Changed-oracle COMPOSITIONS owed a fresh row (r11 verdict item
@@ -59,11 +60,13 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_clusters",
     "dedup_clusters_star",
     "dedup_method_eval",
-    # --- Staleness fill: 39 of the 41 remaining r7-vintage rows (the
-    # --- whole cohort minus the two rows-only sketches deferred to r13:
-    # --- orders_approx_stats / events_heavy_hitters_sketch, each pinned
-    # --- in-window by an exact hash-checked twin since r8/r9). After
-    # --- this window the r7 cohort is 2 rows — under the verdict's <=10.
+    # --- Staleness fill: 38 of the 41 remaining r7-vintage rows (the
+    # --- whole cohort minus three deferred to r13: the two rows-only
+    # --- sketches orders_approx_stats / events_heavy_hitters_sketch —
+    # --- each pinned in-window by an exact hash-checked twin since
+    # --- r8/r9 — and supplier_part_variety, whose simple grouped-agg
+    # --- shape several in-window TPC-H rows cover). After this window
+    # --- the r7 cohort is 3 rows — under the verdict's <=10.
     "bm25_rerank_topk",
     "corpus_bpe_merge_candidates",
     "corpus_bpe_tokenize_stats",
@@ -100,7 +103,6 @@ _PRIORITY: tuple[str, ...] = (
     "sql_script_procedural_threshold",
     "stream_user_stats_stateful",
     "stream_user_top_purchases",
-    "supplier_part_variety",
     "tokenizer_fertility_by_lang",
     "user_click_purchase_cogroup",
     # --- Regression guards that stay in every window
@@ -112,9 +114,10 @@ _PRIORITY: tuple[str, ...] = (
     "ann_ivf_topk",            # warm ivf_centroids seam, cold path
     # --- r13 rotation plan (write-down required by the r11 verdict,
     # --- item 8; apply verbatim next round): window = any r13 new/changed
-    # --- queries, then the 2 deferred r7 rows (orders_approx_stats,
-    # --- events_heavy_hitters_sketch), then the ENTIRE 23-row r8 cohort
-    # --- (active_customer_keys, agent_chunk_context, ann_lsh_topk,
+    # --- queries, then the 3 deferred r7 rows (orders_approx_stats,
+    # --- events_heavy_hitters_sketch, supplier_part_variety), then the
+    # --- ENTIRE 23-row r8 cohort
+    # --- rows (active_customer_keys, agent_chunk_context, ann_lsh_topk,
     # --- chunks_with_embeddings, corpus_chunk_ratio,
     # --- corpus_token_frequencies, corpus_verify, dedup_embedding_nn,
     # --- dedup_simhash, doc_fingerprints, doc_language_id,

@@ -341,6 +341,9 @@ _BNLJ_ALLOWED = {
     "dedup_lsh_bucket_audit": 2,       # 1-row star-edge count + 1-row verify-
                                        # pass count crossed onto the 1-row
                                        # bucket-accounting aggregate
+    "embedding_drift_psi": 6,          # two 1-row side-total scalars under
+                                       # the p/q projection + four 1-row
+                                       # report scalars stitched at the end
 }
 
 # Iterative/streaming queries whose plan construction executes multi-round

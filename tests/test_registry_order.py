@@ -20,8 +20,9 @@ DRIVER_WINDOW = 50
 # lands, and (b) the window refreshes the stalest driver rows (r1/r4
 # vintage) plus the permanent regression-guard core.
 REFERENCE_PARITY = [
-    # new in round 12 — first driver check the round it lands
+    # new in round 12 — first driver check the round they land
     "stream_dedup_admission",
+    "embedding_drift_psi",
     # changed in round 12 — the audit oracle gained a column
     "dedup_lsh_bucket_audit",
     # changed-oracle compositions the r11 verdict named first: oracle
