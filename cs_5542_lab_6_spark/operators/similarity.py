@@ -565,7 +565,10 @@ pts AS (
 """
 
 
-EMB_DRIFT_MOD = 10  # vec_id % 10 == 0 models "today's ingest batch"
+# The "today's ingest batch" cut is THE SAME constant the incremental
+# and streaming dedup screens use — imported, not re-declared, so a
+# retune can never silently fork the monitored cut from the dedup cut.
+from .dedup import NEW_BATCH_MOD as EMB_DRIFT_MOD  # noqa: E402
 
 
 @query(

@@ -897,15 +897,12 @@ def dedup_admission_stream_run(
     return len(glob.glob(os.path.join(workdir, "verdicts", "b*")))
 
 
-def _admission_oracle() -> str:
-    from ..operators.dedup import DEDUP_INCREMENTAL_ORACLE
-
-    return DEDUP_INCREMENTAL_ORACLE
+from ..operators.dedup import DEDUP_INCREMENTAL_ORACLE  # noqa: E402
 
 
 @query(
     "stream_dedup_admission",
-    oracle=_admission_oracle(),
+    oracle=DEDUP_INCREMENTAL_ORACLE,
 )
 def stream_dedup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming near-dup admission (r11 verdict item 5): the "today's

@@ -65,6 +65,10 @@ _SHARED_CACHE_FAMILIES = (
     "source_",    # provenance composes the shingle candidate join
     "corpus_",    # corpus_verify/datasheet walk the KG/shingle helpers
     "eval_",      # eval_rag_comparison's graph side reads chunk_entities
+    # full-name entry, not a family: the streaming admission's standing
+    # index materializes from _doc_shingles (cold -> the shared cache);
+    # its stream_* siblings are NOT shingle consumers and stay excluded
+    "stream_dedup_admission",
 )
 
 

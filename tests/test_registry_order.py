@@ -31,7 +31,7 @@ REFERENCE_PARITY = [
     "dedup_clusters_star",
     "dedup_method_eval",
     # staleness debt the r11 verdict named explicitly: the r7-vintage
-    # cohort (sample pins — the registry holds 39 of the 41 remaining;
+    # cohort (sample pins — the registry holds 38 of the 41 remaining;
     # absence of any of these re-violates the freshness contract)
     "bm25_rerank_topk",
     "corpus_bpe_train",

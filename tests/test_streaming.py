@@ -435,6 +435,28 @@ def test_dedup_admission_stream_replay_and_index_delta(spark, sf_dir, tmp_path):
     assert actual_delta == expected_delta and actual_delta
 
 
+def test_scd2_stream_catchup_trigger_matches_rebuild(spark, sf_dir, tmp_path):
+    """The catch-up-replay knob: files_per_trigger=2 merges two changelog
+    files per micro-batch (fewer, larger deltas; batch_id-keyed state
+    still advances one version per trigger) and the final dimension must
+    equal both the one-shot batch rebuild and the one-file-per-batch
+    replay — sequential composition is split-agnostic."""
+    from cs_5542_lab_6_spark.operators.lakehouse import orders_scd2_dimension
+    from cs_5542_lab_6_spark.streaming.stream import scd2_stream_run
+
+    wd1 = str(tmp_path / "scd2_f1")
+    wd2 = str(tmp_path / "scd2_f2")
+    os.makedirs(wd1)
+    os.makedirs(wd2)
+    v1 = scd2_stream_run(spark, sf_dir, wd1)  # contract default: 1 file/batch
+    v2 = scd2_stream_run(spark, sf_dir, wd2, files_per_trigger=2)
+    assert v2 < v1  # genuinely fewer micro-batches
+    one = sorted(map(tuple, spark.read.parquet(f"{wd1}/dim_v{v1}").collect()))
+    two = sorted(map(tuple, spark.read.parquet(f"{wd2}/dim_v{v2}").collect()))
+    batch = sorted(map(tuple, orders_scd2_dimension(spark, sf_dir).collect()))
+    assert one == two == batch
+
+
 def test_dedup_admission_verdicts_invariant_to_batching(spark, sf_dir, tmp_path):
     """Every micro-batch screens against the same standing index
     snapshot, so the verdict union must be invariant to how the arrival
