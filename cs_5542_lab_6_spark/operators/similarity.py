@@ -570,6 +570,14 @@ pts AS (
 # retune can never silently fork the monitored cut from the dedup cut.
 from .dedup import NEW_BATCH_MOD as EMB_DRIFT_MOD  # noqa: E402
 
+# Industry-standard PSI alert bands (credit-scoring convention, e.g.
+# Siddiqi "Credit Risk Scorecards"): < 0.1 stable, 0.1–0.25 moderate
+# shift (investigate), >= 0.25 significant shift (block the refresh).
+# The band is derived from the ROUNDED psi on both engines, so the
+# hash-checked column pins the DECISION, not just the number.
+PSI_STABLE_MAX = 0.1
+PSI_MODERATE_MAX = 0.25
+
 
 @query(
     "embedding_drift_psi",
@@ -605,7 +613,10 @@ from .dedup import NEW_BATCH_MOD as EMB_DRIFT_MOD  # noqa: E402
                  WHERE ic IS NULL) AS INTEGER) AS n_buckets_ref_only,
            CAST((SELECT COUNT(*) FROM inc LEFT JOIN ref USING (bucket)
                  WHERE rc IS NULL) AS INTEGER) AS n_buckets_incoming_only,
-           psi.psi
+           psi.psi,
+           CASE WHEN psi.psi < {PSI_STABLE_MAX} THEN 'stable'
+                WHEN psi.psi < {PSI_MODERATE_MAX} THEN 'moderate'
+                ELSE 'shifted' END AS drift_band
     FROM psi CROSS JOIN rt CROSS JOIN it
     """,
 )
@@ -627,7 +638,10 @@ def embedding_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     reported as ref-only / incoming-only counts (visible, not silently
     skipped); the sum folds in bucket order so the double total matches
     DuckDB's ordered SUM to the rounded digit (the corpus_drift_psi
-    idiom)."""
+    idiom). ``drift_band`` maps the rounded PSI onto the standard
+    0.1 / 0.25 alert bands (stable / moderate / shifted) so the driver
+    hash-checks the alert DECISION the pipeline would act on, not just
+    the statistic — the events_quality_expectations idiom."""
     coded = _coded(spark, sf_dir).select(
         "bucket",
         F.when(F.col("vec_id") % EMB_DRIFT_MOD == 0, F.lit("incoming"))
@@ -694,6 +708,10 @@ def embedding_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_buckets_ref_only",
             "n_buckets_incoming_only",
             "psi",
+            F.when(F.col("psi") < PSI_STABLE_MAX, F.lit("stable"))
+            .when(F.col("psi") < PSI_MODERATE_MAX, F.lit("moderate"))
+            .otherwise(F.lit("shifted"))
+            .alias("drift_band"),
         )
     )
 

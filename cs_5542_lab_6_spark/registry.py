@@ -48,63 +48,62 @@ _REGISTRY: dict[str, Q] = {}
 # tests/test_oracle_parity.py (rows+schema+exact-value over all
 # registered oracles) and at sf0.1 by tests/test_scale_canary.py.
 _PRIORITY: tuple[str, ...] = (
-    # --- New in round 12 (registered this round; first driver check):
-    "stream_dedup_admission",         # micro-batch screen vs standing index
-    "embedding_drift_psi",            # LSH-bucket PSI, incoming vs reference
-    # --- CHANGED in round 12 (oracle gained star_edges_failing_verify):
-    "dedup_lsh_bucket_audit",
-    # --- Changed-oracle COMPOSITIONS owed a fresh row (r11 verdict item
-    # --- 1: their oracle text changed with the r11 LSH cap, but their
-    # --- last driver rows are r7/r7/r10 — the hard signal against the
-    # --- CURRENT oracle text lands this round):
-    "dedup_clusters",
-    "dedup_clusters_star",
-    "dedup_method_eval",
-    # --- Staleness fill: 38 of the 41 remaining r7-vintage rows (the
-    # --- whole cohort minus three deferred to r13: the two rows-only
-    # --- sketches orders_approx_stats / events_heavy_hitters_sketch —
-    # --- each pinned in-window by an exact hash-checked twin since
-    # --- r8/r9 — and supplier_part_variety, whose simple grouped-agg
-    # --- shape several in-window TPC-H rows cover). After this window
-    # --- the r7 cohort is 3 rows — under the verdict's <=10.
-    "bm25_rerank_topk",
-    "corpus_bpe_merge_candidates",
-    "corpus_bpe_tokenize_stats",
-    "corpus_bpe_train",
-    "corpus_curation_decisions",
-    "corpus_duplicate_sentences",
-    "corpus_snapshot_diff",
-    "corpus_vocab_growth",
-    "curation_by_source",
-    "customer_rfm_segments",
-    "customer_top_orders_lateral",
-    "dedup_rate_by_source",
-    "doc_lm_perplexity",
-    "doc_quality_filter_funnel",
-    "doc_token_entropy",
-    "events_hourly_seasonality",
-    "events_props_variant",
-    "events_session_windows",
-    "events_transition_matrix",
-    "excess_stock_suppliers",
-    "kg_degree_distribution",
-    "kg_reachability_sql",
-    "kg_two_hop",
-    "min_cost_part_supplier",
-    "multimodal_decode_features",
-    "nation_market_share",
-    "orders_date_spine_gaps",
-    "orders_merge_upsert",
-    "orders_mv_incremental_refresh",
-    "priority_price_gini",
-    "product_type_profit",
-    "sole_late_supplier_orders",
-    "sql_script_pipe_revenue",
-    "sql_script_procedural_threshold",
-    "stream_user_stats_stateful",
-    "stream_user_top_purchases",
-    "tokenizer_fertility_by_lang",
-    "user_click_purchase_cogroup",
+    # --- CHANGED in round 13 (oracle gained the drift_band decision
+    # --- column — r12 verdict item 7; first driver check of the new
+    # --- oracle text lands this round):
+    "embedding_drift_psi",
+    # --- The 3 r7-vintage rows deferred by the r12 window (the two
+    # --- rows-only sketches, each pinned in-window by an exact
+    # --- hash-checked twin since r8/r9, and one simple grouped agg):
+    "orders_approx_stats",
+    "events_heavy_hitters_sketch",
+    "supplier_part_variety",
+    # --- The ENTIRE 23-row r8 cohort (r12 verdict item 1 — after this
+    # --- window no pre-r9 vintage remains):
+    "active_customer_keys",
+    "agent_chunk_context",
+    "ann_lsh_topk",
+    "chunks_with_embeddings",
+    "corpus_chunk_ratio",
+    "corpus_token_frequencies",
+    "corpus_verify",
+    "dedup_embedding_nn",
+    "dedup_simhash",
+    "doc_fingerprints",
+    "doc_language_id",
+    "doc_token_stats",
+    "order_fill_status",
+    "order_status_priority_cube",
+    "orders_per_month",
+    "papers_build",
+    "part_catalog_slugs",
+    "returnflag_pivot",
+    "revenue_forecast",
+    "status_priority_grouping_sets",
+    "top_orders_by_revenue",
+    "user_event_gaps",
+    "vector_topk_filtered",
+    # --- Stalest-r9 fill to 44 (the r9 cohort is 37 rows and all are
+    # --- equally r9-vintage; take the first 17 alphabetically so the
+    # --- r14 remainder is a deterministic, written-down set — the 20
+    # --- rows events_l_diversity .. topk_expensive_orders):
+    "ann_lsh_multiprobe_topk",
+    "ann_pq_adc_topk",
+    "ann_recall_eval",
+    "chunks_view",
+    "contrastive_pair_mining",
+    "corpus_drift_psi",
+    "dedup_ngram_jaccard",
+    "dedup_sorted_neighborhood",
+    "doc_quality_classifier",
+    "doc_repetition_stats",
+    "doc_substring_search",
+    "events_ams_f2_sketch",
+    "events_cms_heavy_hitters",
+    "events_heavy_hitters_exact",
+    "events_k_anonymity",
+    "events_k_anonymity_repair",
+    "events_kmv_distinct",
     # --- Regression guards that stay in every window
     "chunks_build",            # corpus chunker (pure-Catalyst UDTF twin)
     "kg_edges_build",          # co-occurrence one-shuffle expansion
@@ -112,21 +111,20 @@ _PRIORITY: tuple[str, ...] = (
     "eval_metrics_log",        # JSON sink (red in r4, fixed r5)
     "stream_tumbling_daily",   # real Structured Streaming
     "ann_ivf_topk",            # warm ivf_centroids seam, cold path
-    # --- r13 rotation plan (write-down required by the r11 verdict,
-    # --- item 8; apply verbatim next round): window = any r13 new/changed
-    # --- queries, then the 3 deferred r7 rows (orders_approx_stats,
-    # --- events_heavy_hitters_sketch, supplier_part_variety), then the
-    # --- ENTIRE 23-row r8 cohort
-    # --- rows (active_customer_keys, agent_chunk_context, ann_lsh_topk,
-    # --- chunks_with_embeddings, corpus_chunk_ratio,
-    # --- corpus_token_frequencies, corpus_verify, dedup_embedding_nn,
-    # --- dedup_simhash, doc_fingerprints, doc_language_id,
-    # --- doc_token_stats, order_fill_status, order_status_priority_cube,
-    # --- orders_per_month, papers_build, part_catalog_slugs,
-    # --- returnflag_pivot, revenue_forecast,
-    # --- status_priority_grouping_sets, top_orders_by_revenue,
-    # --- user_event_gaps, vector_topk_filtered), then stalest-r9 fill to
-    # --- 44, then the 6 guards. That clears every pre-r9 vintage.
+    # --- r14 rotation plan (the write-down discipline from the r11
+    # --- verdict, applied every round): window = any r14 new/changed
+    # --- queries, then the REMAINING 20 r9-vintage rows
+    # --- (events_l_diversity, events_quality_expectations,
+    # --- events_schema_evolution, lineitem_zorder_layout,
+    # --- orders_benford_audit, orders_compaction_plan,
+    # --- orders_exact_stats, orders_mv_distinct_refresh,
+    # --- orders_scd2_dimension, orders_scd2_incremental,
+    # --- part_fuzzy_matches, pricing_summary, quality_calibration_bins,
+    # --- regional_customer_revenue, single_status_customers,
+    # --- skyline_parts, supplier_bloom_semi_join,
+    # --- supplier_running_revenue, table_fk_integrity,
+    # --- topk_expensive_orders), then stalest-r10 fill to 44, then the
+    # --- 6 guards. That clears every pre-r10 vintage.
 )
 
 

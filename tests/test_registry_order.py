@@ -20,30 +20,33 @@ DRIVER_WINDOW = 50
 # lands, and (b) the window refreshes the stalest driver rows (r1/r4
 # vintage) plus the permanent regression-guard core.
 REFERENCE_PARITY = [
-    # new in round 12 — first driver check the round they land
-    "stream_dedup_admission",
+    # changed in round 13 — the PSI oracle gained the drift_band
+    # decision column (r12 verdict item 7)
     "embedding_drift_psi",
-    # changed in round 12 — the audit oracle gained a column
-    "dedup_lsh_bucket_audit",
-    # changed-oracle compositions the r11 verdict named first: oracle
-    # text changed with the r11 LSH cap, last driver rows predate it
-    "dedup_clusters",
-    "dedup_clusters_star",
-    "dedup_method_eval",
-    # staleness debt the r11 verdict named explicitly: the r7-vintage
-    # cohort (sample pins — the registry holds 38 of the 41 remaining;
-    # absence of any of these re-violates the freshness contract)
-    "bm25_rerank_topk",
-    "corpus_bpe_train",
-    "customer_rfm_segments",
-    "doc_lm_perplexity",
-    "kg_two_hop",
-    "multimodal_decode_features",
-    "orders_merge_upsert",
-    "orders_mv_incremental_refresh",
-    "sql_script_pipe_revenue",
-    "stream_user_stats_stateful",
-    "user_click_purchase_cogroup",
+    # the 3 r7-vintage rows the r12 window deferred (r12 verdict item 1)
+    "orders_approx_stats",
+    "events_heavy_hitters_sketch",
+    "supplier_part_variety",
+    # the r8-vintage cohort the r12 verdict named explicitly (sample
+    # pins — the window holds all 23; absence of any of these
+    # re-violates the freshness contract)
+    "active_customer_keys",
+    "agent_chunk_context",
+    "ann_lsh_topk",
+    "chunks_with_embeddings",
+    "corpus_verify",
+    "dedup_simhash",
+    "doc_language_id",
+    "doc_token_stats",
+    "papers_build",
+    "revenue_forecast",
+    "user_event_gaps",
+    "vector_topk_filtered",
+    # r9-fill sample pins (first-17-alphabetical rule in registry.py)
+    "ann_recall_eval",
+    "chunks_view",
+    "corpus_drift_psi",
+    "events_kmv_distinct",
     # regression guards that must stay in every window
     "chunks_build",
     "kg_edges_build",
