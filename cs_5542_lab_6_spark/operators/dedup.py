@@ -557,8 +557,12 @@ def dedup_lsh_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     components COULD split differently from the uncapped join (the
     member might have passed against some non-hub member). Zero means
     the contraction cost nothing on this corpus; the column stays 0 on
-    every natural fixture trivially (no capped buckets) and is pinned
-    nonzero-aware on a synthetic capped corpus in tests."""
+    every natural fixture trivially (no capped buckets), reads 0 on the
+    exact-replica capped corpus (every star edge is Jaccard 1.0), and is
+    pinned NONZERO (=5) on a two-family capped corpus whose families
+    share a band signature at Jaccard 0.31 < verify threshold
+    (tests/test_corpus_invariants.py::
+    test_lsh_cap_audit_counts_failing_star_edges)."""
     capped = F.col("bn") > LSH_BUCKET_CAP
     all_pairs = F.expr("bn * (bn - 1) DIV 2")
     bands = _lsh_bands(spark, sf_dir)

@@ -128,8 +128,6 @@ def _build_stage(
     resume: bool,
 ) -> dict[str, object]:
     """Checkpoint one stage and return its S9 report entry."""
-    from pyspark.sql import Observation
-
     path = checkpoint_path(out_dir, name)
     # one scheduler pool per stage (a thread-local property, re-set on
     # every call because the executor reuses threads): under FAIR mode
@@ -138,6 +136,28 @@ def _build_stage(
     # the critical-path chains (iterative Lloyd / label propagation,
     # many small jobs) are not starved by the bulk scan stages.
     spark.sparkContext.setLocalProperty("spark.scheduler.pool", f"build_{name}")
+    try:
+        return _build_stage_in_pool(spark, sf_dir, path, name, builder, parts, resume)
+    finally:
+        # thread-local property: the executor REUSES pool threads, so
+        # without this reset any later job submitted from this thread
+        # (outside build_corpus entirely) would silently keep running
+        # in the last stage's pool and inherit its future per-pool
+        # config (r12 advice)
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
+
+
+def _build_stage_in_pool(
+    spark: SparkSession,
+    sf_dir: str,
+    path: str,
+    name: str,
+    builder: Callable[[SparkSession, str], DataFrame],
+    parts: tuple[str, ...],
+    resume: bool,
+) -> dict[str, object]:
+    from pyspark.sql import Observation
+
     skipped = resume and _has_checkpoint(path)
     t0 = time.perf_counter()
     observed: dict[str, object] = {}

@@ -639,6 +639,16 @@ def scd2_stream_run(
         "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey"
     )
     cut = F.lit(SCD2_CUT).cast("date")
+    # Fresh-checkpoint entry on a reused workdir: drop stale dim_v1+
+    # state first. The head version below is max-over-disk; a previous
+    # run with MORE batches (smaller files_per_trigger) would otherwise
+    # leave higher-numbered dirs that outlive the rerun and win the max,
+    # so replay idempotence only held at a fixed batching (r12 advice).
+    # dim_v0 is batching-invariant (full pre-cut build) and stays.
+    if not os.path.isdir(os.path.join(workdir, "ckpt")):
+        for d in glob.glob(os.path.join(workdir, "dim_v*")):
+            if os.path.basename(d) != "dim_v0":
+                shutil.rmtree(d, ignore_errors=True)
     delta_dir = os.path.join(workdir, "delta")
     if not os.path.isdir(delta_dir):
         os.makedirs(delta_dir)
@@ -777,6 +787,22 @@ def dedup_admission_stream_run(
 
     is_new = F.col("doc_id") % NEW_BATCH_MOD == 0
     arrivals_dir = os.path.join(workdir, "arrivals")
+    # Reused-workdir guards (r12 advice): the arrivals layout is baked
+    # on first run, so a different n_files on reuse would silently run
+    # the OLD batching — fail loudly instead. And a fresh-checkpoint
+    # entry drops stale batch_id-keyed outputs: a prior run with more
+    # batches would otherwise leave b<k> dirs that mix into the
+    # verdicts/index_delta unions the query and tests read.
+    if os.path.isdir(arrivals_dir):
+        have = len(glob.glob(os.path.join(arrivals_dir, "a*.parquet")))
+        if have != n_files:
+            raise ValueError(
+                f"workdir {workdir!r} has {have} arrival files but "
+                f"n_files={n_files}; use a fresh workdir to rebatch"
+            )
+    if not os.path.isdir(os.path.join(workdir, "ckpt")):
+        for sub in ("verdicts", "index_delta"):
+            shutil.rmtree(os.path.join(workdir, sub), ignore_errors=True)
     if not os.path.isdir(arrivals_dir):
         os.makedirs(arrivals_dir)
         stage = os.path.join(workdir, "stage_arrivals")

@@ -284,6 +284,49 @@ def test_lsh_cap_preserves_components_on_mutated_corpora(
             clear_caches(spark)
 
 
+def test_lsh_cap_audit_counts_failing_star_edges(spark, tmp_path):
+    """The audit's recall-exposure column must actually COUNT when star
+    contraction costs recall, not only read 0 (r12 advice): a capped
+    bucket holding two text families that share one full band signature
+    but sit BELOW the exact-Jaccard verify threshold has every
+    hub-to-other-family star edge fail verification.
+
+    The two texts were searched offline against the engine's own hash
+    constants (sha-based token_hash, the fixed _MH_A/_MH_B permutations):
+    band 0 of their MinHash signatures collides while exact shingle
+    Jaccard is 0.3103 < MINHASH_VERIFY_THRESHOLD. Family A (30 docs,
+    ids 0-29) + family B (5 docs, ids 30-34) share band 0's bucket
+    (35 > LSH_BUCKET_CAP=32 — capped; the A-only and B-only buckets in
+    bands 1-3 stay under the cap), the hub is doc 0 ∈ A, and exactly
+    the 5 hub→B star edges fail verify."""
+    from cs_5542_lab_6_spark.operators import dedup as D
+    from cs_5542_lab_6_spark.session import clear_caches
+
+    text_a = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "sleeps near the warm fire in the old house"
+    )
+    text_b = (
+        "the quick brown fox jumps over the lazy blue while the cat "
+        "sleeps near quiet green night late stone light happy"
+    )
+    rows = [
+        (i, text_a if i < 30 else text_b, "en", "syn", 100) for i in range(35)
+    ]
+    sf = str(tmp_path / "twofam")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    try:
+        audit = D.dedup_lsh_bucket_audit(spark, sf).collect()[0]
+        assert audit["n_capped_buckets"] == 1
+        assert audit["docs_in_capped"] == 35
+        assert audit["star_candidates"] == 34
+        assert audit["star_edges_failing_verify"] == 5
+    finally:
+        clear_caches(spark)
+
+
 def test_link_prediction_math_on_hand_verified_graphs(spark, monkeypatch):
     """kg_link_prediction's wedge/anti-join/Adamic-Adar math on graphs
     with hand-computable answers (the fixture + oracle only cover one

@@ -457,6 +457,47 @@ def test_scd2_stream_catchup_trigger_matches_rebuild(spark, sf_dir, tmp_path):
     assert one == two == batch
 
 
+def test_scd2_stream_rebatch_after_ckpt_wipe_drops_stale_state(
+    spark, sf_dir, tmp_path
+):
+    """Workdir reuse at a DIFFERENT batching (r12 advice): run at one
+    file per trigger, wipe the checkpoint, rerun with files_per_trigger
+    large enough to produce fewer batches. The head version is read as
+    max over dim_v* dirs, so without dropping stale state the first
+    run's higher-numbered dirs would win and the caller reads a
+    dimension the rerun never produced."""
+    import shutil
+
+    from cs_5542_lab_6_spark.operators.lakehouse import orders_scd2_dimension
+    from cs_5542_lab_6_spark.streaming.stream import scd2_stream_run
+
+    wd = str(tmp_path / "scd2_rebatch")
+    os.makedirs(wd)
+    v1 = scd2_stream_run(spark, sf_dir, wd)
+    shutil.rmtree(f"{wd}/ckpt")
+    v2 = scd2_stream_run(spark, sf_dir, wd, files_per_trigger=3)
+    assert v2 < v1  # fewer batches AND no stale dim_v{v1} winning the max
+    assert not os.path.isdir(f"{wd}/dim_v{v1}")
+    two = sorted(map(tuple, spark.read.parquet(f"{wd}/dim_v{v2}").collect()))
+    batch = sorted(map(tuple, orders_scd2_dimension(spark, sf_dir).collect()))
+    assert two == batch
+
+
+def test_dedup_admission_rejects_rebatch_on_reused_workdir(
+    spark, sf_dir, tmp_path
+):
+    """The arrivals layout is baked on first run; a reuse with a
+    different n_files would silently replay the OLD batching (r12
+    advice) — it must fail loudly instead."""
+    from cs_5542_lab_6_spark.streaming.stream import dedup_admission_stream_run
+
+    wd = str(tmp_path / "adm_rebatch")
+    os.makedirs(wd)
+    assert dedup_admission_stream_run(spark, sf_dir, wd, n_files=3) == 3
+    with pytest.raises(ValueError, match="3 arrival files"):
+        dedup_admission_stream_run(spark, sf_dir, wd, n_files=2)
+
+
 def test_dedup_admission_verdicts_invariant_to_batching(spark, sf_dir, tmp_path):
     """Every micro-batch screens against the same standing index
     snapshot, so the verdict union must be invariant to how the arrival
