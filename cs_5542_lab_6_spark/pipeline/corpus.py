@@ -782,6 +782,20 @@ def kg_nodes_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ordered_pair_expansion(ns: str) -> Column:
+    """Explode a sorted per-group array column ``ns`` into its ordered
+    position-pairs ``p = struct(s, t)`` (every (i, j) with i < j) —
+    kg_edges_build's map-side co-occurrence expansion, factored out so
+    the hot-chunk memory bound is testable on synthetic group sizes."""
+    return F.explode(
+        F.expr(
+            f"flatten(transform({ns}, (x, i) ->"
+            f" transform(slice({ns}, i + 2, size({ns}) - i - 1),"
+            " y -> struct(x AS s, y AS t))))"
+        )
+    ).alias("p")
+
+
 @query(
     "kg_edges_build",
     oracle=f"""
@@ -819,22 +833,24 @@ def kg_edges_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate-node_id multiplicity corner (m*n position-pairs for m+n
     equal-keyed rows, same as the join) — the DuckDB oracle keeps the
     self-join formulation and matches row-for-row. Measured on the cold
-    10x corpus: ~2x faster than the self-join shape."""
+    10x corpus: ~2x faster than the self-join shape.
+
+    Hot-chunk bound (r12 verdict): the per-group expansion materializes
+    all B(B-1)/2 pair structs of a B-entity chunk in one transient array
+    before explode — quadratic per group, and deliberately UNCAPPED
+    (unlike LSH_BUCKET_CAP) because the chunker IS the cap: a chunk
+    holds at most CHUNK_SIZE (200) words, entities are first-seen-
+    deduped per chunk, so B ≤ 200 structurally (≤19.9k pairs, ~2 MB
+    transient per group) even on pathological every-word-an-entity
+    text. tests/test_corpus_invariants.py pins the 5x-beyond-structural
+    stress (B=10^3 → 499,500 exact pairs through ordered_pair_expansion)
+    completing on executor-thread memory."""
     ents = chunk_entities_df(spark, sf_dir).select("chunk_id", "paper_id", "node_id")
     per_chunk = ents.groupBy("chunk_id", "paper_id").agg(
         F.array_sort(F.collect_list("node_id")).alias("ns")
     )
     pairs = (
-        per_chunk.select(
-            "paper_id",
-            F.explode(
-                F.expr(
-                    "flatten(transform(ns, (x, i) ->"
-                    " transform(slice(ns, i + 2, size(ns) - i - 1),"
-                    " y -> struct(x AS s, y AS t))))"
-                )
-            ).alias("p"),
-        )
+        per_chunk.select("paper_id", ordered_pair_expansion("ns"))
         .filter(F.col("p.s") != F.col("p.t"))
         .select(
             F.col("p.s").alias("source_node_id"),

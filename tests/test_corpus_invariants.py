@@ -284,6 +284,36 @@ def test_lsh_cap_preserves_components_on_mutated_corpora(
             clear_caches(spark)
 
 
+def test_cooccurrence_expansion_survives_hot_chunk(spark):
+    """kg_edges_build's per-group pair expansion is quadratic in the
+    chunk's entity count and deliberately uncapped — the chunker is the
+    cap (CHUNK_SIZE=200 words ⇒ B ≤ 200 structurally). Pin that a group
+    5x BEYOND the structural bound (B=10^3 → 499,500 pair structs in one
+    transient array) still expands exactly and within executor-thread
+    memory, so the documented bound has headroom rather than sitting at
+    the edge (r12 verdict item 6)."""
+    from cs_5542_lab_6_spark.pipeline.corpus import ordered_pair_expansion
+
+    b = 1000
+    per_chunk = spark.range(1).select(
+        F.expr(
+            f"transform(sequence(0, {b - 1}),"
+            " i -> concat('node_', lpad(cast(i as string), 4, '0')))"
+        ).alias("ns")
+    )
+    pairs = per_chunk.select(ordered_pair_expansion("ns"))
+    assert pairs.count() == b * (b - 1) // 2
+    # spot-check ordering semantics survive at this size: every pair is
+    # strictly ordered, and the lexicographic extremes are present
+    agg = pairs.agg(
+        F.sum(F.when(F.col("p.s") < F.col("p.t"), 0).otherwise(1)).alias("bad"),
+        F.min("p.s").alias("lo"),
+        F.max("p.t").alias("hi"),
+    ).collect()[0]
+    assert agg["bad"] == 0
+    assert agg["lo"] == "node_0000" and agg["hi"] == "node_0999"
+
+
 def test_lsh_cap_audit_counts_failing_star_edges(spark, tmp_path):
     """The audit's recall-exposure column must actually COUNT when star
     contraction costs recall, not only read 0 (r12 advice): a capped
