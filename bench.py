@@ -141,6 +141,8 @@ HEADLINE = [
     # monitor over the LSH bucket histogram
     "stream_dedup_admission",
     "embedding_drift_psi",
+    # round-13 addition: availability-derived temperature mixing
+    "corpus_temperature_mixing",
 ]
 
 

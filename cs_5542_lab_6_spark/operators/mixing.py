@@ -214,6 +214,137 @@ def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang")
 
 
+# Temperature for availability-derived mixing. τ=0.5 (square-root
+# sampling, the multilingual NMT/ASR staple; mT5/XLM-R use the same
+# p_i^τ family at τ=0.3) is chosen deliberately for the oracle: sqrt is
+# IEEE-754 CORRECTLY ROUNDED on every conforming engine, unlike pow,
+# so the weight math is bit-identical cross-engine with no ulp risk.
+MIXING_TAU = 0.5
+
+
+@query(
+    "corpus_temperature_mixing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang,
+             CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(
+                         regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END
+               AS n_tokens
+      FROM documents
+    ),
+    avail AS (
+      SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS available_tokens
+      FROM toks GROUP BY lang
+    ),
+    w AS (
+      SELECT lang, available_tokens,
+             CAST(round(sqrt(CAST(available_tokens AS DOUBLE)), 6)
+                  AS DECIMAL(38,6)) AS wgt
+      FROM avail
+    ),
+    tot AS (
+      SELECT lang, available_tokens, wgt,
+             SUM(available_tokens) OVER () AS corpus_tokens,
+             SUM(wgt) OVER () AS wgt_total
+      FROM w
+    ),
+    shares AS (
+      SELECT lang, available_tokens,
+             round(CAST(available_tokens AS DOUBLE)
+                   / CAST(corpus_tokens AS DOUBLE), 6) AS natural_share,
+             round(CAST(wgt AS DOUBLE) / CAST(wgt_total AS DOUBLE), 6)
+               AS temp_share,
+             corpus_tokens
+      FROM tot
+    ),
+    alloc AS (
+      SELECT *,
+             CAST(floor(CAST(corpus_tokens AS DOUBLE) * {BUDGET_EPOCHS}
+                        * temp_share) AS BIGINT) AS allocated_tokens
+      FROM shares
+    )
+    SELECT lang, available_tokens, natural_share, temp_share,
+           round(temp_share / natural_share, 4) AS boost,
+           allocated_tokens,
+           CAST((allocated_tokens * 10000) // available_tokens AS BIGINT)
+             AS epochs_bp,
+           temp_share > natural_share AS upsampled
+    FROM alloc
+    ORDER BY lang
+    """,
+)
+def corpus_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture weights DERIVED from availability —
+    q_i ∝ (n_i/N)^τ over per-language token counts, the mT5/XLM-R
+    family of low-resource upweighting (``corpus_mixture_plan`` is the
+    complementary fixed-target-weights audit). τ = MIXING_TAU = 0.5,
+    i.e. square-root sampling, picked so every float step is
+    deterministic cross-engine: sqrt is correctly rounded by IEEE 754
+    (pow is not), the 5 per-stratum weights are rounded to 6 digits and
+    summed EXACTLY as DECIMAL(38,6) (the calibration/PQ-ADC
+    order-independence idiom), and every downstream share/boost/epochs
+    figure derives from those rounded values — so ``upsampled``, the
+    decision column, hash-checks as a decision.
+
+    Plan shape: one partial agg over token counts (5 rows out), then
+    unpartitioned window totals over the tiny aggregate (the
+    corpus_mixture_plan idiom — no BroadcastNestedLoopJoin scalar
+    subquery), pure projections after. One shuffle regardless of corpus
+    size; at 100 TB this is the audit artifact computed before the
+    hash-threshold sampler materializes the mixture."""
+    from ..functions.text import word_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    avail = (
+        docs.select("lang", word_count(F.col("text")).alias("n_tokens"))
+        .groupBy("lang")
+        .agg(F.sum("n_tokens").cast("long").alias("available_tokens"))
+    )
+    whole = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    w = avail.withColumn(
+        "wgt",
+        F.round(F.sqrt(F.col("available_tokens").cast("double")), 6).cast(
+            "decimal(38,6)"
+        ),
+    )
+    tot = w.withColumn("corpus_tokens", F.sum("available_tokens").over(whole)).withColumn(
+        "wgt_total", F.sum("wgt").over(whole)
+    )
+    shares = tot.select(
+        "lang",
+        "available_tokens",
+        F.round(
+            F.col("available_tokens").cast("double")
+            / F.col("corpus_tokens").cast("double"),
+            6,
+        ).alias("natural_share"),
+        F.round(
+            F.col("wgt").cast("double") / F.col("wgt_total").cast("double"), 6
+        ).alias("temp_share"),
+        "corpus_tokens",
+    ).withColumn(
+        "allocated_tokens",
+        F.floor(
+            F.col("corpus_tokens").cast("double")
+            * BUDGET_EPOCHS
+            * F.col("temp_share")
+        ).cast("long"),
+    )
+    return shares.select(
+        "lang",
+        "available_tokens",
+        "natural_share",
+        "temp_share",
+        F.round(F.col("temp_share") / F.col("natural_share"), 4).alias("boost"),
+        "allocated_tokens",
+        F.expr("(allocated_tokens * 10000) div available_tokens")
+        .cast("long")
+        .alias("epochs_bp"),
+        (F.col("temp_share") > F.col("natural_share")).alias("upsampled"),
+    ).orderBy("lang")
+
+
 # ---------------------------------------------------------------------------
 # Sequence packing
 # ---------------------------------------------------------------------------
