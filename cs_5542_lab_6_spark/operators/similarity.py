@@ -605,6 +605,10 @@ PSI_MODERATE_MAX = 0.25
              COALESCE(round(SUM((q - p) * ln(q / p) ORDER BY bucket), 6), 0.0)
                AS psi
       FROM joined
+    ),
+    unseen AS (
+      SELECT COALESCE(SUM(ic), 0) AS unseen_ic
+      FROM inc LEFT JOIN ref USING (bucket) WHERE rc IS NULL
     )
     SELECT CAST(rt.rt AS BIGINT) AS n_reference,
            CAST(it.it AS BIGINT) AS n_incoming,
@@ -613,11 +617,17 @@ PSI_MODERATE_MAX = 0.25
                  WHERE ic IS NULL) AS INTEGER) AS n_buckets_ref_only,
            CAST((SELECT COUNT(*) FROM inc LEFT JOIN ref USING (bucket)
                  WHERE rc IS NULL) AS INTEGER) AS n_buckets_incoming_only,
+           round(CAST(unseen.unseen_ic AS DOUBLE) / it.it, 6)
+             AS incoming_unseen_share,
            psi.psi,
-           CASE WHEN psi.psi < {PSI_STABLE_MAX} THEN 'stable'
-                WHEN psi.psi < {PSI_MODERATE_MAX} THEN 'moderate'
+           CASE WHEN psi.psi < {PSI_STABLE_MAX}
+                 AND round(CAST(unseen.unseen_ic AS DOUBLE) / it.it, 6)
+                     < {PSI_STABLE_MAX} THEN 'stable'
+                WHEN psi.psi < {PSI_MODERATE_MAX}
+                 AND round(CAST(unseen.unseen_ic AS DOUBLE) / it.it, 6)
+                     < {PSI_MODERATE_MAX} THEN 'moderate'
                 ELSE 'shifted' END AS drift_band
-    FROM psi CROSS JOIN rt CROSS JOIN it
+    FROM psi CROSS JOIN rt CROSS JOIN it CROSS JOIN unseen
     """,
 )
 def embedding_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -638,10 +648,17 @@ def embedding_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     reported as ref-only / incoming-only counts (visible, not silently
     skipped); the sum folds in bucket order so the double total matches
     DuckDB's ordered SUM to the rounded digit (the corpus_drift_psi
-    idiom). ``drift_band`` maps the rounded PSI onto the standard
-    0.1 / 0.25 alert bands (stable / moderate / shifted) so the driver
-    hash-checks the alert DECISION the pipeline would act on, not just
-    the statistic — the events_quality_expectations idiom."""
+    idiom). ``drift_band`` maps onto the standard 0.1 / 0.25 alert
+    bands (stable / moderate / shifted) so the driver hash-checks the
+    alert DECISION the pipeline would act on, not just the statistic —
+    the events_quality_expectations idiom. The band escalates on
+    ``incoming_unseen_share`` (incoming mass in buckets the reference
+    never occupied) as well as on PSI: the common-bucket PSI alone
+    reads a CATASTROPHIC full-bucket shift as 0.0/"stable" because no
+    bucket survives the join — with smoothing those buckets would
+    dominate the sum, and bounding their contribution by mass share is
+    the deterministic proxy (pinned "shifted" on a rotated-encoder
+    corpus in tests/test_corpus_invariants.py)."""
     coded = _coded(spark, sf_dir).select(
         "bucket",
         F.when(F.col("vec_id") % EMB_DRIFT_MOD == 0, F.lit("incoming"))
@@ -692,10 +709,12 @@ def embedding_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("int").alias("n_buckets_ref_only")
     )
     inc_only = inc.join(ref, "bucket", "left_anti").agg(
-        F.count("*").cast("int").alias("n_buckets_incoming_only")
+        F.count("*").cast("int").alias("n_buckets_incoming_only"),
+        F.coalesce(F.sum("ic"), F.lit(0)).alias("unseen_ic"),
     )
     # five 1-row scalar broadcasts stitch the report row (whitelisted in
     # test_plans) — everything upstream is a single hash-agg histogram
+    unseen_share = F.round(F.col("unseen_ic").cast("double") / F.col("it"), 6)
     return (
         rt.crossJoin(F.broadcast(it))
         .crossJoin(F.broadcast(psi_row))
@@ -707,9 +726,18 @@ def embedding_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_buckets_common",
             "n_buckets_ref_only",
             "n_buckets_incoming_only",
+            unseen_share.alias("incoming_unseen_share"),
             "psi",
-            F.when(F.col("psi") < PSI_STABLE_MAX, F.lit("stable"))
-            .when(F.col("psi") < PSI_MODERATE_MAX, F.lit("moderate"))
+            F.when(
+                (F.col("psi") < PSI_STABLE_MAX)
+                & (unseen_share < PSI_STABLE_MAX),
+                F.lit("stable"),
+            )
+            .when(
+                (F.col("psi") < PSI_MODERATE_MAX)
+                & (unseen_share < PSI_MODERATE_MAX),
+                F.lit("moderate"),
+            )
             .otherwise(F.lit("shifted"))
             .alias("drift_band"),
         )

@@ -284,6 +284,47 @@ def test_lsh_cap_preserves_components_on_mutated_corpora(
             clear_caches(spark)
 
 
+def test_embedding_drift_band_flags_full_bucket_shift(spark, tmp_path):
+    """The drift monitor's decision column must escalate on incoming
+    mass in buckets the reference never occupied: a full-bucket shift
+    (e.g. a sign-flipped/rotated encoder) leaves ZERO common buckets,
+    so the common-bucket PSI is 0.0 and a psi-only band would read the
+    worst possible drift as "stable". Negating every incoming vector
+    flips all hyperplane signs (bucket -> bitwise complement), giving
+    n_buckets_common=0, incoming_unseen_share=1.0 -> shifted; the
+    control corpus (incoming identical to reference) reads stable."""
+    from cs_5542_lab_6_spark.operators import similarity as S
+    from cs_5542_lab_6_spark.session import clear_caches
+
+    w = [float((i % 7) - 3) + 0.5 for i in range(S.EMBED_DIM)]
+    neg = [-x for x in w]
+
+    def write(sf: str, incoming_vec: list) -> None:
+        rows = [
+            (i, "syn", incoming_vec if i % 10 == 0 else w) for i in range(100)
+        ]
+        spark.createDataFrame(
+            rows, "vec_id long, label string, embedding array<float>"
+        ).write.mode("overwrite").parquet(f"{sf}/embeddings.parquet")
+
+    try:
+        shifted_dir = str(tmp_path / "shifted")
+        write(shifted_dir, neg)
+        row = S.embedding_drift_psi(spark, shifted_dir).collect()[0]
+        assert row["n_buckets_common"] == 0
+        assert row["psi"] == 0.0  # the blind spot the escalation covers
+        assert row["incoming_unseen_share"] == 1.0
+        assert row["drift_band"] == "shifted"
+
+        stable_dir = str(tmp_path / "stable")
+        write(stable_dir, w)
+        row = S.embedding_drift_psi(spark, stable_dir).collect()[0]
+        assert row["incoming_unseen_share"] == 0.0
+        assert row["drift_band"] == "stable"
+    finally:
+        clear_caches(spark)
+
+
 def test_cooccurrence_expansion_survives_hot_chunk(spark):
     """kg_edges_build's per-group pair expansion is quadratic in the
     chunk's entity count and deliberately uncapped — the chunker is the
