@@ -129,11 +129,10 @@ BUDGET_EPOCHS = 2
 
 _DUCK_MIXTURE_SPEC = ", ".join(f"('{lang}', {bp})" for lang, bp in MIXTURE_WEIGHTS_BP)
 
-
-@query(
-    "corpus_mixture_plan",
-    oracle=f"""
-    WITH toks AS (
+# Per-language token availability — the input BOTH mixture queries
+# (fixed-weight plan + temperature mixing) start from, factored once
+# per engine so the token-count contract can never fork between them.
+_DUCK_TOKS_AVAIL = """toks AS (
       SELECT lang,
              CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN 0
                   ELSE len(regexp_split_to_array(
@@ -144,7 +143,25 @@ _DUCK_MIXTURE_SPEC = ", ".join(f"('{lang}', {bp})" for lang, bp in MIXTURE_WEIGH
     avail AS (
       SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS available_tokens
       FROM toks GROUP BY lang
-    ),
+    )"""
+
+
+def _avail_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, available_tokens) — one partial agg over word counts."""
+    from ..functions.text import word_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", word_count(F.col("text")).alias("n_tokens"))
+        .groupBy("lang")
+        .agg(F.sum("n_tokens").cast("long").alias("available_tokens"))
+    )
+
+
+@query(
+    "corpus_mixture_plan",
+    oracle=f"""
+    WITH {_DUCK_TOKS_AVAIL},
     spec(lang, weight_bp) AS (VALUES {_DUCK_MIXTURE_SPEC}),
     total AS (SELECT SUM(available_tokens) AS corpus_tokens FROM avail),
     plan AS (
@@ -173,14 +190,7 @@ def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     the plan is bit-identical across engines. The plan itself is one
     partial agg over token counts + a 5-row broadcast spec join — the
     audit artifact a pipeline produces before sampling, at any scale."""
-    from ..functions.text import word_count
-
-    docs = load_table(spark, sf_dir, "documents")
-    avail = (
-        docs.select("lang", word_count(F.col("text")).alias("n_tokens"))
-        .groupBy("lang")
-        .agg(F.sum("n_tokens").cast("long").alias("available_tokens"))
-    )
+    avail = _avail_by_lang(spark, sf_dir)
     spec = spark.createDataFrame(
         list(MIXTURE_WEIGHTS_BP), schema="lang string, weight_bp int"
     )
@@ -214,29 +224,18 @@ def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang")
 
 
-# Temperature for availability-derived mixing. τ=0.5 (square-root
-# sampling, the multilingual NMT/ASR staple; mT5/XLM-R use the same
-# p_i^τ family at τ=0.3) is chosen deliberately for the oracle: sqrt is
-# IEEE-754 CORRECTLY ROUNDED on every conforming engine, unlike pow,
-# so the weight math is bit-identical cross-engine with no ulp risk.
-MIXING_TAU = 0.5
+# The temperature is τ=0.5, hardwired as sqrt on BOTH engines rather
+# than exposed as a pow(x, TAU) constant: square-root sampling is the
+# multilingual NMT/ASR staple (mT5/XLM-R use the same p_i^τ family at
+# τ=0.3), and sqrt is IEEE-754 CORRECTLY ROUNDED on every conforming
+# engine while pow is not — a tunable exponent would reintroduce the
+# cross-engine ulp risk the oracle design exists to exclude.
 
 
 @query(
     "corpus_temperature_mixing",
     oracle=f"""
-    WITH toks AS (
-      SELECT lang,
-             CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN 0
-                  ELSE len(regexp_split_to_array(
-                         regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END
-               AS n_tokens
-      FROM documents
-    ),
-    avail AS (
-      SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS available_tokens
-      FROM toks GROUP BY lang
-    ),
+    WITH {_DUCK_TOKS_AVAIL},
     w AS (
       SELECT lang, available_tokens,
              CAST(round(sqrt(CAST(available_tokens AS DOUBLE)), 6)
@@ -278,8 +277,8 @@ def corpus_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based mixture weights DERIVED from availability —
     q_i ∝ (n_i/N)^τ over per-language token counts, the mT5/XLM-R
     family of low-resource upweighting (``corpus_mixture_plan`` is the
-    complementary fixed-target-weights audit). τ = MIXING_TAU = 0.5,
-    i.e. square-root sampling, picked so every float step is
+    complementary fixed-target-weights audit). τ = 0.5, i.e.
+    square-root sampling, picked so every float step is
     deterministic cross-engine: sqrt is correctly rounded by IEEE 754
     (pow is not), the 5 per-stratum weights are rounded to 6 digits and
     summed EXACTLY as DECIMAL(38,6) (the calibration/PQ-ADC
@@ -293,14 +292,7 @@ def corpus_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     subquery), pure projections after. One shuffle regardless of corpus
     size; at 100 TB this is the audit artifact computed before the
     hash-threshold sampler materializes the mixture."""
-    from ..functions.text import word_count
-
-    docs = load_table(spark, sf_dir, "documents")
-    avail = (
-        docs.select("lang", word_count(F.col("text")).alias("n_tokens"))
-        .groupBy("lang")
-        .agg(F.sum("n_tokens").cast("long").alias("available_tokens"))
-    )
+    avail = _avail_by_lang(spark, sf_dir)
     whole = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     w = avail.withColumn(
         "wgt",

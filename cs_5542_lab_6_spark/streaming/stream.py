@@ -645,10 +645,25 @@ def scd2_stream_run(
     # leave higher-numbered dirs that outlive the rerun and win the max,
     # so replay idempotence only held at a fixed batching (r12 advice).
     # dim_v0 is batching-invariant (full pre-cut build) and stays.
+    # A KEPT checkpoint owns the batching: availableNow replays nothing
+    # once all files are committed, so a different files_per_trigger on
+    # a kept-checkpoint reuse would be silently ignored — fail loudly
+    # instead (the dedup_admission rebatch-guard symmetry).
+    fpt_marker = os.path.join(workdir, "ckpt_files_per_trigger")
     if not os.path.isdir(os.path.join(workdir, "ckpt")):
         for d in glob.glob(os.path.join(workdir, "dim_v*")):
             if os.path.basename(d) != "dim_v0":
                 shutil.rmtree(d, ignore_errors=True)
+        with open(fpt_marker, "w") as f:
+            f.write(str(files_per_trigger))
+    elif os.path.isfile(fpt_marker):
+        baked = int(open(fpt_marker).read())
+        if baked != files_per_trigger:
+            raise ValueError(
+                f"workdir {workdir!r} has a checkpoint committed at "
+                f"files_per_trigger={baked} but got {files_per_trigger}; "
+                "wipe the checkpoint to rebatch"
+            )
     delta_dir = os.path.join(workdir, "delta")
     if not os.path.isdir(delta_dir):
         os.makedirs(delta_dir)
@@ -789,17 +804,27 @@ def dedup_admission_stream_run(
     arrivals_dir = os.path.join(workdir, "arrivals")
     # Reused-workdir guards (r12 advice): the arrivals layout is baked
     # on first run, so a different n_files on reuse would silently run
-    # the OLD batching — fail loudly instead. And a fresh-checkpoint
-    # entry drops stale batch_id-keyed outputs: a prior run with more
-    # batches would otherwise leave b<k> dirs that mix into the
-    # verdicts/index_delta unions the query and tests read.
+    # the OLD batching — fail loudly instead. The baked value is read
+    # from a marker written AFTER the part-file moves (an underscore
+    # name, ignored by Spark's file source like _SUCCESS), not from the
+    # live file count: group partitioning can legitimately produce
+    # fewer than n_files files, and a crash mid-bake leaves no marker,
+    # so a partial layout is rebuilt rather than bricking the workdir.
+    # And a fresh-checkpoint entry drops stale batch_id-keyed outputs:
+    # a prior run with more batches would otherwise leave b<k> dirs
+    # that mix into the verdicts/index_delta unions consumers read.
+    bake_marker = os.path.join(arrivals_dir, "_BAKED_N_FILES")
     if os.path.isdir(arrivals_dir):
-        have = len(glob.glob(os.path.join(arrivals_dir, "a*.parquet")))
-        if have != n_files:
-            raise ValueError(
-                f"workdir {workdir!r} has {have} arrival files but "
-                f"n_files={n_files}; use a fresh workdir to rebatch"
-            )
+        if not os.path.isfile(bake_marker):
+            shutil.rmtree(arrivals_dir)
+        else:
+            baked = int(open(bake_marker).read())
+            if baked != n_files:
+                raise ValueError(
+                    f"workdir {workdir!r} was baked with n_files={baked} "
+                    f"but got n_files={n_files}; use a fresh workdir to "
+                    "rebatch"
+                )
     if not os.path.isdir(os.path.join(workdir, "ckpt")):
         for sub in ("verdicts", "index_delta"):
             shutil.rmtree(os.path.join(workdir, sub), ignore_errors=True)
@@ -830,6 +855,8 @@ def dedup_admission_stream_run(
             shutil.move(part, dst)
             os.utime(dst, times=(1_000_000 + i, 1_000_000 + i))
         shutil.rmtree(stage, ignore_errors=True)
+        with open(bake_marker, "w") as f:  # last: marks the bake complete
+            f.write(str(n_files))
 
     index_dir = os.path.join(workdir, "index")
     sizes_dir = os.path.join(workdir, "index_sizes")

@@ -72,12 +72,14 @@ def test_canary_sweeps_every_registered_oracle():
 def test_warehouse_build_time_bound(spark, scale_sf_dir, tmp_path):
     """Build-time canary (r12 verdict item 5): the 6-stage warehouse
     build runs as a dependency DAG on FAIR per-stage pools and has
-    measured 13.9-26.4s cold at sf0.1 across rounds. Pin a GENEROUS
-    ceiling (min-of-3 < 30s — ~2x the r12 best, under the old
-    serialized-DAG cost) so a future regression that re-serializes the
-    stage DAG or drops the FAIR pools fails CI instead of surfacing as
-    a silent bench drift. min-of-runs per the bench-noise protocol:
-    single runs on this VM swing in multi-minute windows."""
+    measured 13.9-26.4s cold at sf0.1 across rounds; the serialized
+    pre-DAG build measured ~59s. Pin the ceiling at 45s min-of-3 —
+    comfortably above the observed single-run worst (26.4s) plus this
+    VM's documented noise band, comfortably below the serialized cost —
+    so a regression that re-serializes the stage DAG or drops the FAIR
+    pools fails CI instead of surfacing as a silent bench drift, without
+    flaking on a loaded machine. min-of-runs per the bench-noise
+    protocol: single runs here swing in multi-minute windows."""
     import shutil
     import time
 
@@ -96,7 +98,7 @@ def test_warehouse_build_time_bound(spark, scale_sf_dir, tmp_path):
             shutil.rmtree(out, ignore_errors=True)
     finally:
         clear_caches(spark)
-    assert best < 30.0, f"cold warehouse build min-of-3 regressed: {best:.1f}s"
+    assert best < 45.0, f"cold warehouse build min-of-3 regressed: {best:.1f}s"
 
 
 @pytest.mark.parametrize("name", _NAMES)

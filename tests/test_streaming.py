@@ -474,6 +474,10 @@ def test_scd2_stream_rebatch_after_ckpt_wipe_drops_stale_state(
     wd = str(tmp_path / "scd2_rebatch")
     os.makedirs(wd)
     v1 = scd2_stream_run(spark, sf_dir, wd)
+    # a KEPT checkpoint owns the batching — availableNow would silently
+    # ignore a different files_per_trigger, so it must fail loudly
+    with pytest.raises(ValueError, match="files_per_trigger=1"):
+        scd2_stream_run(spark, sf_dir, wd, files_per_trigger=3)
     shutil.rmtree(f"{wd}/ckpt")
     v2 = scd2_stream_run(spark, sf_dir, wd, files_per_trigger=3)
     assert v2 < v1  # fewer batches AND no stale dim_v{v1} winning the max
@@ -488,14 +492,20 @@ def test_dedup_admission_rejects_rebatch_on_reused_workdir(
 ):
     """The arrivals layout is baked on first run; a reuse with a
     different n_files would silently replay the OLD batching (r12
-    advice) — it must fail loudly instead."""
+    advice) — it must fail loudly instead. A PARTIAL bake (no
+    completion marker — the crash-between-makedirs-and-moves state)
+    must repair by rebuilding, not brick the workdir."""
     from cs_5542_lab_6_spark.streaming.stream import dedup_admission_stream_run
 
     wd = str(tmp_path / "adm_rebatch")
     os.makedirs(wd)
     assert dedup_admission_stream_run(spark, sf_dir, wd, n_files=3) == 3
-    with pytest.raises(ValueError, match="3 arrival files"):
+    with pytest.raises(ValueError, match="baked with n_files=3"):
         dedup_admission_stream_run(spark, sf_dir, wd, n_files=2)
+
+    wd2 = str(tmp_path / "adm_partial_bake")
+    os.makedirs(f"{wd2}/arrivals")  # bake started, never completed
+    assert dedup_admission_stream_run(spark, sf_dir, wd2, n_files=3) == 3
 
 
 def test_dedup_admission_verdicts_invariant_to_batching(spark, sf_dir, tmp_path):
