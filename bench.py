@@ -141,8 +141,10 @@ HEADLINE = [
     # monitor over the LSH bucket histogram
     "stream_dedup_admission",
     "embedding_drift_psi",
-    # round-13 addition: availability-derived temperature mixing
+    # round-13 additions: availability-derived temperature mixing and the
+    # embedding-level eval-decontamination scan
     "corpus_temperature_mixing",
+    "contamination_semantic_scan",
 ]
 
 

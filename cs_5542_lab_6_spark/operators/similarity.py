@@ -1030,6 +1030,114 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Semantic (embedding-level) train/test decontamination
+# ---------------------------------------------------------------------------
+
+# THE split definition is ranking.py's — imported, never re-declared,
+# so a threshold change there can never fork the split this scan
+# audits (the contamination_scan discipline); the flag threshold is
+# the SemDeDup pruning tau above.
+from .ranking import DUCK_SPLIT_CASE, split_assignment  # noqa: E402
+
+
+@query(
+    "contamination_semantic_scan",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+               AS nrm
+      FROM embeddings
+    ),
+    coded AS (
+      SELECT vec_id, v, nrm, ({_DUCK_BUCKET}) AS bucket,
+             {DUCK_SPLIT_CASE.format(id="vec_id")} AS split
+      FROM e
+    ),
+    pairs AS (
+      SELECT t.vec_id AS test_vec_id, r.vec_id AS train_vec_id,
+             round(list_dot_product(t.v, r.v) / (t.nrm * r.nrm), 4) AS cosine
+      FROM coded t JOIN coded r ON t.bucket = r.bucket
+      WHERE t.split = 'test' AND r.split = 'train'
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY test_vec_id ORDER BY cosine DESC, train_vec_id) AS rn
+      FROM pairs
+    )
+    SELECT test_vec_id, train_vec_id, cosine,
+           cosine >= {SEMDEDUP_TAU} AS contaminated
+    FROM ranked WHERE rn = 1
+    ORDER BY test_vec_id
+    """,
+)
+def contamination_semantic_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-level) decontamination of the held-out split:
+    for every test vector, its best same-LSH-bucket cosine match in the
+    train split, flagged ``contaminated`` at the SemDeDup tau — the
+    vector-space twin of the shingle-overlap ``contamination_scan``
+    (dedup.py), catching paraphrased/re-encoded eval leakage that
+    n-gram overlap misses. The split rule is ranking.split_assignment
+    applied to vec_id (the same sha-bucket discipline as doc_id) and
+    the flag threshold is the imported SemDeDup tau, so neither knob
+    can fork from the operators this scan must agree with.
+
+    Scale shape: the asymmetric decontamination join — the test side is
+    ~10% of the collection and the candidate set is LSH-bucket-blocked
+    (the warm ``lsh_codes`` index when built), so the shuffle is
+    test-side-sized and bucket-local, never |train| x |test|; at 100 TB
+    the planner broadcasts the eval side outright. The per-test-vec
+    argmax is one window pass; every test vector with a same-bucket
+    train candidate emits a row carrying the DECISION (``contaminated``
+    boolean) per the hash-checked-decision idiom, not just the score.
+    Recall caveat (documented, same as every banded screen here): a
+    cross-bucket near-match is invisible — multiprobe
+    (``ann_lsh_multiprobe_topk``) is the dial if the audit must trade
+    cost for recall."""
+    coded = _coded(spark, sf_dir).withColumn(
+        "split", split_assignment("vec_id")
+    )
+    test = coded.filter(F.col("split") == "test").select(
+        F.col("vec_id").alias("test_vec_id"),
+        F.col("v").alias("tv"),
+        F.col("nrm").alias("tn"),
+        "bucket",
+    )
+    train = coded.filter(F.col("split") == "train").select(
+        F.col("vec_id").alias("train_vec_id"),
+        F.col("v").alias("rv"),
+        F.col("nrm").alias("rn_"),
+        "bucket",
+    )
+    dot_tr = F.aggregate(
+        F.zip_with(F.col("tv"), F.col("rv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = test.join(train, "bucket").select(
+        "test_vec_id",
+        "train_vec_id",
+        F.round(dot_tr / (F.col("tn") * F.col("rn_")), 4).alias("cosine"),
+    )
+    rank = F.row_number().over(
+        W.partitionBy("test_vec_id").orderBy(
+            F.desc("cosine"), F.asc("train_vec_id")
+        )
+    )
+    return (
+        pairs.withColumn("rn", rank)
+        .filter(F.col("rn") == 1)
+        .select(
+            "test_vec_id",
+            "train_vec_id",
+            "cosine",
+            (F.col("cosine") >= SEMDEDUP_TAU).alias("contaminated"),
+        )
+        .orderBy("test_vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # MMR diversified re-ranking (relevance − redundancy greedy selection)
 # ---------------------------------------------------------------------------
 

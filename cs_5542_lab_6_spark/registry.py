@@ -50,6 +50,7 @@ _REGISTRY: dict[str, Q] = {}
 _PRIORITY: tuple[str, ...] = (
     # --- NEW in round 13 (registered this round; first driver check):
     "corpus_temperature_mixing",      # availability-derived τ=0.5 mixture
+    "contamination_semantic_scan",    # embedding-level eval-leak audit
     # --- CHANGED in round 13 (oracle gained the drift_band decision
     # --- column — r12 verdict item 7; first driver check of the new
     # --- oracle text lands this round):
@@ -86,10 +87,10 @@ _PRIORITY: tuple[str, ...] = (
     "user_event_gaps",
     "vector_topk_filtered",
     # --- Stalest-r9 fill to 44 (the r9 cohort is 37 rows and all are
-    # --- equally r9-vintage; take the first 16 alphabetically — the
-    # --- 17th slot went to the one new r13 registration — so the r14
-    # --- remainder is a deterministic, written-down set of 21 rows,
-    # --- events_kmv_distinct .. topk_expensive_orders):
+    # --- equally r9-vintage; take the first 15 alphabetically — two
+    # --- fill slots went to the two new r13 registrations — so the r14
+    # --- remainder is a deterministic, written-down set of 22 rows,
+    # --- events_k_anonymity_repair .. topk_expensive_orders):
     "ann_lsh_multiprobe_topk",
     "ann_pq_adc_topk",
     "ann_recall_eval",
@@ -105,7 +106,6 @@ _PRIORITY: tuple[str, ...] = (
     "events_cms_heavy_hitters",
     "events_heavy_hitters_exact",
     "events_k_anonymity",
-    "events_k_anonymity_repair",
     # --- Regression guards that stay in every window
     "chunks_build",            # corpus chunker (pure-Catalyst UDTF twin)
     "kg_edges_build",          # co-occurrence one-shuffle expansion
@@ -115,8 +115,8 @@ _PRIORITY: tuple[str, ...] = (
     "ann_ivf_topk",            # warm ivf_centroids seam, cold path
     # --- r14 rotation plan (the write-down discipline from the r11
     # --- verdict, applied every round): window = any r14 new/changed
-    # --- queries, then the REMAINING 21 r9-vintage rows
-    # --- (events_kmv_distinct,
+    # --- queries, then the REMAINING 22 r9-vintage rows
+    # --- (events_k_anonymity_repair, events_kmv_distinct,
     # --- events_l_diversity, events_quality_expectations,
     # --- events_schema_evolution, lineitem_zorder_layout,
     # --- orders_benford_audit, orders_compaction_plan,

@@ -284,6 +284,38 @@ def test_lsh_cap_preserves_components_on_mutated_corpora(
             clear_caches(spark)
 
 
+def test_semantic_contamination_flags_planted_leak(spark, tmp_path):
+    """contamination_semantic_scan's decision column never trips on the
+    natural fixtures (random vectors, best cross-split cosine well
+    under tau) — pin the True path: every vector identical, so every
+    test-split vector's train-side best match is an exact semantic
+    duplicate (cosine 1.0, same LSH bucket by construction) and every
+    emitted row must be flagged contaminated."""
+    from cs_5542_lab_6_spark.operators import similarity as S
+    from cs_5542_lab_6_spark.operators.ranking import split_assignment
+    from cs_5542_lab_6_spark.session import clear_caches
+
+    w = [float((i % 5) - 2) + 0.25 for i in range(S.EMBED_DIM)]
+    sf = str(tmp_path / "leak")
+    spark.createDataFrame(
+        [(i, "syn", w) for i in range(200)],
+        "vec_id long, label string, embedding array<float>",
+    ).write.mode("overwrite").parquet(f"{sf}/embeddings.parquet")
+    n_test = (
+        spark.range(200)
+        .select(split_assignment("id").alias("s"))
+        .filter(F.col("s") == "test")
+        .count()
+    )
+    try:
+        rows = S.contamination_semantic_scan(spark, sf).collect()
+        assert len(rows) == n_test > 0
+        assert all(r["contaminated"] for r in rows)
+        assert all(r["cosine"] == 1.0 for r in rows)
+    finally:
+        clear_caches(spark)
+
+
 def test_embedding_drift_band_flags_full_bucket_shift(spark, tmp_path):
     """The drift monitor's decision column must escalate on incoming
     mass in buckets the reference never occupied: a full-bucket shift

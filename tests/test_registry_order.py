@@ -20,8 +20,9 @@ DRIVER_WINDOW = 50
 # lands, and (b) the window refreshes the stalest driver rows (r1/r4
 # vintage) plus the permanent regression-guard core.
 REFERENCE_PARITY = [
-    # new in round 13 — first driver check the round it lands
+    # new in round 13 — first driver check the round they land
     "corpus_temperature_mixing",
+    "contamination_semantic_scan",
     # changed in round 13 — the PSI oracle gained the drift_band
     # decision column (r12 verdict item 7)
     "embedding_drift_psi",
@@ -44,11 +45,11 @@ REFERENCE_PARITY = [
     "revenue_forecast",
     "user_event_gaps",
     "vector_topk_filtered",
-    # r9-fill sample pins (first-16-alphabetical rule in registry.py)
+    # r9-fill sample pins (first-15-alphabetical rule in registry.py)
     "ann_recall_eval",
     "chunks_view",
     "corpus_drift_psi",
-    "events_k_anonymity_repair",
+    "events_k_anonymity",
     # regression guards that must stay in every window
     "chunks_build",
     "kg_edges_build",
