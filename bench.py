@@ -252,6 +252,7 @@ def main() -> None:
     from cs_5542_lab_6_spark.session import clear_caches, get_spark
 
     spark = get_spark(app_name="cs5542-bench")
+    load_start = round(os.getloadavg()[0], 2)
     queries = all_queries()
     names = [n for n in HEADLINE if n in queries]
 
@@ -322,6 +323,11 @@ def main() -> None:
         "setup": setup,
         "scale_stress": scale,
         "sf": sf_val,
+        # 1-minute host load at start/end: four same-session r13 runs of
+        # near-identical code spanned 97-126s TOTAL purely on machine
+        # load — this pair lets a reader adjudicate cross-run deltas as
+        # noise vs regression without rerunning.
+        "loadavg": {"start": load_start, "end": round(os.getloadavg()[0], 2)},
     }
     print(json.dumps(full))
     # Persist the complete per-query runs/medians to a repo file (VERDICT
@@ -353,6 +359,7 @@ def main() -> None:
                 "setup": setup,
                 "scale_stress": scale,
                 "sf": sf_val,
+                "loadavg": full["loadavg"],
                 "compact": True,
             }
         )
