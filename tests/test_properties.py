@@ -681,6 +681,39 @@ def test_parallel_ntile_matches_sequential_ntile(spark, keys, k):
     assert got == want
 
 
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=6),  # small id space -> duplicates
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_ordered_pair_expansion_matches_itertools(spark, ids):
+    """kg_edges_build's map-side expansion must emit exactly the ordered
+    position-pairs of the sorted group — including the duplicate-key
+    multiplicity corner the docstring claims (m+n equal-keyed rows emit
+    m*n cross pairs after the s != t residual, same as the self-join it
+    replaced). Reference: itertools.combinations over the sorted list
+    with equal pairs dropped."""
+    import itertools
+
+    from cs_5542_lab_6_spark.pipeline.corpus import ordered_pair_expansion
+
+    names = sorted(f"node_{i}" for i in ids)
+    df = spark.createDataFrame([(names,)], "ns array<string>")
+    got = sorted(
+        (r["p"]["s"], r["p"]["t"])
+        for r in df.select(ordered_pair_expansion("ns"))
+        .filter(F.col("p.s") != F.col("p.t"))  # kg_edges_build's residual
+        .collect()
+    )
+    want = sorted(
+        (a, b) for a, b in itertools.combinations(names, 2) if a != b
+    )
+    assert got == want
+
+
 def test_bpe_hybrid_cutover_runs_constant_spark_jobs(spark, sf_dir):
     """Once the vocabulary collapses to the driver, additional merge
     rounds must cost ZERO additional Spark jobs (r8 verdict item 2): a
