@@ -607,8 +607,11 @@ PSI_MODERATE_MAX = 0.25
       FROM joined
     ),
     unseen AS (
-      SELECT COALESCE(SUM(ic), 0) AS unseen_ic
-      FROM inc LEFT JOIN ref USING (bucket) WHERE rc IS NULL
+      SELECT round(CAST((SELECT COALESCE(SUM(ic), 0)
+                         FROM inc LEFT JOIN ref USING (bucket)
+                         WHERE rc IS NULL) AS DOUBLE) / it.it, 6)
+               AS unseen_share
+      FROM it
     )
     SELECT CAST(rt.rt AS BIGINT) AS n_reference,
            CAST(it.it AS BIGINT) AS n_incoming,
@@ -617,15 +620,12 @@ PSI_MODERATE_MAX = 0.25
                  WHERE ic IS NULL) AS INTEGER) AS n_buckets_ref_only,
            CAST((SELECT COUNT(*) FROM inc LEFT JOIN ref USING (bucket)
                  WHERE rc IS NULL) AS INTEGER) AS n_buckets_incoming_only,
-           round(CAST(unseen.unseen_ic AS DOUBLE) / it.it, 6)
-             AS incoming_unseen_share,
+           unseen.unseen_share AS incoming_unseen_share,
            psi.psi,
            CASE WHEN psi.psi < {PSI_STABLE_MAX}
-                 AND round(CAST(unseen.unseen_ic AS DOUBLE) / it.it, 6)
-                     < {PSI_STABLE_MAX} THEN 'stable'
+                 AND unseen.unseen_share < {PSI_STABLE_MAX} THEN 'stable'
                 WHEN psi.psi < {PSI_MODERATE_MAX}
-                 AND round(CAST(unseen.unseen_ic AS DOUBLE) / it.it, 6)
-                     < {PSI_MODERATE_MAX} THEN 'moderate'
+                 AND unseen.unseen_share < {PSI_MODERATE_MAX} THEN 'moderate'
                 ELSE 'shifted' END AS drift_band
     FROM psi CROSS JOIN rt CROSS JOIN it CROSS JOIN unseen
     """,
@@ -1109,15 +1109,10 @@ def contamination_semantic_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("rn_"),
         "bucket",
     )
-    dot_tr = F.aggregate(
-        F.zip_with(F.col("tv"), F.col("rv"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
     pairs = test.join(train, "bucket").select(
         "test_vec_id",
         "train_vec_id",
-        F.round(dot_tr / (F.col("tn") * F.col("rn_")), 4).alias("cosine"),
+        _cos(F.col("tv"), F.col("rv"), F.col("tn"), F.col("rn_")).alias("cosine"),
     )
     rank = F.row_number().over(
         W.partitionBy("test_vec_id").orderBy(

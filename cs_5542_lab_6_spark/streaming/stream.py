@@ -593,6 +593,27 @@ def stream_user_top_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _write_marker(path: str, value: int) -> None:
+    """Atomically record a baked workdir parameter: write-then-rename so
+    a crash can never leave a torn/empty marker that bricks the guard
+    reads below (os.replace is atomic on POSIX)."""
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(value))
+    os.replace(tmp, path)
+
+
+def _read_marker(path: str) -> int | None:
+    """Read a baked-parameter marker; None for absent OR unparseable
+    (a torn marker is treated exactly like a missing one, so the
+    caller's repair path covers both)."""
+    try:
+        with open(path) as f:
+            return int(f.read())
+    except (OSError, ValueError):
+        return None
+
+
 def scd2_stream_run(
     spark: SparkSession,
     sf_dir: str,
@@ -654,10 +675,17 @@ def scd2_stream_run(
         for d in glob.glob(os.path.join(workdir, "dim_v*")):
             if os.path.basename(d) != "dim_v0":
                 shutil.rmtree(d, ignore_errors=True)
-        with open(fpt_marker, "w") as f:
-            f.write(str(files_per_trigger))
-    elif os.path.isfile(fpt_marker):
-        baked = int(open(fpt_marker).read())
+        _write_marker(fpt_marker, files_per_trigger)
+    else:
+        baked = _read_marker(fpt_marker)
+        if baked is None:
+            # ckpt present but no (or torn) batching record — the knob
+            # cannot be validated, so refuse rather than silently run
+            # whatever batching the checkpoint committed
+            raise ValueError(
+                f"workdir {workdir!r} has a checkpoint but no batching "
+                "marker; wipe the checkpoint to re-run"
+            )
         if baked != files_per_trigger:
             raise ValueError(
                 f"workdir {workdir!r} has a checkpoint committed at "
@@ -815,16 +843,15 @@ def dedup_admission_stream_run(
     # that mix into the verdicts/index_delta unions consumers read.
     bake_marker = os.path.join(arrivals_dir, "_BAKED_N_FILES")
     if os.path.isdir(arrivals_dir):
-        if not os.path.isfile(bake_marker):
+        baked = _read_marker(bake_marker)  # None = absent OR torn
+        if baked is None:
             shutil.rmtree(arrivals_dir)
-        else:
-            baked = int(open(bake_marker).read())
-            if baked != n_files:
-                raise ValueError(
-                    f"workdir {workdir!r} was baked with n_files={baked} "
-                    f"but got n_files={n_files}; use a fresh workdir to "
-                    "rebatch"
-                )
+        elif baked != n_files:
+            raise ValueError(
+                f"workdir {workdir!r} was baked with n_files={baked} "
+                f"but got n_files={n_files}; use a fresh workdir to "
+                "rebatch"
+            )
     if not os.path.isdir(os.path.join(workdir, "ckpt")):
         for sub in ("verdicts", "index_delta"):
             shutil.rmtree(os.path.join(workdir, sub), ignore_errors=True)
@@ -855,8 +882,7 @@ def dedup_admission_stream_run(
             shutil.move(part, dst)
             os.utime(dst, times=(1_000_000 + i, 1_000_000 + i))
         shutil.rmtree(stage, ignore_errors=True)
-        with open(bake_marker, "w") as f:  # last: marks the bake complete
-            f.write(str(n_files))
+        _write_marker(bake_marker, n_files)  # last: marks the bake complete
 
     index_dir = os.path.join(workdir, "index")
     sizes_dir = os.path.join(workdir, "index_sizes")

@@ -333,7 +333,8 @@ def test_embedding_drift_band_flags_full_bucket_shift(spark, tmp_path):
 
     def write(sf: str, incoming_vec: list) -> None:
         rows = [
-            (i, "syn", incoming_vec if i % 10 == 0 else w) for i in range(100)
+            (i, "syn", incoming_vec if i % S.EMB_DRIFT_MOD == 0 else w)
+            for i in range(100)
         ]
         spark.createDataFrame(
             rows, "vec_id long, label string, embedding array<float>"

@@ -507,6 +507,13 @@ def test_dedup_admission_rejects_rebatch_on_reused_workdir(
     os.makedirs(f"{wd2}/arrivals")  # bake started, never completed
     assert dedup_admission_stream_run(spark, sf_dir, wd2, n_files=3) == 3
 
+    # a TORN marker (crash mid-write before the content landed) must be
+    # treated like a missing one — repair, not a permanent ValueError
+    wd3 = str(tmp_path / "adm_torn_marker")
+    os.makedirs(f"{wd3}/arrivals")
+    open(f"{wd3}/arrivals/_BAKED_N_FILES", "w").close()  # empty file
+    assert dedup_admission_stream_run(spark, sf_dir, wd3, n_files=3) == 3
+
 
 def test_dedup_admission_verdicts_invariant_to_batching(spark, sf_dir, tmp_path):
     """Every micro-batch screens against the same standing index
