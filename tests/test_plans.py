@@ -472,3 +472,30 @@ def test_round10_plans(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "eval_rag_comparison")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_round13_plans(spark, sf_dir):
+    """Round-13 family plan discipline. Temperature mixing: ONE
+    hash-partitioned exchange (partial+final token-count agg) feeds a
+    SinglePartition window over the 5-row aggregate — never a scalar
+    subquery (no BroadcastNestedLoopJoin) and never a second scan of
+    documents. The semantic decontamination scan: the split-rule
+    predicates reach the parquet scan, the bucket join is a hash join
+    (broadcast at fixture scale; any shape but nested-loop/cartesian at
+    100 TB), and the per-test-vector argmax plans with WindowGroupLimit
+    so each partition keeps one row per key BEFORE the window sort."""
+    plan = plan_of(spark, sf_dir, "corpus_temperature_mixing")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial+final availability agg
+    # one documents scan feeds it all (formatted plans print each scan
+    # twice: once in the tree, once in the detail section)
+    assert plan.count("Scan parquet") == 2
+    plan = plan_of(spark, sf_dir, "contamination_semantic_scan")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "WindowGroupLimit" in plan  # rank-limit pushdown on the argmax
+    # the sha-bucket split rule is evaluated at the scan, pruning each
+    # side to its split before the bucket join materializes pairs
+    # (tree + detail => 2 prints per scan, 2 scans)
+    assert plan.count("Scan parquet") == 4
