@@ -8,11 +8,13 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from cs_5542_lab_6_spark.operators.mixing import (
+    BUDGET_EPOCHS,
     CTX_TOKENS,
     MIXTURE_WEIGHTS_BP,
     SAMPLE_RATES_PERMILLE,
     corpus_mixture_plan,
     corpus_stratified_sample,
+    corpus_temperature_mixing,
     doc_sequence_packing,
 )
 from cs_5542_lab_6_spark.pipeline.maintenance import compact_table
@@ -42,6 +44,56 @@ def test_mixture_plan_allocates_full_budget(spark, sf_dir):
     assert 0 <= 2 * total_avail - total_alloc < len(rows)
     for r in rows:
         assert r["oversampled"] == (r["epochs_bp"] > 10_000)
+
+
+def test_temperature_mixing_compresses_shares_toward_uniform(spark, tmp_path):
+    """The τ=0.5 semantics an oracle row-hash can't express: on a
+    skewed corpus, square-root sampling must (1) upsample every
+    below-average language and downsample every above-average one, with
+    ``upsampled`` ≡ boost > 1, (2) COMPRESS the share spread — the
+    temp-share max/min ratio is the sqrt of the natural ratio, strictly
+    smaller, while preserving the size ORDER (τ=0.5 reweights, never
+    reranks), and (3) conserve the budget: allocations sum to the
+    BUDGET_EPOCHS x corpus total, short only the per-stratum floor()
+    losses. Pinned on a 100:10:1 three-language corpus where every
+    inequality is far from rounding noise."""
+    sf = str(tmp_path / "skewed")
+    rows = []
+    did = 0
+    for lang, n_docs, words_per_doc in [("big", 100, 100), ("mid", 10, 100), ("rare", 1, 100)]:
+        for _ in range(n_docs):
+            rows.append((did, " ".join(f"w{i}" for i in range(words_per_doc)), lang, "syn", 500))
+            did += 1
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    out = {r["lang"]: r for r in corpus_temperature_mixing(spark, sf).collect()}
+    assert set(out) == {"big", "mid", "rare"}
+    big, mid, rare = out["big"], out["mid"], out["rare"]
+
+    # decision column: below-average share ⇒ upsampled, and ≡ boost > 1
+    for r in out.values():
+        assert r["upsampled"] == (r["boost"] > 1.0)
+    assert not big["upsampled"] and mid["upsampled"] and rare["upsampled"]
+
+    # spread compression without reranking: order preserved, ratio sqrt'd
+    assert big["temp_share"] > mid["temp_share"] > rare["temp_share"]
+    nat_ratio = big["natural_share"] / rare["natural_share"]
+    temp_ratio = big["temp_share"] / rare["temp_share"]
+    assert temp_ratio < nat_ratio
+    assert abs(temp_ratio - nat_ratio**0.5) / nat_ratio**0.5 < 0.01
+
+    # budget conservation: floor() loses < 1 token per stratum
+    corpus_tokens = sum(r["available_tokens"] for r in out.values())
+    total_alloc = sum(r["allocated_tokens"] for r in out.values())
+    assert 0 <= BUDGET_EPOCHS * corpus_tokens - total_alloc < len(out)
+    # shares are probability vectors up to the 6-digit rounding
+    assert abs(sum(r["natural_share"] for r in out.values()) - 1.0) < 1e-5
+    assert abs(sum(r["temp_share"] for r in out.values()) - 1.0) < 1e-5
+    # epochs: the rare stratum is repeated beyond the budget's epoch
+    # count, the dominant stratum below it (the whole point of τ-mixing)
+    assert rare["epochs_bp"] > BUDGET_EPOCHS * 10_000 > big["epochs_bp"]
 
 
 def test_sequence_packing_bins_are_dense_and_conserve_tokens(spark, sf_dir):
