@@ -148,6 +148,29 @@ HEADLINE = [
 ]
 
 
+def _calibration_sec(spark) -> float:
+    """Fixed-work throughput probe: one deterministic CPU-bound Spark job
+    (xxhash64 over a 32-partition range, all cores) timed to completion.
+    Guest loadavg can't see hypervisor neighbors (this VM's noise mode:
+    two same-code runs 40 minutes apart measured 114s vs 165s TOTAL with
+    start-load 0.8 vs 0.4), but achieved throughput on identical work
+    can — a reader normalizes cross-run totals by the calibration ratio
+    before adjudicating any delta as a regression."""
+    from pyspark.sql import functions as F
+
+    runs = []
+    for _ in range(3):  # min-of-3: absorbs the one-time codegen/JIT cost
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 4_096_000_000, 1, 32)
+            # mod bounds the summand so ANSI sum can't overflow a long
+            .select(F.sum(F.xxhash64("id") % 1_000_003).alias("h"))
+            .collect()
+        )
+        runs.append(round(time.perf_counter() - t0, 4))
+    return min(runs)
+
+
 def _noop_materialize(df) -> None:
     # noop sink: full materialization of every row and column on the
     # executors with zero driver-transfer cost (collect() on the
@@ -259,6 +282,7 @@ def main() -> None:
     # Warm the JVM + file metadata cache once so per-query numbers measure
     # execution, not session startup.
     queries[names[0]](spark, SF_DIR).count()
+    calib_start = _calibration_sec(spark)
 
     # Materialize the corpus warehouse first (the reference's chunk-cache
     # idiom, agent.py:44-63): the retrieval/KG query layer then scans the
@@ -328,6 +352,11 @@ def main() -> None:
         # load — this pair lets a reader adjudicate cross-run deltas as
         # noise vs regression without rerunning.
         "loadavg": {"start": load_start, "end": round(os.getloadavg()[0], 2)},
+        # fixed-work throughput probe at start/end (loadavg is blind to
+        # hypervisor-neighbor steal; this is not): divide two runs'
+        # totals by their calibration ratio before reading any delta as
+        # a regression.
+        "calibration_sec": {"start": calib_start, "end": _calibration_sec(spark)},
     }
     print(json.dumps(full))
     # Persist the complete per-query runs/medians to a repo file (VERDICT
@@ -360,6 +389,7 @@ def main() -> None:
                 "scale_stress": scale,
                 "sf": sf_val,
                 "loadavg": full["loadavg"],
+                "calibration_sec": full["calibration_sec"],
                 "compact": True,
             }
         )
