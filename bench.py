@@ -171,6 +171,27 @@ def _calibration_sec(spark) -> float:
     return min(runs)
 
 
+def _fsync_ms(n: int = 100) -> float:
+    """Mean milliseconds per 1 KB write+fsync — the storage-side twin of
+    the CPU calibration probe. The streaming/foreachBatch queries are
+    checkpoint-commit bound (many small files + fsync per micro-batch),
+    so a storage noise window blows THEM up 5-30x while the CPU probe
+    stays flat (observed: stream_dedup_admission passes of 62s/9s/36s in
+    one bench with calibration_sec flat at 1.05/1.04). Sampled once per
+    pass so a mid-run burst lands in the record even when start/end look
+    healthy."""
+    import tempfile
+
+    with tempfile.TemporaryDirectory(prefix="bench_iolat_") as d:
+        t0 = time.perf_counter()
+        for i in range(n):
+            with open(os.path.join(d, f"f{i}"), "w") as f:
+                f.write("x" * 1024)
+                f.flush()
+                os.fsync(f.fileno())
+        return round((time.perf_counter() - t0) * 1000 / n, 3)
+
+
 def _noop_materialize(df) -> None:
     # noop sink: full materialization of every row and column on the
     # executors with zero driver-transfer cost (collect() on the
@@ -306,6 +327,7 @@ def main() -> None:
     # runs by the full set's span, so a noise window skews one pass and
     # the cross-pass median survives.
     all_runs: dict[str, list[float]] = {n: [] for n in names}
+    fsync_samples = [_fsync_ms()]
     for _ in range(RUNS):
         for name in names:
             t0 = time.perf_counter()
@@ -318,6 +340,7 @@ def main() -> None:
             # ran ~2x faster with per-query clearing than with caches
             # accumulating across the whole headline set)
             clear_caches(spark)
+        fsync_samples.append(_fsync_ms())  # one storage sample per pass
     timings: dict[str, float] = {}
     detail: dict[str, dict] = {}
     for name in names:
@@ -357,6 +380,11 @@ def main() -> None:
         # totals by their calibration ratio before reading any delta as
         # a regression.
         "calibration_sec": {"start": calib_start, "end": _calibration_sec(spark)},
+        # storage-latency samples, one before the first pass + one after
+        # each pass: the checkpoint-bound stream queries blow up on
+        # storage bursts the CPU probe can't see — flat calibration with
+        # elevated fsync samples = storage noise window, not a regression.
+        "fsync_ms": fsync_samples,
     }
     print(json.dumps(full))
     # Persist the complete per-query runs/medians to a repo file (VERDICT
@@ -390,6 +418,7 @@ def main() -> None:
                 "sf": sf_val,
                 "loadavg": full["loadavg"],
                 "calibration_sec": full["calibration_sec"],
+                "fsync_ms": fsync_samples,
                 "compact": True,
             }
         )
