@@ -229,7 +229,11 @@ def _scale_stress(spark, queries) -> dict[str, float]:
 
         # min of 2 runs: a single run's ratio swung 4.4x-13x across bench
         # invocations purely on host noise; the per-factor minimum is the
-        # least-contaminated estimate of true cost
+        # least-contaminated estimate of true cost. Raw runs are recorded
+        # too: a multi-minute noise window can swallow BOTH ~20s 10x runs
+        # while sparing the ~4s 1x runs (observed: ratio 16.2 with the
+        # CPU probe flat), and only the run list makes that asymmetric
+        # contamination visible to a reader of the ratio.
         for qname in ("kg_edges_build", "dedup_minhash_lsh"):
             runs = []
             for _ in range(2):
@@ -238,6 +242,7 @@ def _scale_stress(spark, queries) -> dict[str, float]:
                 runs.append(round(time.perf_counter() - t0, 4))
                 clear_caches(spark)
             out[f"{qname}_cold_{factor}x"] = min(runs)
+            out[f"{qname}_cold_{factor}x_runs"] = runs
         shutil.rmtree(scaled_dir, ignore_errors=True)
     out["ratio"] = round(
         out[f"kg_edges_build_cold_{SCALE_FACTOR}x"] / out["kg_edges_build_cold_1x"], 2
@@ -282,6 +287,7 @@ def _scale_stress(spark, queries) -> dict[str, float]:
             runs.append(round(time.perf_counter() - t0, 4))
             clear_caches(spark)
         out[f"dedup_minhash_lsh_dense_{factor}x"] = min(runs)
+        out[f"dedup_minhash_lsh_dense_{factor}x_runs"] = runs
         shutil.rmtree(dense_dir, ignore_errors=True)
     out["dense_ratio"] = round(
         out["dedup_minhash_lsh_dense_50x"] / out["dedup_minhash_lsh_dense_10x"], 2
