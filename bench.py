@@ -305,9 +305,9 @@ def main() -> None:
     # this VM's intermittent slow anonymous-page backing lands at
     # startup, outside every timed number. The bench owns its startup,
     # so the worst observed pre-fault (214s on a degraded window) is
-    # acceptable here where it would be a timeout risk elsewhere.
-    os.environ.setdefault("SPARK_GRAFT_PRETOUCH", "1")
-    spark = get_spark(app_name="cs5542-bench")
+    # acceptable here where it would be a timeout risk elsewhere. Param
+    # form so no subprocess can inherit the opt-in by accident.
+    spark = get_spark(app_name="cs5542-bench", pretouch=True)
     load_start = round(os.getloadavg()[0], 2)
     queries = all_queries()
     names = [n for n in HEADLINE if n in queries]

@@ -32,6 +32,7 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    pretouch: bool | None = None,
 ) -> SparkSession:
     """Build (or reuse) the engine's SparkSession.
 
@@ -76,7 +77,9 @@ def get_spark(
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.driver.memory", driver_mem)
     )
-    if os.environ.get("SPARK_GRAFT_PRETOUCH", "0") != "0":
+    if pretouch is None:
+        pretouch = os.environ.get("SPARK_GRAFT_PRETOUCH", "0") != "0"
+    if pretouch:
         # Pre-commit + pre-fault the whole heap at JVM start (-Xms=-Xmx +
         # AlwaysPreTouch): this VM intermittently backs ANONYMOUS pages
         # through a slow host fault path (first touch measured 27 us/page
@@ -89,11 +92,14 @@ def get_spark(
         # driver-observed number; on a healthy host it costs seconds.
         # Applies only at JVM creation (getOrCreate reuse ignores it);
         # one JVM per process, so each process pays it at most once.
-        # OPT-IN ($SPARK_GRAFT_PRETOUCH=1 — bench.py and tests/conftest.py
-        # set it): on a degraded window the 24g pre-fault took 130-214s,
-        # which is fine for the bench/pytest processes that own their
-        # startup but would be a timeout risk inside a harness that
-        # bounds session creation (e.g. a driver smoke check).
+        # OPT-IN (pretouch=True param, or $SPARK_GRAFT_PRETOUCH=1 for CLI
+        # processes like bench.py that own their whole environment): on a
+        # degraded window the 24g pre-fault took 130-214s, which is fine
+        # for a process that owns its startup but a timeout risk inside
+        # any harness that bounds session creation (e.g. a driver smoke
+        # check, or a CLI subprocess spawned under a test timeout — the
+        # param form exists precisely so the test fixture can opt in
+        # WITHOUT exporting the env var to its subprocesses).
         builder = builder.config(
             "spark.driver.extraJavaOptions",
             f"-Xms{driver_mem} -XX:+AlwaysPreTouch",

@@ -21,12 +21,14 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 def spark():
     # pre-fault the heap once at JVM start (session.py: AlwaysPreTouch):
     # keeps this VM's intermittent slow anonymous-page backing out of
-    # per-test timings and the scale canary's build-time bound
-    os.environ.setdefault("SPARK_GRAFT_PRETOUCH", "1")
+    # per-test timings and the scale canary's build-time bound. Param
+    # form, NOT the env var: subprocess-spawning tests (test_cli) must
+    # not inherit a 130-214s pre-fault inside their own timeouts.
     spark = get_spark(
         app_name="cs5542-tests",
         master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]",
         shuffle_partitions=8,
+        pretouch=True,
     )
     yield spark
 
