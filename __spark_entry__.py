@@ -31,5 +31,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query (omitted ⇒ rows-only check)."""
+    """DuckDB-equivalent SQL per query. Every registered query carries
+    one — the driver has no rows-only fallback (an omitted oracle comes
+    back ``err: "no_oracle"``, observed in CORRECTNESS_r13); sketch
+    operators therefore emit envelope-boolean decisions the oracle
+    states literal-TRUE (operators/skew.py)."""
     return registry.all_oracles()

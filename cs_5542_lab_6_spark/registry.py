@@ -23,9 +23,13 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 class Q:
     """One registered operator: the Spark implementation and its oracle.
 
-    ``oracle`` is ANSI SQL runnable by DuckDB over the fixture views; None
-    marks a genuinely non-SQL-expressible operator (driver falls back to a
-    rows-only check).
+    ``oracle`` is ANSI SQL runnable by DuckDB over the fixture views.
+    EVERY entry must carry one: the driver has no rows-only fallback — a
+    None oracle comes back ``err: "no_oracle"`` and the query is never
+    verified (disproven assumption, CORRECTNESS_r13). Probabilistic /
+    sketch operators emit exact-derivable anchors plus envelope booleans
+    the oracle states literal-TRUE (the decision idiom,
+    operators/skew.py) instead of the raw sketch values.
     """
 
     fn: QueryFn
@@ -48,64 +52,61 @@ _REGISTRY: dict[str, Q] = {}
 # tests/test_oracle_parity.py (rows+schema+exact-value over all
 # registered oracles) and at sf0.1 by tests/test_scale_canary.py.
 _PRIORITY: tuple[str, ...] = (
-    # --- NEW in round 13 (registered this round; first driver check):
-    "corpus_temperature_mixing",      # availability-derived τ=0.5 mixture
-    "contamination_semantic_scan",    # embedding-level eval-leak audit
-    # --- CHANGED in round 13 (oracle gained the drift_band decision
-    # --- column — r12 verdict item 7; first driver check of the new
-    # --- oracle text lands this round):
-    "embedding_drift_psi",
-    # --- The 3 r7-vintage rows deferred by the r12 window (the two
-    # --- rows-only sketches, each pinned in-window by an exact
-    # --- hash-checked twin since r8/r9, and one simple grouped agg):
+    # --- CHANGED in round 14 (r13 verdict item 1: restructured from
+    # --- rows-only raw-sketch outputs to exact-derivable anchors +
+    # --- envelope-boolean decisions with their FIRST DuckDB oracles —
+    # --- first driver hash-check ever for these two names):
     "orders_approx_stats",
     "events_heavy_hitters_sketch",
-    "supplier_part_variety",
-    # --- The ENTIRE 23-row r8 cohort (r12 verdict item 1 — after this
-    # --- window no pre-r9 vintage remains):
-    "active_customer_keys",
-    "agent_chunk_context",
-    "ann_lsh_topk",
-    "chunks_with_embeddings",
-    "corpus_chunk_ratio",
-    "corpus_token_frequencies",
-    "corpus_verify",
-    "dedup_embedding_nn",
-    "dedup_simhash",
-    "doc_fingerprints",
-    "doc_language_id",
-    "doc_token_stats",
-    "order_fill_status",
-    "order_status_priority_cube",
-    "orders_per_month",
-    "papers_build",
-    "part_catalog_slugs",
-    "returnflag_pivot",
-    "revenue_forecast",
-    "status_priority_grouping_sets",
-    "top_orders_by_revenue",
-    "user_event_gaps",
-    "vector_topk_filtered",
-    # --- Stalest-r9 fill to 44 (the r9 cohort is 37 rows and all are
-    # --- equally r9-vintage; take the first 15 alphabetically — two
-    # --- fill slots went to the two new r13 registrations — so the r14
-    # --- remainder is a deterministic, written-down set of 22 rows,
-    # --- events_k_anonymity_repair .. topk_expensive_orders):
-    "ann_lsh_multiprobe_topk",
-    "ann_pq_adc_topk",
-    "ann_recall_eval",
-    "chunks_view",
-    "contrastive_pair_mining",
-    "corpus_drift_psi",
-    "dedup_ngram_jaccard",
-    "dedup_sorted_neighborhood",
-    "doc_quality_classifier",
-    "doc_repetition_stats",
-    "doc_substring_search",
-    "events_ams_f2_sketch",
-    "events_cms_heavy_hitters",
-    "events_heavy_hitters_exact",
-    "events_k_anonymity",
+    # --- The REMAINING 22 r9-vintage rows (the set written down in the
+    # --- r13 plan below the r13 window; after this window no pre-r10
+    # --- vintage remains anywhere in the registry):
+    "events_k_anonymity_repair",
+    "events_kmv_distinct",
+    "events_l_diversity",
+    "events_quality_expectations",
+    "events_schema_evolution",
+    "lineitem_zorder_layout",
+    "orders_benford_audit",
+    "orders_compaction_plan",
+    "orders_exact_stats",
+    "orders_mv_distinct_refresh",
+    "orders_scd2_dimension",
+    "orders_scd2_incremental",
+    "part_fuzzy_matches",
+    "pricing_summary",
+    "quality_calibration_bins",
+    "regional_customer_revenue",
+    "single_status_customers",
+    "skyline_parts",
+    "supplier_bloom_semi_join",
+    "supplier_running_revenue",
+    "table_fk_integrity",
+    "topk_expensive_orders",
+    # --- Stalest-r10 fill to 44 (the r10 cohort is 44 rows, all equally
+    # --- r10-vintage; take the first 20 alphabetically so the r15
+    # --- remainder is a deterministic, written-down set of 24 rows —
+    # --- see the r15 plan at the end of this tuple):
+    "agent_search_papers",
+    "ann_brute_force_topk",
+    "ann_ivf_pq_topk",
+    "bm25_doc_topk",
+    "chunk_vector_topk",
+    "contamination_scan",
+    "corpus_delete_cascade",
+    "customer_balance_distribution",
+    "dedup_exact",
+    "doc_lookup",
+    "doc_pii_scrub",
+    "doc_quality_scores",
+    "doc_train_test_split",
+    "doc_winnowing_fingerprints",
+    "doc_winnowing_overlap",
+    "embedding_quantize_int8",
+    "eval_rag_comparison",
+    "events_asof_last_click",
+    "events_conversion_funnel",
+    "events_props_map",
     # --- Regression guards that stay in every window
     "chunks_build",            # corpus chunker (pure-Catalyst UDTF twin)
     "kg_edges_build",          # co-occurrence one-shuffle expansion
@@ -113,21 +114,22 @@ _PRIORITY: tuple[str, ...] = (
     "eval_metrics_log",        # JSON sink (red in r4, fixed r5)
     "stream_tumbling_daily",   # real Structured Streaming
     "ann_ivf_topk",            # warm ivf_centroids seam, cold path
-    # --- r14 rotation plan (the write-down discipline from the r11
-    # --- verdict, applied every round): window = any r14 new/changed
-    # --- queries, then the REMAINING 22 r9-vintage rows
-    # --- (events_k_anonymity_repair, events_kmv_distinct,
-    # --- events_l_diversity, events_quality_expectations,
-    # --- events_schema_evolution, lineitem_zorder_layout,
-    # --- orders_benford_audit, orders_compaction_plan,
-    # --- orders_exact_stats, orders_mv_distinct_refresh,
-    # --- orders_scd2_dimension, orders_scd2_incremental,
-    # --- part_fuzzy_matches, pricing_summary, quality_calibration_bins,
-    # --- regional_customer_revenue, single_status_customers,
-    # --- skyline_parts, supplier_bloom_semi_join,
-    # --- supplier_running_revenue, table_fk_integrity,
-    # --- topk_expensive_orders), then stalest-r10 fill to 44, then the
-    # --- 6 guards. That clears every pre-r10 vintage.
+    # --- r15 rotation plan (the write-down discipline from the r11
+    # --- verdict, applied every round): window = any r15 new/changed
+    # --- queries, then the REMAINING 24 r10-vintage rows
+    # --- (events_range_pairs, events_salted_type_stats,
+    # --- events_sliding_2d, events_tumbling_daily, hybrid_rrf_topk,
+    # --- kg_map_build, kg_neighborhood, kg_nodes_build,
+    # --- late_interaction_maxsim, lineitem_unpivot_metrics,
+    # --- mmr_diversified_topk, multimodal_frame_sample,
+    # --- multimodal_metadata, nation_order_stats,
+    # --- segment_nation_setops, semantic_dedup,
+    # --- sql_script_segment_revenue, stream_click_purchase_join,
+    # --- stream_dedup_events, stream_session_windows,
+    # --- stream_tumbling_daily_append, supplier_weekly_moving_avg,
+    # --- table_keyset_checksums, top3_orders_per_customer), then
+    # --- stalest-r11 fill to 44, then the 6 guards. That clears every
+    # --- pre-r11 vintage.
 )
 
 

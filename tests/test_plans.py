@@ -304,7 +304,12 @@ _BNLJ_ALLOWED = {
     "events_l_diversity": 1,       # same shape: 3-row l-threshold literals
     "corpus_drift_psi": 2,         # 1-row train-total scalar + the ≤16-row
                                    # ref-bin set × 2 comparison splits
-    "events_heavy_hitters_sketch": 1,  # 1-row HLL universe scalar
+    "events_heavy_hitters_sketch": 3,  # 1-row kth-count threshold onto the
+                                       # coverage probe + the two 1-row
+                                       # decision aggregates (sketch-dev +
+                                       # missed-count) stitched onto the
+                                       # 1-row totals (the raw sketch's own
+                                       # HLL cross sits behind the eager cut)
     "supplier_bloom_semi_join": 2,     # 1-row build-count + 1-row bits-count
                                        # scalars cross-joined onto the report
     "ann_pq_recall_eval": 4,           # the 3-row query-set broadcast of the

@@ -20,36 +20,41 @@ DRIVER_WINDOW = 50
 # lands, and (b) the window refreshes the stalest driver rows (r1/r4
 # vintage) plus the permanent regression-guard core.
 REFERENCE_PARITY = [
-    # new in round 13 — first driver check the round they land
-    "corpus_temperature_mixing",
-    "contamination_semantic_scan",
-    # changed in round 13 — the PSI oracle gained the drift_band
-    # decision column (r12 verdict item 7)
-    "embedding_drift_psi",
-    # the 3 r7-vintage rows the r12 window deferred (r12 verdict item 1)
+    # changed in round 14 — restructured to envelope-decision outputs
+    # with their first DuckDB oracles (r13 verdict item 1); first driver
+    # hash-check ever for these two names
     "orders_approx_stats",
     "events_heavy_hitters_sketch",
-    "supplier_part_variety",
-    # the r8-vintage cohort the r12 verdict named explicitly (sample
-    # pins — the window holds all 23; absence of any of these
-    # re-violates the freshness contract)
-    "active_customer_keys",
-    "agent_chunk_context",
-    "ann_lsh_topk",
-    "chunks_with_embeddings",
-    "corpus_verify",
-    "dedup_simhash",
-    "doc_language_id",
-    "doc_token_stats",
-    "papers_build",
-    "revenue_forecast",
-    "user_event_gaps",
-    "vector_topk_filtered",
-    # r9-fill sample pins (first-15-alphabetical rule in registry.py)
-    "ann_recall_eval",
-    "chunks_view",
-    "corpus_drift_psi",
-    "events_k_anonymity",
+    # the 22 remaining r9-vintage rows (r13 verdict item 2 — the full
+    # written-down set; absence of ANY re-violates the freshness
+    # contract, and after this window no pre-r10 vintage remains)
+    "events_k_anonymity_repair",
+    "events_kmv_distinct",
+    "events_l_diversity",
+    "events_quality_expectations",
+    "events_schema_evolution",
+    "lineitem_zorder_layout",
+    "orders_benford_audit",
+    "orders_compaction_plan",
+    "orders_exact_stats",
+    "orders_mv_distinct_refresh",
+    "orders_scd2_dimension",
+    "orders_scd2_incremental",
+    "part_fuzzy_matches",
+    "pricing_summary",
+    "quality_calibration_bins",
+    "regional_customer_revenue",
+    "single_status_customers",
+    "skyline_parts",
+    "supplier_bloom_semi_join",
+    "supplier_running_revenue",
+    "table_fk_integrity",
+    "topk_expensive_orders",
+    # r10-fill sample pins (first-20-alphabetical rule in registry.py)
+    "agent_search_papers",
+    "dedup_exact",
+    "eval_rag_comparison",
+    "events_props_map",
     # regression guards that must stay in every window
     "chunks_build",
     "kg_edges_build",
@@ -58,12 +63,12 @@ REFERENCE_PARITY = [
     "stream_tumbling_daily",
 ]
 
-# The two sketch queries stay registered as rows-only by design
-# (probabilistic output DuckDB can't reproduce); since r8 each has an
-# exact hash-checked twin in the window (orders_exact_stats /
-# events_heavy_hitters_exact) whose envelope booleans pin sketch-vs-
-# exact agreement in the driver check itself.
-ROWS_ONLY_ALLOWED = {"events_heavy_hitters_sketch", "orders_approx_stats"}
+# Since r14 NO query is registered without an oracle: the driver has no
+# rows-only mode (an oracle-less entry returns err: "no_oracle" and is
+# never verified — disproven assumption, CORRECTNESS_r13). The two
+# sketch queries now emit exact-derivable anchors + envelope-boolean
+# decisions with literal-TRUE oracles (operators/skew.py).
+ROWS_ONLY_ALLOWED: set[str] = set()
 
 
 def test_priority_names_all_registered():
@@ -91,12 +96,12 @@ def test_reference_parity_inside_driver_window():
 
 
 def test_window_queries_are_oracle_backed():
-    """Everything inside the checked prefix carries a DuckDB oracle
-    except the two explicitly-allowlisted rows-only sketches."""
+    """EVERY registered query carries a DuckDB oracle (not just the
+    window): the driver has no rows-only fallback, so an oracle-less
+    registration can never earn a green CORRECTNESS row."""
     oracles = all_oracles()
-    window = list(all_queries())[:DRIVER_WINDOW]
-    missing = [n for n in window if n not in oracles and n not in ROWS_ONLY_ALLOWED]
-    assert not missing, f"window queries without oracles: {missing}"
+    missing = [n for n in all_queries() if n not in oracles and n not in ROWS_ONLY_ALLOWED]
+    assert not missing, f"registered queries without oracles: {missing}"
 
 
 def test_bench_headline_names_all_registered():

@@ -64,9 +64,10 @@ def test_canary_sweeps_every_registered_oracle():
     README claim can't silently drift as queries are added (VERDICT r6
     item 4: the doc said 139 while the registry had grown to 143)."""
     assert len(_NAMES) == len(all_oracles())
-    # rows-only queries are the only registered entries without oracles
+    # since r14 every registered query carries an oracle (the driver has
+    # no rows-only mode — r13 verdict item 5)
     rows_only = set(all_queries()) - set(all_oracles())
-    assert rows_only == {"orders_approx_stats", "events_heavy_hitters_sketch"}
+    assert rows_only == set()
 
 
 def test_warehouse_build_time_bound(spark, scale_sf_dir, tmp_path):

@@ -5,6 +5,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from cs_5542_lab_6_spark.operators.skew import (
+    _orders_approx_raw,
     events_salted_type_stats,
     orders_approx_stats,
 )
@@ -30,7 +31,7 @@ def test_salted_agg_equals_direct(spark, sf_dir):
 
 
 def test_approx_stats_error_envelope(spark, sf_dir):
-    approx = {r["o_orderstatus"]: r for r in orders_approx_stats(spark, sf_dir).collect()}
+    approx = {r["o_orderstatus"]: r for r in _orders_approx_raw(spark, sf_dir).collect()}
     exact = {
         r["o_orderstatus"]: r
         for r in load_table(spark, sf_dir, "orders")
@@ -56,11 +57,11 @@ def test_heavy_hitters_sketch_error_envelope(spark, sf_dir):
 
     from cs_5542_lab_6_spark.operators.skew import (
         HH_TOP_K,
-        events_heavy_hitters_sketch,
+        _events_hh_sketch_raw,
     )
     from cs_5542_lab_6_spark.sources import load_table
 
-    got = events_heavy_hitters_sketch(spark, sf_dir).collect()
+    got = _events_hh_sketch_raw(spark, sf_dir).collect()
     assert 1 <= len(got) <= HH_TOP_K
 
     ev = load_table(spark, sf_dir, "events")
@@ -111,3 +112,45 @@ def test_exact_twins_carry_true_envelopes(spark, sf_dir):
     for r in hh:
         assert r["approx_count_ok"] is True
         assert r["hll_ok"] is True
+
+
+def test_registered_sketch_queries_emit_true_decisions(spark, sf_dir):
+    """r13 verdict item 1: the two REGISTERED sketch queries now emit
+    exact-derivable anchors plus envelope booleans (the CMS/AMS/KMV
+    decision idiom) so the driver hash-checks them against literal-TRUE
+    oracles. Every boolean must be TRUE and every anchor must equal the
+    exact value DuckDB would compute."""
+    from cs_5542_lab_6_spark.operators.skew import (
+        HH_TOP_K,
+        events_heavy_hitters_sketch,
+    )
+
+    stats = orders_approx_stats(spark, sf_dir).collect()
+    exact = {
+        r["o_orderstatus"]: r["n"]
+        for r in load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert {r["o_orderstatus"] for r in stats} == set(exact)
+    for r in stats:
+        assert r["n_orders"] == exact[r["o_orderstatus"]]
+        assert r["approx_customers_ok"] is True
+        assert r["price_p50_ok"] is True
+        assert r["price_p90_ok"] is True
+        assert r["price_p99_ok"] is True
+
+    hh = events_heavy_hitters_sketch(spark, sf_dir).collect()
+    assert len(hh) == 1
+    row = hh[0]
+    ev = load_table(spark, sf_dir, "events")
+    n_events, nd = ev.agg(
+        F.count("*"), F.countDistinct("user_id")
+    ).first()
+    assert row["n_events"] == n_events
+    assert row["n_distinct_users"] == nd
+    assert row["n_sketch_rows"] == min(HH_TOP_K, nd)
+    assert row["counts_in_envelope"] is True
+    assert row["hll_in_envelope"] is True
+    assert row["certain_hitters_covered"] is True
