@@ -32,6 +32,14 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 SCALE_FACTOR = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE", "10"))
 
+# Best calibration_sec recorded on a quiet host (r12/r13: 1.09-1.17 s
+# healthy, 1.67 s on the contaminated r13 driver run — ~1.5x hypervisor
+# steal). A run whose start probe exceeds 1.3x this bound is flagged
+# contaminated IN THE ARTIFACT (r13 verdict item 4), so a reader sees
+# "this run's numbers are noise-inflated" in the JSON itself instead of
+# reconstructing it from the probes.
+CALIBRATION_HEALTHY_SEC = 1.09
+
 # Headline set: flagship retrieval + the scan/join/agg/window/topk shapes
 # that dominate at scale, plus one representative of each pipeline family
 # (corpus build, KG explosion, dedup, ANN, streaming windows, text stats).
@@ -171,7 +179,7 @@ def _calibration_sec(spark) -> float:
     return min(runs)
 
 
-def _fsync_ms(n: int = 100) -> float:
+def _fsync_ms(n: int = 100, base_dir: str | None = None) -> float:
     """Mean milliseconds per 1 KB write+fsync — the storage-side twin of
     the CPU calibration probe. The streaming/foreachBatch queries are
     checkpoint-commit bound (many small files + fsync per micro-batch),
@@ -179,10 +187,17 @@ def _fsync_ms(n: int = 100) -> float:
     stays flat (observed: stream_dedup_admission passes of 62s/9s/36s in
     one bench with calibration_sec flat at 1.05/1.04). Sampled once per
     pass so a mid-run burst lands in the record even when start/end look
-    healthy."""
+    healthy.
+
+    ``base_dir`` should be the warehouse/checkpoint parent so the probe
+    measures the SAME device the streaming checkpoints commit to — the
+    tempfile default would silently measure memory if TMPDIR were ever a
+    tmpfs (it is ext4 on this VM today)."""
     import tempfile
 
-    with tempfile.TemporaryDirectory(prefix="bench_iolat_") as d:
+    if base_dir is not None and not os.path.isdir(base_dir):
+        base_dir = None  # fall back to the system tmp before first build
+    with tempfile.TemporaryDirectory(prefix="bench_iolat_", dir=base_dir) as d:
         t0 = time.perf_counter()
         for i in range(n):
             with open(os.path.join(d, f"f{i}"), "w") as f:
@@ -200,7 +215,7 @@ def _noop_materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def _scale_stress(spark, queries) -> dict[str, float]:
+def _scale_stress(spark, queries) -> dict[str, int | float | list[float]]:
     """kg_edges_build on 1x and SCALE_FACTOR x documents (distinct shifted
     doc_ids, identical text) — the judge's 25M-edge analogue. Both runs
     use a /tmp corpus dir so the warehouse stays COLD and the full
@@ -339,7 +354,10 @@ def main() -> None:
     # runs by the full set's span, so a noise window skews one pass and
     # the cross-pass median survives.
     all_runs: dict[str, list[float]] = {n: [] for n in names}
-    fsync_samples = [_fsync_ms()]
+    # probe the device the warehouse (and the streaming checkpoints
+    # beside it) actually commit to, not wherever TMPDIR points
+    probe_dir = os.environ[corpus.WAREHOUSE_ENV]
+    fsync_samples = [_fsync_ms(base_dir=probe_dir)]
     for _ in range(RUNS):
         for name in names:
             t0 = time.perf_counter()
@@ -352,7 +370,8 @@ def main() -> None:
             # ran ~2x faster with per-query clearing than with caches
             # accumulating across the whole headline set)
             clear_caches(spark)
-        fsync_samples.append(_fsync_ms())  # one storage sample per pass
+        # one storage sample per pass
+        fsync_samples.append(_fsync_ms(base_dir=probe_dir))
     timings: dict[str, float] = {}
     detail: dict[str, dict] = {}
     for name in names:
@@ -390,8 +409,15 @@ def main() -> None:
         # fixed-work throughput probe at start/end (loadavg is blind to
         # hypervisor-neighbor steal; this is not): divide two runs'
         # totals by their calibration ratio before reading any delta as
-        # a regression.
-        "calibration_sec": {"start": calib_start, "end": _calibration_sec(spark)},
+        # a regression. healthy_bound/contaminated are the pre-flight
+        # verdict (r13 item 4): start above 1.3x the best recorded quiet-
+        # host probe marks every number in this artifact noise-inflated.
+        "calibration_sec": {
+            "start": calib_start,
+            "end": _calibration_sec(spark),
+            "healthy_bound": round(1.3 * CALIBRATION_HEALTHY_SEC, 4),
+            "contaminated": calib_start > 1.3 * CALIBRATION_HEALTHY_SEC,
+        },
         # storage-latency samples, one before the first pass + one after
         # each pass: the checkpoint-bound stream queries blow up on
         # storage bursts the CPU probe can't see — flat calibration with

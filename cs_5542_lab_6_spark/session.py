@@ -100,9 +100,15 @@ def get_spark(
         # check, or a CLI subprocess spawned under a test timeout — the
         # param form exists precisely so the test fixture can opt in
         # WITHOUT exporting the env var to its subprocesses).
+        # MERGE with any caller-supplied extraJavaOptions rather than
+        # last-write-wins: a caller passing their own JVM flags must not
+        # silently discard the pre-touch (or vice versa). Caller flags
+        # come second so they win any per-flag conflict.
+        extra_conf = dict(extra_conf or {})
+        caller_opts = extra_conf.pop("spark.driver.extraJavaOptions", "")
         builder = builder.config(
             "spark.driver.extraJavaOptions",
-            f"-Xms{driver_mem} -XX:+AlwaysPreTouch",
+            f"-Xms{driver_mem} -XX:+AlwaysPreTouch {caller_opts}".strip(),
         )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

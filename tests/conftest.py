@@ -24,6 +24,15 @@ def spark():
     # per-test timings and the scale canary's build-time bound. Param
     # form, NOT the env var: subprocess-spawning tests (test_cli) must
     # not inherit a 130-214s pre-fault inside their own timeouts.
+    #
+    # RAM floor: pretouch COMMITS AND FAULTS the full driver heap
+    # (default $SPARK_GRAFT_DRIVER_MEM = 24g) at session start — fine on
+    # this 125 GB VM, an OOM on small hosts. Set
+    # SPARK_GRAFT_TEST_DRIVER_MEM (e.g. "4g") to shrink the test JVM
+    # without touching what bench.py / the CLI use.
+    test_mem = os.environ.get("SPARK_GRAFT_TEST_DRIVER_MEM")
+    if test_mem:
+        os.environ["SPARK_GRAFT_DRIVER_MEM"] = test_mem
     spark = get_spark(
         app_name="cs5542-tests",
         master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]",

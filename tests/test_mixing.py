@@ -96,6 +96,34 @@ def test_temperature_mixing_compresses_shares_toward_uniform(spark, tmp_path):
     assert rare["epochs_bp"] > BUDGET_EPOCHS * 10_000 > big["epochs_bp"]
 
 
+def test_temperature_mixing_single_language_degenerate(spark, tmp_path):
+    """Degenerate-stratum corner (r13 verdict item 7): a filtered corpus
+    can leave ONE language. Then natural_share = temp_share = 1.0 by
+    definition, boost = 1.0 exactly (the share division must not emit
+    NaN/NULL), ``upsampled`` is False (a single stratum can't be
+    up- or downsampled), and the full BUDGET_EPOCHS budget lands on the
+    single stratum minus at most the one floor() loss."""
+    sf = str(tmp_path / "monolang")
+    rows = [
+        (i, " ".join(f"w{j}" for j in range(50)), "only", "syn", 250)
+        for i in range(20)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    out = corpus_temperature_mixing(spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["lang"] == "only"
+    assert r["natural_share"] == 1.0
+    assert r["temp_share"] == 1.0
+    assert r["boost"] == 1.0
+    assert r["upsampled"] is False
+    assert 0 <= BUDGET_EPOCHS * r["available_tokens"] - r["allocated_tokens"] < 1
+    assert r["epochs_bp"] in (BUDGET_EPOCHS * 10_000, BUDGET_EPOCHS * 10_000 - 1)
+
+
 def test_sequence_packing_bins_are_dense_and_conserve_tokens(spark, sf_dir):
     rows = doc_sequence_packing(spark, sf_dir).collect()
     by_lang: dict[str, list] = {}

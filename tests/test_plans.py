@@ -16,6 +16,16 @@ def plan_of(spark, sf_dir, name: str) -> str:
     return formatted_plan(all_queries()[name](spark, sf_dir))
 
 
+def scan_count(plan: str) -> int:
+    """Count parquet scans in the TREE section only. A formatted plan
+    prints each scan twice (once in the tree, once in the detail blocks
+    below), but that doubling is Spark-version formatting, not plan
+    shape — counting the whole string breaks on upgrades. The tree is
+    everything before the first blank line."""
+    tree = plan.split("\n\n", 1)[0]
+    return tree.count("Scan parquet")
+
+
 def test_vector_topk_plan(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "vector_topk")
     assert "TakeOrderedAndProject" in plan  # distributed top-k, no full sort
@@ -493,14 +503,14 @@ def test_round13_plans(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 2  # partial+final availability agg
-    # one documents scan feeds it all (formatted plans print each scan
-    # twice: once in the tree, once in the detail section)
-    assert plan.count("Scan parquet") == 2
+    # one documents scan feeds it all (tree-section count only — the
+    # detail-section duplicate print is version-specific formatting)
+    assert scan_count(plan) == 1
     plan = plan_of(spark, sf_dir, "contamination_semantic_scan")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "WindowGroupLimit" in plan  # rank-limit pushdown on the argmax
     # the sha-bucket split rule is evaluated at the scan, pruning each
     # side to its split before the bucket join materializes pairs
-    # (tree + detail => 2 prints per scan, 2 scans)
-    assert plan.count("Scan parquet") == 4
+    # (tree-section count only: one scan per split side)
+    assert scan_count(plan) == 2
