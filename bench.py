@@ -153,6 +153,10 @@ HEADLINE = [
     # embedding-level eval-decontamination scan
     "corpus_temperature_mixing",
     "contamination_semantic_scan",
+    # round-14 additions: loss-derived DoReMi domain weights and the
+    # repetition-value (data-constrained scaling) audit
+    "corpus_doremi_weights",
+    "corpus_epoch_value_plan",
 ]
 
 

@@ -232,10 +232,10 @@ def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cross-engine ulp risk the oracle design exists to exclude.
 
 
-@query(
-    "corpus_temperature_mixing",
-    oracle=f"""
-    WITH {_DUCK_TOKS_AVAIL},
+# CTE chain shared by the temperature-mixing oracle and the epoch-value
+# plan that composes its allocations (same discipline as _DUCK_TOKS_AVAIL:
+# one text, two oracles, semantics cannot fork).
+_DUCK_TEMP_CTES = f"""{_DUCK_TOKS_AVAIL},
     w AS (
       SELECT lang, available_tokens,
              CAST(round(sqrt(CAST(available_tokens AS DOUBLE)), 6)
@@ -262,7 +262,13 @@ def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(floor(CAST(corpus_tokens AS DOUBLE) * {BUDGET_EPOCHS}
                         * temp_share) AS BIGINT) AS allocated_tokens
       FROM shares
-    )
+    )"""
+
+
+@query(
+    "corpus_temperature_mixing",
+    oracle=f"""
+    WITH {_DUCK_TEMP_CTES}
     SELECT lang, available_tokens, natural_share, temp_share,
            round(temp_share / natural_share, 4) AS boost,
            allocated_tokens,
@@ -335,6 +341,260 @@ def corpus_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("epochs_bp"),
         (F.col("temp_share") > F.col("natural_share")).alias("upsampled"),
     ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# Epoch-value plan (data-constrained scaling)
+# ---------------------------------------------------------------------------
+
+# Fitted repeated-data half-value constant from Muennighoff et al. 2023
+# ("Scaling Data-Constrained Language Models", R_D* ≈ 15.39): the value
+# of the R-th repeat epoch decays as exp(-R/R*), and repeating beyond
+# ~4 total epochs is where returns visibly fall off the
+# "almost as good as new data" plateau.
+EPOCH_RSTAR = 15.39
+EPOCH_VALUE_CLIFF = 4  # total epochs; beyond this the plateau ends
+
+
+@query(
+    "corpus_epoch_value_plan",
+    oracle=f"""
+    WITH {_DUCK_TEMP_CTES},
+    ep AS (
+      SELECT lang, available_tokens, allocated_tokens,
+             CAST((allocated_tokens * 10000) // available_tokens AS BIGINT)
+               AS epochs_bp
+      FROM alloc
+    ),
+    val AS (
+      SELECT *,
+             LEAST(available_tokens, allocated_tokens) AS u_seen,
+             greatest(0.0, CAST(epochs_bp AS DOUBLE) / 10000 - 1) AS repeats
+      FROM ep
+    ),
+    eff AS (
+      SELECT *,
+             CAST(floor(u_seen * (1 + {EPOCH_RSTAR}
+                   * (1 - round(exp(-repeats / {EPOCH_RSTAR}), 6))))
+                  AS BIGINT) AS effective_tokens
+      FROM val
+    )
+    SELECT lang, available_tokens, allocated_tokens, epochs_bp,
+           effective_tokens,
+           CASE WHEN allocated_tokens = 0 THEN 0.0
+                ELSE round(CAST(effective_tokens AS DOUBLE)
+                           / allocated_tokens, 4) END AS utilization,
+           greatest(0, allocated_tokens - effective_tokens) AS wasted_tokens,
+           epochs_bp > {EPOCH_VALUE_CLIFF * 10_000} AS beyond_value_cliff
+    FROM eff
+    ORDER BY lang
+    """,
+)
+def corpus_epoch_value_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-value audit for the τ-mixing allocations: how much of
+    each stratum's allocated token budget is EFFECTIVE data under the
+    data-constrained scaling law (Muennighoff et al. 2023 — the R-th
+    repeat epoch is worth exp(-R/R*) of fresh data, R* ≈ 15.39), with
+    two decision columns: ``beyond_value_cliff`` flags strata the
+    temperature mixture repeats past the ~4-epoch plateau (spend the
+    budget elsewhere or fetch more data), ``wasted_tokens`` quantifies
+    the gap. effective = U_seen · (1 + R*·(1 − e^(−R/R*))) where U_seen
+    is the unique tokens actually covered (= allocation when a stratum
+    is downsampled below one epoch).
+
+    Determinism: epochs come from the hash-checked integer ``epochs_bp``
+    (exact in both engines); the only transcendental is one exp() per
+    stratum, rounded to 6 digits before any arithmetic (the established
+    exp-rounding discipline, doc_lm_perplexity/events_ams envelope).
+
+    Plan shape: composes ``corpus_temperature_mixing``'s single-shuffle
+    aggregate — the audit adds pure projections over the 5-row mixture,
+    so the cost is one partial agg over token counts at ANY corpus size;
+    at 100 TB this is the pre-training-run report that decides whether
+    the mixture is data- or compute-bound before a single shard is
+    materialized."""
+    mix = corpus_temperature_mixing(spark, sf_dir).select(
+        "lang", "available_tokens", "allocated_tokens", "epochs_bp"
+    )
+    repeats = F.greatest(
+        F.lit(0.0), F.col("epochs_bp").cast("double") / 10_000 - 1
+    )
+    u_seen = F.least(F.col("available_tokens"), F.col("allocated_tokens"))
+    decay = F.round(F.exp(-repeats / EPOCH_RSTAR), 6)
+    eff = F.floor(u_seen * (1 + EPOCH_RSTAR * (1 - decay))).cast("long")
+    out = mix.withColumn("effective_tokens", eff)
+    return out.select(
+        "lang",
+        "available_tokens",
+        "allocated_tokens",
+        "epochs_bp",
+        "effective_tokens",
+        F.when(F.col("allocated_tokens") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.col("effective_tokens").cast("double")
+                / F.col("allocated_tokens"),
+                4,
+            )
+        )
+        .alias("utilization"),
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.col("allocated_tokens") - F.col("effective_tokens"),
+        ).alias("wasted_tokens"),
+        (F.col("epochs_bp") > EPOCH_VALUE_CLIFF * 10_000).alias(
+            "beyond_value_cliff"
+        ),
+    ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# DoReMi-style loss-derived domain weights
+# ---------------------------------------------------------------------------
+
+DOREMI_ETA = 1.0  # multiplicative-weights step size on clipped excess loss
+
+# The corpus bigram-LM CTE chain is owned by textstats (doc_lm_perplexity);
+# importing the one text keeps the "reference loss" definition from forking.
+from .textstats import _DUCK_LM_CTES  # noqa: E402
+
+
+@query(
+    "corpus_doremi_weights",
+    oracle=f"""
+    WITH {_DUCK_LM_CTES},
+    per_doc AS (
+      SELECT a.doc_id, d.source,
+             CAST(a.n_bigrams AS BIGINT) AS n_bigrams,
+             CAST(round(a.total / a.n_bigrams, 4) AS DECIMAL(18,4)) AS avg_nll
+      FROM lm_agg a JOIN documents d USING (doc_id)
+    ),
+    dom AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(n_bigrams) AS BIGINT) AS lm_tokens,
+             SUM(avg_nll) AS sum_nll
+      FROM per_doc GROUP BY source
+    ),
+    tot AS (
+      SELECT *,
+             SUM(lm_tokens) OVER () AS corpus_tokens,
+             SUM(sum_nll) OVER () AS corpus_sum,
+             SUM(n_docs) OVER () AS corpus_docs
+      FROM dom
+    ),
+    sc AS (
+      SELECT source, n_docs, lm_tokens,
+             round(CAST(lm_tokens AS DOUBLE) / corpus_tokens, 6)
+               AS natural_share,
+             round(CAST(sum_nll AS DOUBLE) / n_docs, 6) AS avg_nll,
+             greatest(0.0, round(CAST(sum_nll AS DOUBLE) / n_docs
+                       - CAST(corpus_sum AS DOUBLE) / corpus_docs, 6))
+               AS excess_nll
+      FROM tot
+    ),
+    b AS (
+      SELECT *,
+             round(exp({DOREMI_ETA} * excess_nll), 4) AS boost,
+             CAST(round(natural_share
+                        * round(exp({DOREMI_ETA} * excess_nll), 4), 6)
+                  AS DECIMAL(38,6)) AS raw
+      FROM sc
+    ),
+    n AS (SELECT *, SUM(raw) OVER () AS raw_total FROM b)
+    SELECT source, n_docs, lm_tokens, natural_share, avg_nll, excess_nll,
+           boost,
+           round(CAST(raw AS DOUBLE) / CAST(raw_total AS DOUBLE), 6)
+             AS doremi_weight,
+           round(CAST(raw AS DOUBLE) / CAST(raw_total AS DOUBLE), 6)
+             > natural_share AS upweighted
+    FROM n
+    ORDER BY source
+    """,
+)
+def corpus_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loss-derived domain mixture weights — the DoReMi family (Xie et
+    al. 2023: upweight domains where the model's excess loss over a
+    reference is largest), completing the mixture-derivation trilogy
+    beside the fixed-target ``corpus_mixture_plan`` and the
+    availability-derived ``corpus_temperature_mixing``. The deterministic
+    audit stand-in for the proxy-model loop: the "reference loss" is the
+    corpus-wide mean per-doc bigram-LM NLL and each domain's signal is
+    its clipped excess over it, so one multiplicative-weights step gives
+    w_i ∝ natural_share_i · exp(η · excess_i), normalized. ``upweighted``
+    (weight above natural share) is the decision column.
+
+    Determinism discipline: per-doc avg_nll comes PRE-ROUNDED (4 digits)
+    from ``doc_lm_perplexity`` and is summed as DECIMAL(18,4) — exact
+    and order-independent in both engines; every downstream share/boost
+    derives from rounded values, and the one exp() is rounded to 4
+    digits before entering the weight product.
+
+    Plan shape: the per-doc scoring is doc_lm_perplexity's N:1 equi-join
+    pipeline (LM counts are vocabulary-sized and map-side combinable);
+    the domain layer is one tiny groupBy(source) plus unpartitioned
+    windows over the |domains|-row aggregate (the mixture idiom — no
+    scalar-subquery nested loops). At 100 TB the LM table is built once
+    and broadcast; the reweighting pass is aggregate-sized."""
+    from .textstats import doc_lm_perplexity
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    per_doc = doc_lm_perplexity(spark, sf_dir).select(
+        "doc_id",
+        "n_bigrams",
+        F.col("avg_nll").cast("decimal(18,4)").alias("avg_nll"),
+    ).join(docs, "doc_id")
+    dom = per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_bigrams").cast("long").alias("lm_tokens"),
+        F.sum("avg_nll").alias("sum_nll"),
+    )
+    whole = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    tot = (
+        dom.withColumn("corpus_tokens", F.sum("lm_tokens").over(whole))
+        .withColumn("corpus_sum", F.sum("sum_nll").over(whole))
+        .withColumn("corpus_docs", F.sum("n_docs").over(whole))
+    )
+    natural_share = F.round(
+        F.col("lm_tokens").cast("double") / F.col("corpus_tokens"), 6
+    )
+    excess = F.greatest(
+        F.lit(0.0),
+        F.round(
+            F.col("sum_nll").cast("double") / F.col("n_docs")
+            - F.col("corpus_sum").cast("double") / F.col("corpus_docs"),
+            6,
+        ),
+    )
+    boost = F.round(F.exp(DOREMI_ETA * excess), 4)
+    sc = tot.select(
+        "source",
+        "n_docs",
+        "lm_tokens",
+        natural_share.alias("natural_share"),
+        F.round(F.col("sum_nll").cast("double") / F.col("n_docs"), 6).alias(
+            "avg_nll"
+        ),
+        excess.alias("excess_nll"),
+        boost.alias("boost"),
+        F.round(natural_share * boost, 6)
+        .cast("decimal(38,6)")
+        .alias("raw"),
+    )
+    n = sc.withColumn("raw_total", F.sum("raw").over(whole))
+    weight = F.round(
+        F.col("raw").cast("double") / F.col("raw_total").cast("double"), 6
+    )
+    return n.select(
+        "source",
+        "n_docs",
+        "lm_tokens",
+        "natural_share",
+        "avg_nll",
+        "excess_nll",
+        "boost",
+        weight.alias("doremi_weight"),
+        (weight > F.col("natural_share")).alias("upweighted"),
+    ).orderBy("source")
 
 
 # ---------------------------------------------------------------------------

@@ -52,6 +52,9 @@ _REGISTRY: dict[str, Q] = {}
 # tests/test_oracle_parity.py (rows+schema+exact-value over all
 # registered oracles) and at sf0.1 by tests/test_scale_canary.py.
 _PRIORITY: tuple[str, ...] = (
+    # --- NEW in round 14 (registered this round; first driver check):
+    "corpus_doremi_weights",     # loss-derived domain mixture (DoReMi)
+    "corpus_epoch_value_plan",   # repetition-value audit (data-constrained)
     # --- CHANGED in round 14 (r13 verdict item 1: restructured from
     # --- rows-only raw-sketch outputs to exact-derivable anchors +
     # --- envelope-boolean decisions with their FIRST DuckDB oracles —
@@ -84,9 +87,10 @@ _PRIORITY: tuple[str, ...] = (
     "table_fk_integrity",
     "topk_expensive_orders",
     # --- Stalest-r10 fill to 44 (the r10 cohort is 44 rows, all equally
-    # --- r10-vintage; take the first 20 alphabetically so the r15
-    # --- remainder is a deterministic, written-down set of 24 rows —
-    # --- see the r15 plan at the end of this tuple):
+    # --- r10-vintage; take the first 18 alphabetically — two fill slots
+    # --- went to the two new r14 registrations — so the r15 remainder
+    # --- is a deterministic, written-down set of 26 rows — see the r15
+    # --- plan at the end of this tuple):
     "agent_search_papers",
     "ann_brute_force_topk",
     "ann_ivf_pq_topk",
@@ -105,8 +109,6 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_quantize_int8",
     "eval_rag_comparison",
     "events_asof_last_click",
-    "events_conversion_funnel",
-    "events_props_map",
     # --- Regression guards that stay in every window
     "chunks_build",            # corpus chunker (pure-Catalyst UDTF twin)
     "kg_edges_build",          # co-occurrence one-shuffle expansion
@@ -116,8 +118,9 @@ _PRIORITY: tuple[str, ...] = (
     "ann_ivf_topk",            # warm ivf_centroids seam, cold path
     # --- r15 rotation plan (the write-down discipline from the r11
     # --- verdict, applied every round): window = any r15 new/changed
-    # --- queries, then the REMAINING 24 r10-vintage rows
-    # --- (events_range_pairs, events_salted_type_stats,
+    # --- queries, then the REMAINING 26 r10-vintage rows
+    # --- (events_conversion_funnel, events_props_map,
+    # --- events_range_pairs, events_salted_type_stats,
     # --- events_sliding_2d, events_tumbling_daily, hybrid_rrf_topk,
     # --- kg_map_build, kg_neighborhood, kg_nodes_build,
     # --- late_interaction_maxsim, lineitem_unpivot_metrics,

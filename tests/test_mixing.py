@@ -10,8 +10,11 @@ from pyspark.sql import functions as F
 from cs_5542_lab_6_spark.operators.mixing import (
     BUDGET_EPOCHS,
     CTX_TOKENS,
+    EPOCH_VALUE_CLIFF,
     MIXTURE_WEIGHTS_BP,
     SAMPLE_RATES_PERMILLE,
+    corpus_doremi_weights,
+    corpus_epoch_value_plan,
     corpus_mixture_plan,
     corpus_stratified_sample,
     corpus_temperature_mixing,
@@ -122,6 +125,78 @@ def test_temperature_mixing_single_language_degenerate(spark, tmp_path):
     assert r["upsampled"] is False
     assert 0 <= BUDGET_EPOCHS * r["available_tokens"] - r["allocated_tokens"] < 1
     assert r["epochs_bp"] in (BUDGET_EPOCHS * 10_000, BUDGET_EPOCHS * 10_000 - 1)
+
+
+def test_epoch_value_plan_decays_repeated_data(spark, tmp_path):
+    """Data-constrained scaling semantics (Muennighoff et al. 2023) the
+    oracle row-hash can't express: effective tokens never exceed
+    allocated (repeats are worth at most fresh data), a stratum at or
+    below one epoch is fully effective (utilization 1.0, zero waste),
+    and a heavily-repeated stratum (the τ-mixing-boosted rare language
+    on a 100:10:1 corpus) both crosses the ~4-epoch value cliff and
+    wastes a strictly positive share of its allocation."""
+    sf = str(tmp_path / "skewed_ep")
+    rows, did = [], 0
+    for lang, n_docs in [("big", 100), ("mid", 10), ("rare", 1)]:
+        for _ in range(n_docs):
+            rows.append((did, " ".join(f"w{i}" for i in range(100)), lang, "syn", 500))
+            did += 1
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    out = {r["lang"]: r for r in corpus_epoch_value_plan(spark, sf).collect()}
+    assert set(out) == {"big", "mid", "rare"}
+    for r in out.values():
+        assert 0 < r["effective_tokens"] <= r["allocated_tokens"]
+        assert r["wasted_tokens"] == r["allocated_tokens"] - r["effective_tokens"]
+        assert 0 < r["utilization"] <= 1.0
+        assert r["beyond_value_cliff"] == (
+            r["epochs_bp"] > EPOCH_VALUE_CLIFF * 10_000
+        )
+    big, rare = out["big"], out["rare"]
+    # τ=0.5 on 100:1 availability boosts the rare stratum ~sqrt(100)/
+    # normalization ≈ 15.7 epochs — deep past the 4-epoch plateau
+    assert rare["beyond_value_cliff"] and rare["wasted_tokens"] > 0
+    # the dominant stratum is downsampled toward ~1.6 epochs: below the
+    # cliff and nearly fully effective
+    assert not big["beyond_value_cliff"]
+    assert big["utilization"] > rare["utilization"]
+
+
+def test_doremi_weights_upweight_high_loss_domain(spark, tmp_path):
+    """DoReMi semantics: the domain with excess bigram-LM loss over the
+    corpus reference gets boost > 1 and a weight above its natural
+    share; the easy domain funds it. Built on a two-source corpus where
+    'easy' docs repeat one predictable sentence (near-zero NLL under the
+    corpus LM) and 'hard' docs are all-distinct bigrams."""
+    sf = str(tmp_path / "doremi")
+    rows = []
+    for i in range(20):
+        rows.append((i, "the cat sat on the mat " * 8, "en", "easy", 200))
+    for i in range(20, 30):
+        base = i * 100
+        rows.append(
+            (i, " ".join(f"tok{base + j}" for j in range(40)), "en", "hard", 200)
+        )
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    out = {r["source"]: r for r in corpus_doremi_weights(spark, sf).collect()}
+    assert set(out) == {"easy", "hard"}
+    easy, hard = out["easy"], out["hard"]
+    for r in out.values():
+        assert r["excess_nll"] >= 0.0
+        assert r["boost"] >= 1.0
+        assert r["upweighted"] == (r["doremi_weight"] > r["natural_share"])
+    # weights are a probability vector up to 6-digit rounding
+    assert abs(easy["doremi_weight"] + hard["doremi_weight"] - 1.0) < 1e-5
+    assert hard["excess_nll"] > 0.0 and hard["boost"] > 1.0
+    assert hard["upweighted"] and not easy["upweighted"]
+    # clipping: the easy domain sits below the reference, so its excess
+    # clips to exactly zero and its boost to exactly one
+    assert easy["excess_nll"] == 0.0 and easy["boost"] == 1.0
 
 
 def test_sequence_packing_bins_are_dense_and_conserve_tokens(spark, sf_dir):

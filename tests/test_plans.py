@@ -351,6 +351,7 @@ _BNLJ_ALLOWED = {
                                        # and its scalar — re-instantiating)
     "corpus_curation_decisions": 1,    # composes doc_lm_perplexity's vocab scalar
     "curation_by_source": 1,           # same composed scalar, one level up
+    "corpus_doremi_weights": 1,        # same composed LM vocab scalar
     "customer_top_orders_lateral": 1,  # decorrelated lateral may plan a domain join
     "corpus_vocab_growth": 1,          # 1-row doc_id bounds scalar
     "dedup_lsh_bucket_audit": 2,       # 1-row star-edge count + 1-row verify-

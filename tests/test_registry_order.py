@@ -20,6 +20,9 @@ DRIVER_WINDOW = 50
 # lands, and (b) the window refreshes the stalest driver rows (r1/r4
 # vintage) plus the permanent regression-guard core.
 REFERENCE_PARITY = [
+    # new in round 14 — first driver check the round they land
+    "corpus_doremi_weights",
+    "corpus_epoch_value_plan",
     # changed in round 14 — restructured to envelope-decision outputs
     # with their first DuckDB oracles (r13 verdict item 1); first driver
     # hash-check ever for these two names
@@ -50,11 +53,11 @@ REFERENCE_PARITY = [
     "supplier_running_revenue",
     "table_fk_integrity",
     "topk_expensive_orders",
-    # r10-fill sample pins (first-20-alphabetical rule in registry.py)
+    # r10-fill sample pins (first-18-alphabetical rule in registry.py)
     "agent_search_papers",
     "dedup_exact",
     "eval_rag_comparison",
-    "events_props_map",
+    "events_asof_last_click",
     # regression guards that must stay in every window
     "chunks_build",
     "kg_edges_build",
