@@ -26,9 +26,20 @@ ZIPF_EXP = 1.1
 ZIPF_DOCS = 200
 ZIPF_DOC_LEN = 60
 
-# The three operators whose behavior the tiny fixture vocabulary makes
-# degenerate-adjacent; each is re-verified here on long-tail data.
-ZIPF_PARITY = ["doc_tfidf_keywords", "kg_link_prediction", "kg_degree_assortativity"]
+# Operators whose behavior the tiny fixture vocabulary makes
+# degenerate-adjacent — the graph pair, the df-weighting family, the
+# corpus LMs, and the loss-derived mixture that composes them; each is
+# re-verified here with full value parity on long-tail data.
+ZIPF_PARITY = [
+    "doc_tfidf_keywords",
+    "kg_link_prediction",
+    "kg_degree_assortativity",
+    "doc_token_familiarity",
+    "corpus_vocab_growth",
+    "doc_lm_perplexity",
+    "corpus_token_frequencies",
+    "corpus_doremi_weights",
+]
 
 
 @pytest.fixture(scope="module")
