@@ -47,7 +47,9 @@ def main() -> int:
         sf, args = args[0], args[1:]
     sf_dir = f"/root/testdata/{sf}" if not os.path.isdir(sf) else sf
 
-    spark = get_spark()
+    # no console progress bars: the \r-overwritten stage lines swallow
+    # the per-query OK/MISMATCH verdicts when output is captured
+    spark = get_spark(extra_conf={"spark.ui.showConsoleProgress": "false"})
     qs, oracles = entry.queries(), entry.oracle_sql()
     names = args or list(qs)[:DRIVER_WINDOW]
 
