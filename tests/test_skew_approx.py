@@ -114,6 +114,32 @@ def test_exact_twins_carry_true_envelopes(spark, sf_dir):
         assert r["hll_ok"] is True
 
 
+def test_heavy_hitters_sketch_empty_events_degenerate(spark, tmp_path):
+    """Empty-input corner (r15 ADVICE item): with zero events the sketch
+    join is empty, so _max_dev and _hll are NULL — BOTH envelope booleans
+    must coalesce to the oracle's literal TRUE (vacuously: there is no
+    estimate to be wrong), never to NULL, or the degenerate input becomes
+    a driver hash mismatch. The count anchors pin the case exactly."""
+    from cs_5542_lab_6_spark.operators.skew import events_heavy_hitters_sketch
+
+    sf = str(tmp_path / "empty_ev")
+    spark.createDataFrame(
+        [],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{sf}/events.parquet")
+
+    rows = events_heavy_hitters_sketch(spark, sf).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_events"] == 0
+    assert r["n_distinct_users"] == 0
+    assert r["n_sketch_rows"] == 0
+    assert r["counts_in_envelope"] is True
+    assert r["hll_in_envelope"] is True
+    assert r["certain_hitters_covered"] is True
+
+
 def test_registered_sketch_queries_emit_true_decisions(spark, sf_dir):
     """r13 verdict item 1: the two REGISTERED sketch queries now emit
     exact-derivable anchors plus envelope booleans (the CMS/AMS/KMV
