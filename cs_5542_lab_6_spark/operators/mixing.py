@@ -416,6 +416,16 @@ def corpus_epoch_value_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     mix = corpus_temperature_mixing(spark, sf_dir).select(
         "lang", "available_tokens", "allocated_tokens", "epochs_bp"
     )
+    return _epoch_value_audit(mix)
+
+
+def _epoch_value_audit(mix: DataFrame) -> DataFrame:
+    """The pure value-audit projection over a (lang, available_tokens,
+    allocated_tokens, epochs_bp) relation — factored out of
+    ``corpus_epoch_value_plan`` so the strict-inequality cliff boundary
+    (``beyond_value_cliff`` flips between epochs_bp = 40000 and 40001,
+    unreachable exactly through τ-mixing's sqrt arithmetic) is unit-
+    testable on literal rows (tests/test_mixing.py)."""
     repeats = F.greatest(
         F.lit(0.0), F.col("epochs_bp").cast("double") / 10_000 - 1
     )
@@ -459,10 +469,10 @@ DOREMI_ETA = 1.0  # multiplicative-weights step size on clipped excess loss
 from .textstats import _DUCK_LM_CTES  # noqa: E402
 
 
-@query(
-    "corpus_doremi_weights",
-    oracle=f"""
-    WITH {_DUCK_LM_CTES},
+# The full DoReMi derivation as a reusable CTE chain ending in a
+# ``doremi`` relation — one SQL text shared by the weights query and the
+# sampling query that composes it, so the weight definition can't fork.
+_DUCK_DOREMI_CTES = f"""{_DUCK_LM_CTES},
     per_doc AS (
       SELECT a.doc_id, d.source,
              CAST(a.n_bigrams AS BIGINT) AS n_bigrams,
@@ -500,14 +510,24 @@ from .textstats import _DUCK_LM_CTES  # noqa: E402
                   AS DECIMAL(38,6)) AS raw
       FROM sc
     ),
-    n AS (SELECT *, SUM(raw) OVER () AS raw_total FROM b)
+    n AS (SELECT *, SUM(raw) OVER () AS raw_total FROM b),
+    doremi AS (
+      SELECT source, n_docs, lm_tokens, natural_share, avg_nll, excess_nll,
+             boost,
+             round(CAST(raw AS DOUBLE) / CAST(raw_total AS DOUBLE), 6)
+               AS doremi_weight
+      FROM n
+    )"""
+
+
+@query(
+    "corpus_doremi_weights",
+    oracle=f"""
+    WITH {_DUCK_DOREMI_CTES}
     SELECT source, n_docs, lm_tokens, natural_share, avg_nll, excess_nll,
-           boost,
-           round(CAST(raw AS DOUBLE) / CAST(raw_total AS DOUBLE), 6)
-             AS doremi_weight,
-           round(CAST(raw AS DOUBLE) / CAST(raw_total AS DOUBLE), 6)
-             > natural_share AS upweighted
-    FROM n
+           boost, doremi_weight,
+           doremi_weight > natural_share AS upweighted
+    FROM doremi
     ORDER BY source
     """,
 )
@@ -595,6 +615,111 @@ def corpus_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         weight.alias("doremi_weight"),
         (weight > F.col("natural_share")).alias("upweighted"),
     ).orderBy("source")
+
+
+DOREMI_SAMPLE_SALT = "doremi|"
+_DUCK_DOREMI_BUCKET = (
+    DUCK_TOKEN_HASH60.format(t=f"'{DOREMI_SAMPLE_SALT}' || doc_id")
+    + f" % {SAMPLE_BUCKETS}"
+)
+
+
+@query(
+    "corpus_doremi_sample",
+    oracle=f"""
+    WITH {_DUCK_DOREMI_CTES},
+    rates AS (
+      SELECT source,
+             CAST(CASE WHEN natural_share <= 0 THEN {SAMPLE_BUCKETS}
+                  ELSE LEAST({SAMPLE_BUCKETS},
+                       CAST(floor({SAMPLE_BUCKETS} * doremi_weight
+                                  / natural_share) AS BIGINT))
+                  END AS INTEGER) AS rate_permille
+      FROM doremi
+    ),
+    labeled AS (
+      SELECT doc_id, source, {_DUCK_DOREMI_BUCKET} AS bucket
+      FROM documents
+    )
+    SELECT l.source, r.rate_permille,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN l.bucket < r.rate_permille THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_sampled,
+           CAST(MIN(CASE WHEN l.bucket < r.rate_permille THEN l.doc_id END)
+                AS BIGINT) AS min_sampled_doc_id,
+           CAST(MAX(CASE WHEN l.bucket < r.rate_permille THEN l.doc_id END)
+                AS BIGINT) AS max_sampled_doc_id
+    FROM labeled l JOIN rates r USING (source)
+    GROUP BY l.source, r.rate_permille
+    ORDER BY l.source
+    """,
+)
+def corpus_doremi_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DoReMi loop closed into an actual document selection (r14
+    verdict item 5): ``corpus_doremi_weights``'s loss-derived mixture
+    composed with the deterministic hash-admission idiom of
+    ``corpus_stratified_sample``. Each domain keeps
+    ``floor(1000 · w_i / natural_share_i)`` per-mille of its documents,
+    clipped at 1000 — the single-pass DOWNsampling realization of one
+    multiplicative-weights step: below-reference (easy) domains fund the
+    mixture by admission-rate cuts, upweighted domains are kept in full
+    (their >1 boost is an epoch-repetition decision, which
+    ``corpus_epoch_value_plan`` audits, not an admission decision — a
+    hash filter can't replicate rows). Membership is
+    ``sha256('doremi|' || doc_id) % 1000 < rate``: deterministic across
+    engines, reruns, and partitionings, and independent of the
+    stratified sample's salt. Domains absent from the LM relation (no
+    doc with ≥2 tokens) have no measurable loss and drop from the plan
+    in both engines.
+
+    Output is the per-domain admission audit (counts + min/max admitted
+    doc_id pin membership for the driver hash), the same audited-
+    selection shape as ``corpus_stratified_sample``.
+
+    Determinism: rate = floor((1000·w)/ns) on 6-digit-rounded doubles —
+    identical operand order in both engines, floor exact; a domain too
+    small for its share to round above zero keeps everything rather
+    than dividing by zero.
+
+    Plan shape: the weight derivation is aggregate-sized (|domains|
+    rows) and BROADCAST onto the documents scan — the admission pass
+    adds one narrow map + one partial agg over the corpus, no extra
+    shuffle of document text; at 100 TB this is the materialization
+    filter a mixture run ships to every executor."""
+    w = corpus_doremi_weights(spark, sf_dir)
+    rate = (
+        F.when(F.col("natural_share") <= 0, F.lit(SAMPLE_BUCKETS).cast("long"))
+        .otherwise(
+            F.least(
+                F.lit(SAMPLE_BUCKETS).cast("long"),
+                F.floor(
+                    SAMPLE_BUCKETS
+                    * F.col("doremi_weight")
+                    / F.col("natural_share")
+                ),
+            )
+        )
+        .cast("int")
+    )
+    rates = w.select("source", rate.alias("rate_permille"))
+    bucket = (
+        token_hash60(F.concat(F.lit(DOREMI_SAMPLE_SALT), F.col("doc_id")))
+        % SAMPLE_BUCKETS
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = docs.select("doc_id", "source", bucket.alias("bucket"))
+    keep = F.col("bucket") < F.col("rate_permille")
+    return (
+        labeled.join(F.broadcast(rates), "source")
+        .groupBy("source", "rate_permille")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(keep.cast("long")).alias("n_sampled"),
+            F.min(F.when(keep, F.col("doc_id"))).alias("min_sampled_doc_id"),
+            F.max(F.when(keep, F.col("doc_id"))).alias("max_sampled_doc_id"),
+        )
+        .orderBy("source")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -164,6 +164,76 @@ def test_epoch_value_plan_decays_repeated_data(spark, tmp_path):
     assert big["utilization"] > rare["utilization"]
 
 
+def test_epoch_value_cliff_boundary_exact(spark):
+    """The strict-inequality boundary (r14 verdict item 7, carried from
+    the τ-mixing corner discipline): ``beyond_value_cliff`` must be False
+    at epochs_bp == EXACTLY the cliff (40000 bp = 4.0 epochs) and True
+    one basis point past it. τ-mixing's sqrt arithmetic can't land on the
+    boundary exactly, so this pins the factored audit projection
+    (_epoch_value_audit) on literal rows — including the allocated=0
+    stratum, whose utilization must be 0.0, not NULL/NaN."""
+    from cs_5542_lab_6_spark.operators.mixing import _epoch_value_audit
+
+    cliff_bp = EPOCH_VALUE_CLIFF * 10_000
+    mix = spark.createDataFrame(
+        [
+            ("at_cliff", 1_000, 4_000, cliff_bp),
+            ("past_cliff", 1_000, 4_000, cliff_bp + 1),
+            ("one_epoch", 1_000, 1_000, 10_000),
+            ("zero_alloc", 1_000, 0, 0),
+        ],
+        "lang string, available_tokens long, allocated_tokens long, epochs_bp long",
+    )
+    out = {r["lang"]: r for r in _epoch_value_audit(mix).collect()}
+    assert out["at_cliff"]["beyond_value_cliff"] is False
+    assert out["past_cliff"]["beyond_value_cliff"] is True
+    # the value function itself is continuous at the boundary: one extra
+    # basis point changes effective tokens by at most a rounding step
+    assert (
+        abs(out["past_cliff"]["effective_tokens"] - out["at_cliff"]["effective_tokens"])
+        <= 1
+    )
+    # ≤ one epoch ⇒ fully effective, zero waste, below the cliff
+    one = out["one_epoch"]
+    assert one["effective_tokens"] == one["allocated_tokens"]
+    assert one["wasted_tokens"] == 0
+    assert one["utilization"] == 1.0
+    assert one["beyond_value_cliff"] is False
+    # degenerate zero allocation: defined, not NULL/NaN
+    zero = out["zero_alloc"]
+    assert zero["utilization"] == 0.0
+    assert zero["effective_tokens"] == 0
+    assert zero["wasted_tokens"] == 0
+    assert zero["beyond_value_cliff"] is False
+
+
+def test_doremi_weights_uniform_loss_degenerate(spark, tmp_path):
+    """Uniform-loss corner (r14 verdict item 7): when every document has
+    IDENTICAL text, every domain's mean NLL equals the corpus reference
+    exactly, so all excess clips to 0, every boost is exactly 1, the
+    DoReMi weights COLLAPSE to the natural shares, and ``upweighted``
+    (strict >) is False everywhere — one multiplicative-weights step on a
+    zero signal must be the identity, never a NaN/NULL or a spurious
+    reweight. Doc counts 3:1 make the shares (0.75/0.25) exact in 6-digit
+    rounding so weight == natural_share bit-for-bit."""
+    sf = str(tmp_path / "doremi_uniform")
+    text = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    rows = [(i, text, "en", "srcA" if i < 3 else "srcB", 200) for i in range(4)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    out = {r["source"]: r for r in corpus_doremi_weights(spark, sf).collect()}
+    assert set(out) == {"srcA", "srcB"}
+    for r in out.values():
+        assert r["excess_nll"] == 0.0
+        assert r["boost"] == 1.0
+        assert r["doremi_weight"] == r["natural_share"]
+        assert r["upweighted"] is False
+    assert out["srcA"]["natural_share"] == 0.75
+    assert out["srcB"]["natural_share"] == 0.25
+
+
 def test_doremi_weights_upweight_high_loss_domain(spark, tmp_path):
     """DoReMi semantics: the domain with excess bigram-LM loss over the
     corpus reference gets boost > 1 and a weight above its natural
@@ -197,6 +267,53 @@ def test_doremi_weights_upweight_high_loss_domain(spark, tmp_path):
     # clipping: the easy domain sits below the reference, so its excess
     # clips to exactly zero and its boost to exactly one
     assert easy["excess_nll"] == 0.0 and easy["boost"] == 1.0
+
+
+def test_doremi_sample_realizes_weights_as_admission_rates(spark, tmp_path):
+    """The closed DoReMi loop (r14 verdict item 5): on the easy/hard
+    corpus the upweighted (hard) domain keeps EVERYTHING (rate 1000 —
+    its >1 boost is an epoch decision, not an admission decision) while
+    the easy domain funds the mixture with an admission rate strictly
+    below its per-mille share ratio floor(1000·w/ns) < 1000; counts obey
+    the rate, membership is rerun-stable, and the rates agree with the
+    registered weight query's own output (one definition, no fork)."""
+    from cs_5542_lab_6_spark.operators.mixing import corpus_doremi_sample
+
+    sf = str(tmp_path / "doremi_samp")
+    rows = []
+    for i in range(20):
+        rows.append((i, "the cat sat on the mat " * 8, "en", "easy", 200))
+    for i in range(20, 30):
+        base = i * 100
+        rows.append(
+            (i, " ".join(f"tok{base + j}" for j in range(40)), "en", "hard", 200)
+        )
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    out = {r["source"]: r for r in corpus_doremi_sample(spark, sf).collect()}
+    weights = {r["source"]: r for r in corpus_doremi_weights(spark, sf).collect()}
+    assert set(out) == {"easy", "hard"}
+    for src, r in out.items():
+        w = weights[src]
+        expected_rate = min(
+            1000, int(1000 * w["doremi_weight"] / w["natural_share"])
+        )
+        assert r["rate_permille"] == expected_rate
+        assert 0 <= r["n_sampled"] <= r["n_total"]
+        if r["n_sampled"] > 0:
+            assert r["min_sampled_doc_id"] <= r["max_sampled_doc_id"]
+    assert out["hard"]["rate_permille"] == 1000
+    assert out["hard"]["n_sampled"] == out["hard"]["n_total"]
+    assert out["easy"]["rate_permille"] < 1000
+    # rerun-stable membership (a rand() sample would move between runs)
+    again = {r["source"]: r for r in corpus_doremi_sample(spark, sf).collect()}
+    assert {k: (v["n_sampled"], v["min_sampled_doc_id"], v["max_sampled_doc_id"])
+            for k, v in out.items()} == {
+        k: (v["n_sampled"], v["min_sampled_doc_id"], v["max_sampled_doc_id"])
+        for k, v in again.items()
+    }
 
 
 def test_sequence_packing_bins_are_dense_and_conserve_tokens(spark, sf_dir):

@@ -352,6 +352,10 @@ _BNLJ_ALLOWED = {
     "corpus_curation_decisions": 1,    # composes doc_lm_perplexity's vocab scalar
     "curation_by_source": 1,           # same composed scalar, one level up
     "corpus_doremi_weights": 1,        # same composed LM vocab scalar
+    "corpus_doremi_sample": 1,         # composes corpus_doremi_weights once:
+                                       # the same 1-row LM vocab scalar; the
+                                       # admission join itself is a broadcast
+                                       # hash join on source
     "customer_top_orders_lateral": 1,  # decorrelated lateral may plan a domain join
     "corpus_vocab_growth": 1,          # 1-row doc_id bounds scalar
     "dedup_lsh_bucket_audit": 2,       # 1-row star-edge count + 1-row verify-
@@ -515,3 +519,18 @@ def test_round13_plans(spark, sf_dir):
     # side to its split before the bucket join materializes pairs
     # (tree-section count only: one scan per split side)
     assert scan_count(plan) == 2
+
+
+def test_round15_plans(spark, sf_dir):
+    """Round-15 plan discipline. The DoReMi sampling pass: the
+    aggregate-sized weight/rate relation is BROADCAST onto the documents
+    scan (a SortMergeJoin would shuffle the 100 TB-scale corpus against
+    an index-sized side), the admission aggregate map-side combines
+    (partial+final HashAggregate pair), and no CartesianProduct appears
+    anywhere (the one BroadcastNestedLoopJoin is the composed LM vocab
+    scalar, bounded by the registry-wide allowlist)."""
+    plan = plan_of(spark, sf_dir, "corpus_doremi_sample")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2  # partial+final admission agg
