@@ -52,87 +52,86 @@ _REGISTRY: dict[str, Q] = {}
 # tests/test_oracle_parity.py (rows+schema+exact-value over all
 # registered oracles) and at sf0.1 by tests/test_scale_canary.py.
 _PRIORITY: tuple[str, ...] = (
-    # --- NEW in round 14 (registered this round; first driver check):
-    "corpus_doremi_weights",     # loss-derived domain mixture (DoReMi)
-    "corpus_epoch_value_plan",   # repetition-value audit (data-constrained)
-    # --- CHANGED in round 14 (r13 verdict item 1: restructured from
-    # --- rows-only raw-sketch outputs to exact-derivable anchors +
-    # --- envelope-boolean decisions with their FIRST DuckDB oracles —
-    # --- first driver hash-check ever for these two names):
-    "orders_approx_stats",
+    # --- NEW in round 15 (registered this round; first driver check):
+    "corpus_doremi_sample",      # DoReMi weights -> hash-admission selection
+    # --- CHANGED in round 15 (empty-input envelope fix: hll_in_envelope
+    # --- now coalesces to literal TRUE on a degenerate empty sketch,
+    # --- matching counts_in_envelope — re-verify the round it changes):
     "events_heavy_hitters_sketch",
-    # --- The REMAINING 22 r9-vintage rows (the set written down in the
-    # --- r13 plan below the r13 window; after this window no pre-r10
+    # --- The REMAINING 26 r10-vintage rows (the set written down in the
+    # --- r14 plan below the r14 window; after this window no pre-r11
     # --- vintage remains anywhere in the registry):
-    "events_k_anonymity_repair",
-    "events_kmv_distinct",
-    "events_l_diversity",
-    "events_quality_expectations",
-    "events_schema_evolution",
-    "lineitem_zorder_layout",
-    "orders_benford_audit",
-    "orders_compaction_plan",
-    "orders_exact_stats",
-    "orders_mv_distinct_refresh",
-    "orders_scd2_dimension",
-    "orders_scd2_incremental",
-    "part_fuzzy_matches",
-    "pricing_summary",
-    "quality_calibration_bins",
-    "regional_customer_revenue",
-    "single_status_customers",
-    "skyline_parts",
-    "supplier_bloom_semi_join",
-    "supplier_running_revenue",
-    "table_fk_integrity",
-    "topk_expensive_orders",
-    # --- Stalest-r10 fill to 44 (the r10 cohort is 44 rows, all equally
-    # --- r10-vintage; take the first 18 alphabetically — two fill slots
-    # --- went to the two new r14 registrations — so the r15 remainder
-    # --- is a deterministic, written-down set of 26 rows — see the r15
-    # --- plan at the end of this tuple):
-    "agent_search_papers",
-    "ann_brute_force_topk",
-    "ann_ivf_pq_topk",
-    "bm25_doc_topk",
-    "chunk_vector_topk",
-    "contamination_scan",
-    "corpus_delete_cascade",
-    "customer_balance_distribution",
-    "dedup_exact",
-    "doc_lookup",
-    "doc_pii_scrub",
-    "doc_quality_scores",
-    "doc_train_test_split",
-    "doc_winnowing_fingerprints",
-    "doc_winnowing_overlap",
-    "embedding_quantize_int8",
-    "eval_rag_comparison",
-    "events_asof_last_click",
+    "events_conversion_funnel",
+    "events_props_map",
+    "events_range_pairs",
+    "events_salted_type_stats",
+    "events_sliding_2d",
+    "events_tumbling_daily",
+    "hybrid_rrf_topk",
+    "kg_map_build",
+    "kg_neighborhood",
+    "kg_nodes_build",
+    "late_interaction_maxsim",
+    "lineitem_unpivot_metrics",
+    "mmr_diversified_topk",
+    "multimodal_frame_sample",
+    "multimodal_metadata",
+    "nation_order_stats",
+    "segment_nation_setops",
+    "semantic_dedup",
+    "sql_script_segment_revenue",
+    "stream_click_purchase_join",
+    "stream_dedup_events",
+    "stream_session_windows",
+    "stream_tumbling_daily_append",
+    "supplier_weekly_moving_avg",
+    "table_keyset_checksums",
+    "top3_orders_per_customer",
+    # --- Stalest-r11 fill to 44 (the r11 cohort is 43 rows, all equally
+    # --- r11-vintage; take the first 16 alphabetically, so the r16
+    # --- remainder is a deterministic, written-down set of 27 rows —
+    # --- see the r16 plan at the end of this tuple):
+    "agent_paper_details",
+    "ann_pq_recall_eval",
+    "chunk_windows_demo",
+    "contamination_purge_counts",
+    "corpus_datasheet",
+    "corpus_mixture_plan",
+    "corpus_stratified_sample",
+    "corpus_weighted_sample",
+    "customer_order_count_histogram",
+    "customer_order_presence",
+    "customer_order_value_extremes",
+    "dedup_incremental",
+    "dedup_minhash_lsh",
+    "discounted_bulk_revenue",
+    "doc_sequence_packing",
+    "doc_tfidf_keywords",
     # --- Regression guards that stay in every window
-    "chunks_build",            # corpus chunker (pure-Catalyst UDTF twin)
-    "kg_edges_build",          # co-occurrence one-shuffle expansion
-    "vector_topk",             # flagship retrieval
-    "eval_metrics_log",        # JSON sink (red in r4, fixed r5)
-    "stream_tumbling_daily",   # real Structured Streaming
-    "ann_ivf_topk",            # warm ivf_centroids seam, cold path
-    # --- r15 rotation plan (the write-down discipline from the r11
-    # --- verdict, applied every round): window = any r15 new/changed
-    # --- queries, then the REMAINING 26 r10-vintage rows
-    # --- (events_conversion_funnel, events_props_map,
-    # --- events_range_pairs, events_salted_type_stats,
-    # --- events_sliding_2d, events_tumbling_daily, hybrid_rrf_topk,
-    # --- kg_map_build, kg_neighborhood, kg_nodes_build,
-    # --- late_interaction_maxsim, lineitem_unpivot_metrics,
-    # --- mmr_diversified_topk, multimodal_frame_sample,
-    # --- multimodal_metadata, nation_order_stats,
-    # --- segment_nation_setops, semantic_dedup,
-    # --- sql_script_segment_revenue, stream_click_purchase_join,
-    # --- stream_dedup_events, stream_session_windows,
-    # --- stream_tumbling_daily_append, supplier_weekly_moving_avg,
-    # --- table_keyset_checksums, top3_orders_per_customer), then
-    # --- stalest-r11 fill to 44, then the 6 guards. That clears every
-    # --- pre-r11 vintage.
+    "chunks_build",               # corpus chunker (pure-Catalyst UDTF twin)
+    "kg_edges_build",             # co-occurrence one-shuffle expansion
+    "vector_topk",                # flagship retrieval
+    "eval_metrics_log",           # JSON sink (red in r4, fixed r5)
+    "stream_tumbling_daily",      # real Structured Streaming
+    "ann_ivf_topk",               # warm ivf_centroids seam, cold path
+    # --- r16 rotation plan (the write-down discipline from the r11
+    # --- verdict, applied every round): window = any r16 new/changed
+    # --- queries, then the REMAINING 27 r11-vintage rows
+    # --- doc_token_familiarity, embedding_kmeans, events_daily_anomaly,
+    # --- events_lateness_audit, events_retention_cohorts,
+    # --- events_watermark_sizing, kg_degree_assortativity,
+    # --- kg_link_prediction, kg_pagerank,
+    # --- kg_sparse_neighborhood_jaccard, kg_triangle_stats,
+    # --- language_id_confusion, large_order_customers,
+    # --- nation_price_medians, nation_trade_flows,
+    # --- national_supplier_share, order_priority_exists_counts,
+    # --- promo_revenue_share, quiet_wealthy_customers,
+    # --- returned_item_customers, small_quantity_part_revenue,
+    # --- source_blocklist_filter, source_overlap_matrix,
+    # --- source_quality_profile, stream_scd2_apply,
+    # --- stream_user_enriched_counts, top_supplier_revenue
+    # --- then stalest-r12 fill to 44, then the 6 guards. That clears
+    # --- every pre-r12 vintage.
 )
 
 

@@ -20,44 +20,46 @@ DRIVER_WINDOW = 50
 # lands, and (b) the window refreshes the stalest driver rows (r1/r4
 # vintage) plus the permanent regression-guard core.
 REFERENCE_PARITY = [
-    # new in round 14 — first driver check the round they land
-    "corpus_doremi_weights",
-    "corpus_epoch_value_plan",
-    # changed in round 14 — restructured to envelope-decision outputs
-    # with their first DuckDB oracles (r13 verdict item 1); first driver
-    # hash-check ever for these two names
-    "orders_approx_stats",
+    # new in round 15 — first driver check the round it lands
+    "corpus_doremi_sample",
+    # changed in round 15 — hll_in_envelope coalesces to literal TRUE on
+    # an empty sketch (degenerate-input envelope fix); re-verified the
+    # round it changes
     "events_heavy_hitters_sketch",
-    # the 22 remaining r9-vintage rows (r13 verdict item 2 — the full
-    # written-down set; absence of ANY re-violates the freshness
-    # contract, and after this window no pre-r10 vintage remains)
-    "events_k_anonymity_repair",
-    "events_kmv_distinct",
-    "events_l_diversity",
-    "events_quality_expectations",
-    "events_schema_evolution",
-    "lineitem_zorder_layout",
-    "orders_benford_audit",
-    "orders_compaction_plan",
-    "orders_exact_stats",
-    "orders_mv_distinct_refresh",
-    "orders_scd2_dimension",
-    "orders_scd2_incremental",
-    "part_fuzzy_matches",
-    "pricing_summary",
-    "quality_calibration_bins",
-    "regional_customer_revenue",
-    "single_status_customers",
-    "skyline_parts",
-    "supplier_bloom_semi_join",
-    "supplier_running_revenue",
-    "table_fk_integrity",
-    "topk_expensive_orders",
-    # r10-fill sample pins (first-18-alphabetical rule in registry.py)
-    "agent_search_papers",
-    "dedup_exact",
-    "eval_rag_comparison",
-    "events_asof_last_click",
+    # the 26 remaining r10-vintage rows (r14 plan — the full written-down
+    # set; absence of ANY re-violates the freshness contract, and after
+    # this window no pre-r11 vintage remains)
+    "events_conversion_funnel",
+    "events_props_map",
+    "events_range_pairs",
+    "events_salted_type_stats",
+    "events_sliding_2d",
+    "events_tumbling_daily",
+    "hybrid_rrf_topk",
+    "kg_map_build",
+    "kg_neighborhood",
+    "kg_nodes_build",
+    "late_interaction_maxsim",
+    "lineitem_unpivot_metrics",
+    "mmr_diversified_topk",
+    "multimodal_frame_sample",
+    "multimodal_metadata",
+    "nation_order_stats",
+    "segment_nation_setops",
+    "semantic_dedup",
+    "sql_script_segment_revenue",
+    "stream_click_purchase_join",
+    "stream_dedup_events",
+    "stream_session_windows",
+    "stream_tumbling_daily_append",
+    "supplier_weekly_moving_avg",
+    "table_keyset_checksums",
+    "top3_orders_per_customer",
+    # r11-fill sample pins (first-16-alphabetical rule in registry.py)
+    "agent_paper_details",
+    "corpus_mixture_plan",
+    "corpus_weighted_sample",
+    "dedup_minhash_lsh",
     # regression guards that must stay in every window
     "chunks_build",
     "kg_edges_build",
