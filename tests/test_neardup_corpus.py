@@ -59,6 +59,10 @@ NEARDUP_PARITY = [
     "dedup_simhash",
     "dedup_sorted_neighborhood",
     "dedup_clusters",
+    "dedup_clusters_star",
+    "dedup_lsh_bucket_audit",
+    "dedup_method_eval",
+    "dedup_rate_by_source",
 ]
 
 
@@ -282,6 +286,47 @@ def test_snm_finds_block_preserving_pairs_and_misses_broken_prefixes(
             assert pair in got, (pair, tier)
         if tier == "prefix_break":
             assert pair not in got, (pair, tier)
+
+
+def test_clusters_never_merge_across_planted_groups(spark, neardup_dir):
+    """Connected components over the LSH pairs on planted truth: every
+    component is exactly one {base, variant} pair (cluster_id = the
+    base doc_id, 2 members) — the namespaced vocabularies make ANY
+    larger or mixed component a correctness bug in the pair generation
+    or the contraction, not data noise."""
+    rows = all_queries()["dedup_clusters"](spark, neardup_dir).collect()
+    assert rows
+    for r in rows:
+        b = r["cluster_id"]
+        assert r["n_members"] == 2, (b, r["member_ids"])
+        assert r["member_ids"] == f"{b},{1000 + b}", r["member_ids"]
+
+
+def test_method_eval_scores_follow_the_planted_design(spark, neardup_dir, truth):
+    """dedup_method_eval against planted truth: the Jaccard-truth frame
+    credits and debits each family exactly as designed — MinHash and SNM
+    verify with Jaccard so their precision is 1.0; SimHash's precision
+    is < 1.0 HERE precisely because it finds the reorder pairs (true
+    near-dups with shingle Jaccard ~ 0, outside the Jaccard truth list)
+    — the eval frame UNDERCREDITS order-invariant detection, which this
+    pin records rather than hides; MinHash recall is < 1.0 because the
+    mid tier sits above the truth threshold but below its verify bar."""
+    jac = truth["jaccard"]
+    n_truth_expected = sum(j >= JACCARD_THRESHOLD for j in jac.values())
+    rows = {r["method"]: r for r in all_queries()["dedup_method_eval"](
+        spark, neardup_dir
+    ).collect()}
+    assert set(rows) == {"minhash_lsh", "simhash", "sorted_neighborhood"}
+    for r in rows.values():
+        assert r["n_truth"] == n_truth_expected
+    assert rows["minhash_lsh"]["precision"] == 1.0
+    assert rows["sorted_neighborhood"]["precision"] == 1.0
+    assert rows["simhash"]["precision"] < 1.0  # the 2 reorder pairs
+    assert (
+        rows["simhash"]["n_pred"] - rows["simhash"]["tp"] >= len(TIERS["reorder"])
+    )
+    assert rows["minhash_lsh"]["recall"] < 1.0  # mid tier below verify bar
+    assert rows["minhash_lsh"]["recall"] > 0.5
 
 
 @pytest.mark.parametrize("name", NEARDUP_PARITY)
