@@ -233,6 +233,18 @@ def test_doremi_weights_uniform_loss_degenerate(spark, tmp_path):
     assert out["srcA"]["natural_share"] == 0.75
     assert out["srcB"]["natural_share"] == 0.25
 
+    # the sampled realization of the identity step: every domain's
+    # admission rate is exactly 1000 (floor(1000 * w/ns) with w == ns),
+    # so the "sample" keeps the whole corpus — a zero loss signal must
+    # not drop a single document
+    from cs_5542_lab_6_spark.operators.mixing import corpus_doremi_sample
+
+    samp = {r["source"]: r for r in corpus_doremi_sample(spark, sf).collect()}
+    assert set(samp) == {"srcA", "srcB"}
+    for r in samp.values():
+        assert r["rate_permille"] == 1000
+        assert r["n_sampled"] == r["n_total"]
+
 
 def test_doremi_weights_upweight_high_loss_domain(spark, tmp_path):
     """DoReMi semantics: the domain with excess bigram-LM loss over the
