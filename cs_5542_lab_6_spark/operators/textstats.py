@@ -847,6 +847,57 @@ lm_agg AS (
 """
 
 
+def lm_counts_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cold corpus bigram-LM table: (w1, w2, c2, c1, v), one row per
+    distinct bigram, with the left-context total and vocabulary size
+    denormalized onto every row. This is the warehouse-stage builder
+    (``ingest.STAGES``) realizing the materialized-LM shape
+    ``doc_lm_perplexity`` promises at 100 TB: the counts compress to the
+    bigram vocabulary, are built once at ingest, and every LM consumer
+    (perplexity scoring, DoReMi domain weights/sampling) joins the
+    compact table instead of re-counting the corpus.
+
+    c1 rolls up FROM the bigram counts (c1(w1) = Σ_w2 c2(w1,w2)) — one
+    fewer corpus scan+explode than re-counting the bigram stream, and
+    the rollup input is already vocabulary-sized. v must be counted from
+    the token stream (single-token documents contribute vocabulary but
+    no bigram)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(words(F.lower(F.col("text"))).alias("w"))
+    bg = (
+        toks.filter(F.size("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w) - 2),"
+                    " i -> struct(w[i] AS w1, w[i + 1] AS w2))"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    v = toks.select(F.explode("w").alias("tok")).agg(
+        F.count_distinct("tok").alias("v")
+    )
+    return (
+        c2.join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .select("w1", "w2", "c2", "c1", "v")
+    )
+
+
+def _lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(w1, w2, c2, c1, v): the materialized ``lm_counts`` checkpoint
+    when warm (a pure parquet scan), the cold derivation otherwise —
+    row-identical either way."""
+    from ..pipeline.corpus import _warm_path
+
+    p = _warm_path(sf_dir, "lm_counts", spark)
+    return spark.read.parquet(p) if p else lm_counts_build(spark, sf_dir)
+
+
 @query(
     "doc_lm_perplexity",
     oracle=f"""
@@ -863,18 +914,19 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document bigram-LM perplexity, the CCNet-style quality signal
     (Wenzek et al. 2020: docs whose perplexity under a corpus LM is an
     outlier are boilerplate or noise). The LM is trained on the corpus
-    itself in the same job: bigram/left-context counts with add-k
-    smoothing, P(w2|w1) = (c(w1,w2)+k) / (c(w1·)+k·V).
+    itself: bigram/left-context counts with add-k smoothing,
+    P(w2|w1) = (c(w1,w2)+k) / (c(w1·)+k·V), served by the materialized
+    ``lm_counts`` warehouse stage when warm (built once at ingest) and
+    derived cold otherwise — row-identical either way.
 
-    Scale shape: both count relations are map-side-combinable hash aggs
-    over the exploded bigram stream; scoring re-joins the stream to the
-    counts on the bigram key — an N:1 equi-join (one count row per key),
-    so frequent-bigram skew inflates no single build row. Per-doc totals
+    Scale shape: the count relations are map-side-combinable hash aggs
+    over the exploded bigram stream, built ONCE as an index artifact;
+    scoring joins the per-doc stream to the compact LM table on the
+    bigram key — an N:1 equi-join (one count row per key), so
+    frequent-bigram skew inflates no single build row. Per-doc totals
     fold in position order (the BM25 idiom), so the double sum is
     reproducible under any partitioning and the DuckDB oracle's
-    SUM(nll ORDER BY pos) matches to the rounded digit. At 100 TB the
-    counts become a materialized LM table built once and broadcast (they
-    compress to the bigram vocabulary, not the corpus)."""
+    SUM(nll ORDER BY pos) matches to the rounded digit."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", words(F.lower(F.col("text"))).alias("w"))
     bg = (
@@ -890,25 +942,13 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "b.pos", "b.w1", "b.w2")
     )
-    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
-    # left-context totals roll up FROM the bigram counts (c1(w1) = Σ_w2
-    # c2(w1,w2)) — one fewer corpus scan+explode than re-counting the
-    # bigram stream, and the rollup input is already vocabulary-sized
-    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
-    v = toks.select(F.explode("w").alias("tok")).agg(
-        F.count_distinct("tok").alias("v")
-    )
-    scored = (
-        bg.join(c2, ["w1", "w2"])
-        .join(c1, ["w1"])
-        .crossJoin(F.broadcast(v))
-        .select(
-            "doc_id",
-            "pos",
-            (-F.log((F.col("c2") + LM_ADD_K) / (F.col("c1") + LM_ADD_K * F.col("v")))).alias(
-                "nll"
-            ),
-        )
+    counts = _lm_counts(spark, sf_dir)
+    scored = bg.join(counts, ["w1", "w2"]).select(
+        "doc_id",
+        "pos",
+        (-F.log((F.col("c2") + LM_ADD_K) / (F.col("c1") + LM_ADD_K * F.col("v")))).alias(
+            "nll"
+        ),
     )
     agg = scored.groupBy("doc_id").agg(
         F.count("*").alias("n_bigrams"),

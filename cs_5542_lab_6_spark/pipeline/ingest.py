@@ -37,7 +37,7 @@ from ..operators.dedup import (
 )
 from ..operators.ranking import bm25_doclen_build, bm25_postings_build
 from ..operators.retrieval import trigram_postings_build
-from ..operators.textstats import winnow_fps_build
+from ..operators.textstats import lm_counts_build, winnow_fps_build
 from ..operators.similarity import (
     ivf_centroids_build,
     kmeans_assign_build,
@@ -87,6 +87,10 @@ STAGES: tuple[tuple[str, Callable[[SparkSession, str], DataFrame], tuple[str, ..
     ("bm25_doclen", bm25_doclen_build, ()),
     ("trigram_postings", trigram_postings_build, ()),
     ("winnow_fps", winnow_fps_build, ()),
+    # corpus bigram-LM table (r15): the quality/DoReMi scoring passes
+    # join this vocabulary-sized artifact instead of re-counting the
+    # corpus per query
+    ("lm_counts", lm_counts_build, ()),
 )
 
 

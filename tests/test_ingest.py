@@ -53,6 +53,7 @@ def test_build_checkpoint_resume_verify(spark, sf_dir, tmp_path):
         "winnow_fps",
         "pq_codebook",
         "pq_codes_trained",
+        "lm_counts",
     }
     assert all(v["status"] == "OK" for v in report.values())
     assert not any(v["skipped"] for v in report.values())
@@ -148,6 +149,10 @@ def test_warm_warehouse_queries_equal_cold(spark, sf_dir, tmp_path, monkeypatch)
         # materialized winnow_fps stage when warm (r10)
         "doc_winnowing_fingerprints",
         "doc_winnowing_overlap",
+        # corpus bigram-LM: perplexity scoring and the DoReMi weight
+        # derivation join the materialized lm_counts stage when warm (r15)
+        "doc_lm_perplexity",
+        "corpus_doremi_weights",
         # RAG eval comparison reads chunks + kg_nodes/kg_edges + kg_map
         # warm (r10)
         "eval_rag_comparison",
@@ -176,6 +181,7 @@ def test_warm_warehouse_queries_equal_cold(spark, sf_dir, tmp_path, monkeypatch)
         assert C._warm_path(sf_dir, "pq_codes_trained") is not None
         assert C._warm_path(sf_dir, "kmeans_assign") is not None
         assert C._warm_path(sf_dir, "winnow_fps") is not None
+        assert C._warm_path(sf_dir, "lm_counts") is not None
         warm = {
             n: sorted(map(tuple, qs[n](spark, sf_dir).collect())) for n in names
         }
