@@ -74,6 +74,14 @@ def get_spark(
         # measured 29.5s -> 25s cold build at sf0.1 (interleaved A/B);
         # single-query latency is untouched (one job at a time == FIFO).
         .config("spark.scheduler.mode", "FAIR")
+        # --- python-worker spawn resilience: the default 15s connect-back
+        # bound is a LATENCY CEILING, not a sleep — under hypervisor
+        # steal/storage bursts this VM has taken >15s to fork+exec a
+        # Python daemon mid-suite, failing streaming queries with
+        # "Timed out while waiting for the Python worker to connect
+        # back" (observed r15, two tests under a concurrent load spike).
+        # 120s costs nothing when healthy and rides out the noise window.
+        .config("spark.python.authenticate.socketTimeout", "120s")
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.driver.memory", driver_mem)
     )
