@@ -39,6 +39,10 @@ ZIPF_PARITY = [
     "doc_lm_perplexity",
     "corpus_token_frequencies",
     "corpus_doremi_weights",
+    # r15: the remaining graph analytics — verified above only on the
+    # complete (degree-regular) fixture KG until now
+    "kg_pagerank",
+    "kg_triangle_stats",
 ]
 
 
@@ -147,6 +151,35 @@ def test_zipf_link_prediction_scores_spread(spark, zipf_dir):
     assert scores == sorted(scores, reverse=True)
     assert len(set(scores)) >= 5
     assert len({r["common_neighbors"] for r in rows}) >= 2
+
+
+def test_zipf_pagerank_ranks_hubs(spark, zipf_dir):
+    """PageRank on a heavy-tailed graph must RANK, not tie (the complete
+    fixture graph gives every node identical rank): the top node is a
+    genuine hub (its degree within the top 3 degrees of the report),
+    ranks strictly decrease across the head of the report, and rank
+    order correlates with degree without equalling it (PageRank weights
+    neighbors by THEIR rank — pure degree ordering would make the
+    iteration pointless)."""
+    rows = all_queries()["kg_pagerank"](spark, zipf_dir).collect()
+    assert rows
+    ranks = [r["rank"] for r in rows]
+    assert ranks == sorted(ranks, reverse=True)
+    assert len(set(ranks)) >= max(3, len(ranks) // 2)  # real spread, not ties
+    top_degrees = sorted((r["degree"] for r in rows), reverse=True)
+    assert rows[0]["degree"] >= top_degrees[min(2, len(top_degrees) - 1)]
+
+
+def test_zipf_triangles_and_clustering_are_nondegenerate(spark, zipf_dir):
+    """Triangle census on the Zipf KG: chunk co-occurrence plants cliques
+    per chunk, so triangles exist; the clustering coefficient is a real
+    fraction in (0, 1] (the complete fixture graph reads exactly 1.0 —
+    every wedge closes — so only the long-tail corpus exercises the
+    open-wedge denominator)."""
+    row = all_queries()["kg_triangle_stats"](spark, zipf_dir).first()
+    assert row["n_triangles"] > 0
+    assert row["n_wedges"] >= 3 * row["n_triangles"]
+    assert 0.0 < row["global_clustering"] <= 1.0
 
 
 def test_zipf_assortativity_is_finite(spark, zipf_dir):
