@@ -34,6 +34,13 @@ CLUSTER_PARITY = [
     "ann_recall_eval",
     "dedup_embedding_nn",
     "embedding_kmeans",
+    # r15: the rest of the embedding family on its design-point data
+    "ann_lsh_multiprobe_topk",
+    "ann_ivf_pq_topk",
+    "semantic_dedup",
+    "embedding_quantize_int8",
+    "embedding_drift_psi",
+    "contrastive_pair_mining",
 ]
 
 
@@ -132,3 +139,21 @@ def test_clustered_kmeans_recovers_structure(spark, clustered_dir):
 def test_clustered_dedup_nn_reports_every_vector(spark, clustered_dir):
     rows = all_queries()["dedup_embedding_nn"](spark, clustered_dir).collect()
     assert len(rows) == N_VECS
+
+
+def test_clustered_semantic_dedup_collapses_planted_clusters(spark, clustered_dir):
+    """SemDeDup ON ITS DESIGN POINT: within a planted cluster the pairwise
+    cosine (~0.86 at noise 0.05) is far above tau=0.4, across planted
+    clusters far below, so (a) the corpus collapses hard — at least 80%
+    of vectors drop, (b) every dropped vector's keeper carries the SAME
+    planted label (a cross-label keep would mean the k-means pruning
+    scope leaked similarity that isn't there), and (c) keepers are the
+    lowest vec_id of their (cluster, label) group by the deterministic
+    keep rule."""
+    rows = all_queries()["semantic_dedup"](spark, clustered_dir).collect()
+    assert len(rows) >= 0.8 * N_VECS, len(rows)
+    for r in rows:
+        assert r["vec_id"] % N_CLUSTERS == r["dup_of"] % N_CLUSTERS, (
+            r["vec_id"], r["dup_of"])
+        assert r["dup_of"] < r["vec_id"]
+        assert r["cosine"] >= 0.4
