@@ -63,6 +63,7 @@ NEARDUP_PARITY = [
     "dedup_lsh_bucket_audit",
     "dedup_method_eval",
     "dedup_rate_by_source",
+    "dedup_incremental",
 ]
 
 
@@ -286,6 +287,27 @@ def test_snm_finds_block_preserving_pairs_and_misses_broken_prefixes(
             assert pair in got, (pair, tier)
         if tier == "prefix_break":
             assert pair not in got, (pair, tier)
+
+
+def test_incremental_screen_is_precise_on_coresident_pairs(spark, neardup_dir, truth):
+    """Planted ids differ by exactly 1000 ≡ 0 (mod NEW_BATCH_MOD), so
+    every planted pair is CO-RESIDENT: both sides land in the same half
+    of the batch/index split and the screen can never see the pair.
+    Therefore every verdict must be 'unique' — any 'duplicate' would be
+    an invented cross-namespace match (precision failure). The test also
+    documents the operational hazard itself: an incremental screen only
+    catches duplicates that ARRIVE after their twin is indexed; batch
+    self-dedup is dedup_ngram_jaccard's job (pinned exact above)."""
+    from cs_5542_lab_6_spark.operators.dedup import NEW_BATCH_MOD
+
+    for a, b in truth["tier_of"]:
+        assert (b - a) % NEW_BATCH_MOD == 0  # the co-residency premise
+    rows = all_queries()["dedup_incremental"](spark, neardup_dir).collect()
+    new_ids = {k for k in _corpus() if k % NEW_BATCH_MOD == 0}
+    assert {r["new_doc_id"] for r in rows} == new_ids
+    for r in rows:
+        assert r["verdict"] == "unique", (r["new_doc_id"], r["match_doc_id"])
+        assert r["match_doc_id"] is None
 
 
 def test_clusters_never_merge_across_planted_groups(spark, neardup_dir):
