@@ -310,6 +310,128 @@ def test_incremental_screen_is_precise_on_coresident_pairs(spark, neardup_dir, t
         assert r["match_doc_id"] is None
 
 
+# ---------------------------------------------------------------------------
+# Arrival-split corpus: planted pairs deliberately STRADDLE the
+# batch/index cut, pinning the positive (recall) side of the incremental
+# screen and the streaming admission path against the same truth.
+# ---------------------------------------------------------------------------
+
+INCR_TIER_OF_BASE = {1: 0, 2: 0, 3: 1, 4: 1, 5: 3, 6: 3, 7: 9, 8: 29}
+# base id k (index side, k % 10 != 0) -> number of replaced tokens in
+# its arriving variant id 10k (new side, 10k % 10 == 0)
+
+
+def _incr_corpus() -> dict[int, list[str]]:
+    docs = {}
+    for k, n_mut in INCR_TIER_OF_BASE.items():
+        base = [f"incrbase{k:04d}head"] + [f"i{k}w{j:02d}" for j in range(1, 60)]
+        var = list(base)
+        # deterministic evenly-spread replacement positions
+        if n_mut:
+            step = max(1, 57 // n_mut)
+            pos = list(range(2, 60, step))[:n_mut]
+            for p in pos:
+                var[p] = f"i{k}x{p:02d}"
+        docs[k] = base
+        docs[10 * k] = var
+    for s in (11, 12, 13):  # index-side singletons
+        docs[s] = [f"incrsingle{s:04d}head"] + [
+            f"s{s}w{j:02d}" for j in range(1, 60)
+        ]
+    for s in (100, 110):  # arriving docs with no counterpart anywhere
+        docs[s] = [f"incrnovel{s:04d}head"] + [
+            f"n{s}w{j:02d}" for j in range(1, 60)
+        ]
+    return docs
+
+
+@pytest.fixture(scope="module")
+def incr_dir(spark, tmp_path_factory) -> str:
+    out = str(tmp_path_factory.mktemp("neardup_incr"))
+    rows = [
+        (doc_id, " ".join(toks), "en", "neardup", len(" ".join(toks)))
+        for doc_id, toks in sorted(_incr_corpus().items())
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    return out
+
+
+def _incr_truth() -> dict[int, tuple[int | None, float]]:
+    """Expected (match, jaccard) per ARRIVING doc, computed from scratch:
+    best index-side doc by exact shingle Jaccard >= the threshold, ties
+    by doc_id — exactly dedup_incremental's published contract."""
+    from cs_5542_lab_6_spark.operators.dedup import (
+        JACCARD_THRESHOLD as TH,
+        NEW_BATCH_MOD as MOD,
+    )
+
+    sh = {k: _shingles(t) for k, t in _incr_corpus().items()}
+    new = sorted(k for k in sh if k % MOD == 0)
+    idx = sorted(k for k in sh if k % MOD != 0)
+    out: dict[int, tuple[int | None, float]] = {}
+    for n in new:
+        best, bj = None, 0.0
+        for i in idx:
+            j = _jaccard(sh[n], sh[i])
+            if j >= TH and (j > bj or (j == bj and best is not None and i < best)):
+                best, bj = i, j
+        out[n] = (best, round(bj, 4))
+    return out
+
+
+def test_incremental_screen_recall_on_arrival_split_pairs(spark, incr_dir):
+    """The positive side the co-residency test can't show: arriving
+    variants whose bases sit in the standing index get verdict
+    'duplicate' with exactly the Python-computed best match and Jaccard
+    (exact/vlow/low/mid tiers), the 29-substitution variant and the two
+    novel arrivals come back 'unique', and nothing else arrives."""
+    truth = _incr_truth()
+    rows = {
+        r["new_doc_id"]: r
+        for r in all_queries()["dedup_incremental"](spark, incr_dir).collect()
+    }
+    assert set(rows) == set(truth)
+    for n, (match, j) in truth.items():
+        r = rows[n]
+        if match is None:
+            assert r["verdict"] == "unique" and r["match_doc_id"] is None, n
+        else:
+            assert r["verdict"] == "duplicate", (n, match)
+            assert r["match_doc_id"] == match, (n, r["match_doc_id"], match)
+            assert r["jaccard"] == j, (n, r["jaccard"], j)
+    # the design planted both outcomes: some duplicates, some uniques
+    verdicts = {r["verdict"] for r in rows.values()}
+    assert verdicts == {"duplicate", "unique"}
+
+
+def test_streaming_admission_matches_incremental_truth(spark, incr_dir, tmp_path):
+    """The streaming admission path (micro-batch screen against the
+    standing shingle index) must reach the SAME verdicts as the batch
+    screen on the arrival-split planted truth — union of per-batch
+    verdict files == dedup_incremental's rows, value for value."""
+    import os
+
+    from cs_5542_lab_6_spark.streaming.stream import dedup_admission_stream_run
+
+    wd = str(tmp_path / "adm_truth")
+    os.makedirs(wd)
+    n_batches = dedup_admission_stream_run(spark, incr_dir, wd)
+    assert n_batches >= 1
+    streamed = sorted(
+        map(tuple, spark.read.parquet(f"{wd}/verdicts/b*")
+            .select("new_doc_id", "match_doc_id", "jaccard", "verdict")
+            .collect())
+    )
+    batch = sorted(
+        map(tuple, all_queries()["dedup_incremental"](spark, incr_dir)
+            .select("new_doc_id", "match_doc_id", "jaccard", "verdict")
+            .collect())
+    )
+    assert streamed == batch and streamed
+
+
 def test_clusters_never_merge_across_planted_groups(spark, neardup_dir):
     """Connected components over the LSH pairs on planted truth: every
     component is exactly one {base, variant} pair (cluster_id = the
