@@ -310,6 +310,66 @@ def test_incremental_screen_is_precise_on_coresident_pairs(spark, neardup_dir, t
         assert r["match_doc_id"] is None
 
 
+def test_contamination_scan_is_exact_on_planted_truth(spark, neardup_dir):
+    """Decontamination against planted truth: the sha-hash split is
+    replicated in Python (sha256('split|'||id)[:15] % 100), so the exact
+    expected output — every test-split doc's best train-split doc by
+    shared distinct shingles, flagged at the threshold — is computable
+    from scratch. On this corpus that covers all the interesting cases
+    the fixture can't plant: straddling pairs in three mutation tiers
+    get flagged with exact counts, a test doc whose only near-dup sits
+    in the VALID split stays clean (decontamination screens train only),
+    the reorder pair shares almost nothing, and no cross-namespace flag
+    can appear."""
+    import hashlib
+
+    from cs_5542_lab_6_spark.operators.dedup import CONTAMINATION_MIN_SHARED
+
+    def split_of(doc_id: int) -> str:
+        b = int(
+            hashlib.sha256(f"split|{doc_id}".encode()).hexdigest()[:15], 16
+        ) % 100
+        return "train" if b < 80 else ("valid" if b < 90 else "test")
+
+    sh = {k: _shingles(t) for k, t in _corpus().items()}
+    train = [k for k in sh if split_of(k) == "train"]
+    tests = [k for k in sh if split_of(k) == "test"]
+    want = {}
+    for t in tests:
+        best, bn = None, 0
+        for tr in sorted(train):
+            n = len(sh[t] & sh[tr])
+            if n > bn:
+                best, bn = tr, n
+        if best is not None and bn >= CONTAMINATION_MIN_SHARED:
+            want[t] = (
+                best,
+                bn,
+                len(sh[t]),
+                round(bn / len(sh[t]), 4),
+            )
+    got = {
+        r["test_doc_id"]: (
+            r["train_doc_id"],
+            r["n_shared"],
+            r["n_test_shingles"],
+            r["shared_frac"],
+        )
+        for r in all_queries()["contamination_scan"](spark, neardup_dir).collect()
+    }
+    assert got == want
+    assert want, "the planted corpus must produce at least one flag"
+    # and at least one test doc with a planted near-dup must stay clean
+    # because its counterpart landed in valid, not train
+    clean_by_valid = [
+        t for t in tests
+        if t not in want
+        and any(len(sh[t] & sh[o]) >= CONTAMINATION_MIN_SHARED for o in sh
+                if o != t and split_of(o) == "valid")
+    ]
+    assert clean_by_valid
+
+
 # ---------------------------------------------------------------------------
 # Arrival-split corpus: planted pairs deliberately STRADDLE the
 # batch/index cut, pinning the positive (recall) side of the incremental
