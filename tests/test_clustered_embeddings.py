@@ -41,6 +41,7 @@ CLUSTER_PARITY = [
     "embedding_quantize_int8",
     "embedding_drift_psi",
     "contrastive_pair_mining",
+    "contamination_semantic_scan",
 ]
 
 
@@ -139,6 +140,29 @@ def test_clustered_kmeans_recovers_structure(spark, clustered_dir):
 def test_clustered_dedup_nn_reports_every_vector(spark, clustered_dir):
     rows = all_queries()["dedup_embedding_nn"](spark, clustered_dir).collect()
     assert len(rows) == N_VECS
+
+
+def test_clustered_semantic_decontamination_respects_planted_labels(
+    spark, clustered_dir
+):
+    """The embedding decontamination scan on clustered data: a flagged
+    test vector's best same-bucket train match MUST share its planted
+    label (cross-cluster cosine ~0.12 sits far below tau=0.4 — a
+    cross-label flag would be an invented similarity), and the planted
+    structure guarantees real leakage to find: a majority of test
+    vectors flag, since ~49 same-cluster train vectors exist per test
+    vector and clustered data is exactly where same-cluster vectors
+    share LSH buckets."""
+    rows = all_queries()["contamination_semantic_scan"](
+        spark, clustered_dir
+    ).collect()
+    assert rows
+    flagged = [r for r in rows if r["contaminated"]]
+    for r in flagged:
+        assert (
+            r["test_vec_id"] % N_CLUSTERS == r["train_vec_id"] % N_CLUSTERS
+        ), (r["test_vec_id"], r["train_vec_id"])
+    assert len(flagged) >= 0.5 * len(rows), (len(flagged), len(rows))
 
 
 def test_clustered_semantic_dedup_collapses_planted_clusters(spark, clustered_dir):
