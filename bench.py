@@ -354,9 +354,26 @@ def main() -> None:
     # prefetch, task1_cursor_report.md:54), while the cold build cost
     # stays visible via the chunks_build / kg_edges_build entries.
     os.environ.setdefault(corpus.WAREHOUSE_ENV, "/tmp/spark_graft_warehouse")
-    t0 = time.perf_counter()
-    build_corpus(spark, SF_DIR, corpus.warehouse_dir(SF_DIR), resume=False)
-    setup = {"warehouse_build": round(time.perf_counter() - t0, 4)}
+    # min-of-3 cold builds (r15 verdict item 3a): the scale canary gates
+    # on a min-of-3 < 45s bound but only ever recorded pass/fail, so the
+    # margin was invisible per-round (single-shot readings hit 42-47s in
+    # r15 while the true min-of-3 sat at ~23s). Three cold builds cost
+    # ~60s of a ~20-minute bench; the last one is the warm warehouse the
+    # headline queries then read. ``warehouse_build`` keeps its original
+    # meaning (first cold run) so the field stays comparable across
+    # rounds' artifacts.
+    build_runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        build_corpus(spark, SF_DIR, corpus.warehouse_dir(SF_DIR), resume=False)
+        build_runs.append(round(time.perf_counter() - t0, 4))
+        clear_caches(spark)
+    setup = {
+        "warehouse_build": build_runs[0],
+        "warehouse_build_min_of_3": min(build_runs),
+        "warehouse_build_runs": build_runs,
+        "warehouse_build_canary_bound": 45.0,
+    }
 
     # Passes are INTERLEAVED (full query set, repeated RUNS times) rather
     # than back-to-back per query: this VM's noise arrives in multi-minute
@@ -403,9 +420,19 @@ def main() -> None:
     except ValueError:
         sf_val = sf
     total = round(sum(timings.values()), 4)
+    # noise-robust twin of the headline total (r15 verdict item 4): sum
+    # of per-query MINIMA across the interleaved passes. When
+    # ``calibration_sec.contaminated`` is true the median total is
+    # noise-inflated by construction (the r15 driver artifact read +33%
+    # on byte-identical hot paths); the min-of-runs total is the
+    # least-contaminated estimate of code-level cost and is the number
+    # to compare across rounds in that case — previously a reader had to
+    # hand-sum queries_detail[*].min to get it.
+    total_min = round(sum(d["min"] for d in detail.values()), 4)
     full = {
         "metric": "headline_queries_total",
         "value": total,
+        "total_min_of_runs": total_min,
         "unit": "sec",
         "queries": timings,
         "queries_detail": detail,
@@ -459,6 +486,7 @@ def main() -> None:
             {
                 "metric": "headline_queries_total",
                 "value": total,
+                "total_min_of_runs": total_min,
                 "unit": "sec",
                 "queries": slowest,
                 "n_queries": len(timings),
