@@ -1357,7 +1357,17 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     |batch| x avg-postings join work, never |corpus|^2. Every new doc
     gets a verdict: its best-matching index doc by exact n-gram Jaccard
     (ties broken by doc_id) or 'unique' — including shingle-less short
-    docs, which trivially pass."""
+    docs, which trivially pass.
+
+    Contract (the arrival-cut tie case, pinned in
+    tests/test_neardup_corpus.py::test_arrival_cut_tie_case_is_snapshot_screened):
+    the screen compares arrivals against the STANDING INDEX ONLY, never
+    against each other — duplicates that both land in the arrival cut
+    are all 'unique' and all admitted. This is inherent, not an
+    oversight: the streaming twin's verdict union must be invariant to
+    the micro-batch split (and byte-identical to this one-shot screen),
+    which forces snapshot screening. De-duplicating the arrival set
+    itself is the separate batch pass (dedup_ngram_jaccard)."""
     from pyspark.sql import Window as W
 
     sh = _doc_shingles(spark, sf_dir)

@@ -816,7 +816,17 @@ def dedup_admission_stream_run(
     index — never |corpus|²; at 100 TB the index side is the
     materialized shingle warehouse and the batch side broadcasts.
     ``fail_at_batch`` is the same crash-injection test seam as
-    ``scd2_stream_run``."""
+    ``scd2_stream_run``.
+
+    Contract: each batch screens against the standing snapshot ONLY —
+    never against earlier batches' ``index_delta`` — so the verdict
+    union is invariant to ``n_files`` and byte-identical to the
+    one-shot ``dedup_incremental`` screen. The flip side is inherent:
+    duplicates that both ARRIVE (in any batches) are all 'unique' and
+    all admitted; folding deltas into later screens would trade that
+    for order-dependent verdicts and break replay idempotence. The
+    admitted set's own dedup is the downstream batch pass. Pinned in
+    tests/test_neardup_corpus.py::test_arrival_cut_tie_case_is_snapshot_screened."""
     import glob
     import shutil
 

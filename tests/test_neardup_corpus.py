@@ -552,3 +552,124 @@ def test_neardup_matches_oracle(spark, neardup_dir, neardup_oracle, name):
     b = _canon_rows(duck_cols, duck_rows)
     mismatches = [(x, y) for x, y in zip(a, b) if x != y]
     assert not mismatches, f"{name}: first value mismatch: {mismatches[0]}"
+
+
+# --- the arrival-cut tie case (r15 verdict item 7) --------------------------
+# The hazard this module documented — an incremental screen's verdict
+# depends on which side of the batch cut a duplicate lands — is INHERENT
+# to the screen's published contract, not a fixable rule: the verdict
+# union must be invariant to the micro-batch split (oracle-equivalent to
+# the one-shot screen for ANY n_files), which forces every batch to
+# screen against the same standing-index snapshot and nothing else. Two
+# duplicates that both land in the arrival cut are therefore BOTH
+# 'unique' and BOTH admitted — even when one was admitted in an earlier
+# micro-batch — and de-duplicating the admitted set itself is the
+# separate batch pass (dedup_ngram_jaccard over the same corpus). The
+# fixture below plants both tie shapes and pins that behavior exactly.
+
+
+def _tie_corpus() -> dict[int, list[str]]:
+    def doc(ns: str) -> list[str]:
+        return [f"{ns}head{0:04d}"] + [f"{ns}w{j:02d}" for j in range(1, 60)]
+
+    docs = {i: doc(f"tidx{i}") for i in (1, 2, 3)}  # standing index side
+    # cross-batch twins: with n_files=3, doc 30 -> arrival group 0,
+    # doc 40 -> group 1 (g = doc_id/10 % 3), so the identical pair is
+    # split across two sequential micro-batches
+    docs[30] = doc("tw1")
+    docs[40] = doc("tw1")
+    # same-batch twins: docs 60 and 90 both land in group 0
+    docs[60] = doc("tw2")
+    docs[90] = doc("tw2")
+    docs[50] = doc("tnov")  # group 2: a genuinely novel singleton
+    return docs
+
+
+@pytest.fixture(scope="module")
+def tie_dir(spark, tmp_path_factory) -> str:
+    out = str(tmp_path_factory.mktemp("neardup_tie"))
+    rows = [
+        (doc_id, " ".join(toks), "en", "neardup", len(" ".join(toks)))
+        for doc_id, toks in sorted(_tie_corpus().items())
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    return out
+
+
+def test_arrival_cut_tie_case_is_snapshot_screened(spark, tie_dir, tmp_path):
+    """Degenerate-corner pin of the inherent arrival-order hazard: exact
+    duplicates that BOTH arrive (none of them in the standing index) are
+    all 'unique' and all admitted — in the one-shot screen AND in the
+    streaming run, including the pair split across micro-batches where
+    the first twin's shingles already sit in index_delta when the second
+    twin is screened. The remedy is stated alongside: the batch pass
+    over the same corpus finds exactly the planted twin pairs at
+    Jaccard 1.0."""
+    import os
+
+    from cs_5542_lab_6_spark.operators.dedup import NEW_BATCH_MOD
+    from cs_5542_lab_6_spark.streaming.stream import dedup_admission_stream_run
+
+    arrivals = {d for d in _tie_corpus() if d % NEW_BATCH_MOD == 0}
+    assert arrivals == {30, 40, 50, 60, 90}
+    # with n_files=3: group 0 = {30, 60, 90}, group 1 = {40}, group 2 = {50}
+    group = {d: (d // NEW_BATCH_MOD) % 3 for d in arrivals}
+    assert group == {30: 0, 60: 0, 90: 0, 40: 1, 50: 2}
+
+    # one-shot screen: every arriving doc is 'unique'
+    rows = {
+        r["new_doc_id"]: r
+        for r in all_queries()["dedup_incremental"](spark, tie_dir).collect()
+    }
+    assert set(rows) == arrivals
+    for r in rows.values():
+        assert r["verdict"] == "unique" and r["match_doc_id"] is None
+
+    # streaming run, one file per micro-batch in group order
+    wd = str(tmp_path / "tie_adm")
+    os.makedirs(wd)
+    n_batches = dedup_admission_stream_run(spark, tie_dir, wd, n_files=3)
+    assert n_batches == 3
+    by_batch = {
+        k: {
+            r["new_doc_id"]: r
+            for r in spark.read.parquet(f"{wd}/verdicts/b{k}").collect()
+        }
+        for k in range(3)
+    }
+    assert set(by_batch[0]) == {30, 60, 90}
+    assert set(by_batch[1]) == {40}
+    assert set(by_batch[2]) == {50}
+    # batch 0 admitted doc 30 into the index delta...
+    delta0 = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{wd}/index_delta/b0").collect()
+    }
+    assert {30, 60, 90} <= delta0
+    # ...and batch 1 still admits the identical doc 40: the screen reads
+    # the standing snapshot, never earlier batches' deltas — the
+    # batching-invariance contract, pinned as behavior
+    assert by_batch[1][40]["verdict"] == "unique"
+    for k, docs_k in by_batch.items():
+        for r in docs_k.values():
+            assert r["verdict"] == "unique", (k, r)
+    admitted = set().union(
+        *(
+            {
+                r["doc_id"]
+                for r in spark.read.parquet(f"{wd}/index_delta/b{k}").collect()
+            }
+            for k in range(3)
+        )
+    )
+    assert admitted == arrivals  # the double-admission, stated exactly
+
+    # the documented remedy: the batch self-dedup pass over the same
+    # corpus reports exactly the planted twin pairs, at Jaccard 1.0
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in all_queries()["dedup_ngram_jaccard"](spark, tie_dir).collect()
+    }
+    assert pairs == {(30, 40): 1.0, (60, 90): 1.0}
