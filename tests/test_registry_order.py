@@ -20,46 +20,49 @@ DRIVER_WINDOW = 50
 # lands, and (b) the window refreshes the stalest driver rows (r1/r4
 # vintage) plus the permanent regression-guard core.
 REFERENCE_PARITY = [
-    # new in round 15 — first driver check the round it lands
+    # changed in round 16 — the lm_counts stage was rebuilt as a single
+    # corpus explode; these three queries' cold derivation transits the
+    # changed builder, so they re-verify the round it changed
+    "doc_lm_perplexity",
+    "corpus_doremi_weights",
     "corpus_doremi_sample",
-    # changed in round 15 — hll_in_envelope coalesces to literal TRUE on
-    # an empty sketch (degenerate-input envelope fix); re-verified the
-    # round it changes
-    "events_heavy_hitters_sketch",
-    # the 26 remaining r10-vintage rows (r14 plan — the full written-down
+    # the 27 remaining r11-vintage rows (r15 plan — the full written-down
     # set; absence of ANY re-violates the freshness contract, and after
-    # this window no pre-r11 vintage remains)
-    "events_conversion_funnel",
-    "events_props_map",
-    "events_range_pairs",
-    "events_salted_type_stats",
-    "events_sliding_2d",
-    "events_tumbling_daily",
-    "hybrid_rrf_topk",
-    "kg_map_build",
-    "kg_neighborhood",
-    "kg_nodes_build",
-    "late_interaction_maxsim",
-    "lineitem_unpivot_metrics",
-    "mmr_diversified_topk",
-    "multimodal_frame_sample",
-    "multimodal_metadata",
-    "nation_order_stats",
-    "segment_nation_setops",
-    "semantic_dedup",
-    "sql_script_segment_revenue",
-    "stream_click_purchase_join",
-    "stream_dedup_events",
-    "stream_session_windows",
-    "stream_tumbling_daily_append",
-    "supplier_weekly_moving_avg",
-    "table_keyset_checksums",
-    "top3_orders_per_customer",
-    # r11-fill sample pins (first-16-alphabetical rule in registry.py)
-    "agent_paper_details",
-    "corpus_mixture_plan",
-    "corpus_weighted_sample",
-    "dedup_minhash_lsh",
+    # this window no pre-r12 vintage remains)
+    "doc_token_familiarity",
+    "embedding_kmeans",
+    "events_daily_anomaly",
+    "events_lateness_audit",
+    "events_retention_cohorts",
+    "events_watermark_sizing",
+    "kg_degree_assortativity",
+    "kg_link_prediction",
+    "kg_pagerank",
+    "kg_sparse_neighborhood_jaccard",
+    "kg_triangle_stats",
+    "language_id_confusion",
+    "large_order_customers",
+    "nation_price_medians",
+    "nation_trade_flows",
+    "national_supplier_share",
+    "order_priority_exists_counts",
+    "promo_revenue_share",
+    "quiet_wealthy_customers",
+    "returned_item_customers",
+    "small_quantity_part_revenue",
+    "source_blocklist_filter",
+    "source_overlap_matrix",
+    "source_quality_profile",
+    "stream_scd2_apply",
+    "stream_user_enriched_counts",
+    "top_supplier_revenue",
+    # r12-fill sample pins (first-14-alphabetical-of-the-others rule in
+    # registry.py — doc_lm_perplexity is the r12 row already covered by
+    # the changed set above)
+    "bm25_rerank_topk",
+    "corpus_bpe_train",
+    "customer_rfm_segments",
+    "dedup_lsh_bucket_audit",
     # regression guards that must stay in every window
     "chunks_build",
     "kg_edges_build",
