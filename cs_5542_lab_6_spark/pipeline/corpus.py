@@ -633,15 +633,31 @@ def chunk_entities_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalize → length-filter → first-seen contract is shared."""
     from ..functions.ner import extract_mentions_udf, ner_active
 
-    # NOTE (r8 profile): exploding the chunker's token ARRAY directly
-    # (with_tokens=True, posexplode(toks)) looks like it should beat the
-    # array_join + words() re-split — Catalyst even prunes the join from
-    # the plan — but measured CONSISTENTLY ~2x slower on the cold 10x
-    # corpus (14.4s vs 7.6s min-of-3, interleaved): Generate over a
-    # computed array column pays per-row UnsafeArrayData copying that
-    # the compact-string split does not. The re-split stays on purpose;
-    # words(text_content) == toks is pinned in
-    # tests/test_corpus_invariants.py should this trade-off be revisited.
+    # r16 OPTIMIZATION (guide §2.4 — remove shuffles outright): the
+    # first-seen-per-(chunk, entity) dedup is a PER-CHUNK property, so it
+    # never needed a shuffle at all. The r8-r15 shape exploded the token
+    # stream and pushed it through two aggregation exchanges (per-token
+    # min(pos) HashAggregate, then a min_by SortAggregate); this rewrite
+    # computes the whole thing map-side with array higher-order functions
+    # on the chunk row itself:
+    #   names  = array_distinct(filter(normed_tokens, len >= MIN))
+    #            (array_distinct preserves FIRST-OCCURRENCE order)
+    #   pos    = array_position(normed_tokens, name) - 1
+    #            (first index of the normalized form == min(pos) of all
+    #            raw tokens normalizing to it)
+    #   token  = toks[pos]  (the raw token at that first position)
+    # and only then explodes the already-deduped, entity-sized array.
+    # The exchange the old stage-1 aggregation paid carried one row per
+    # distinct mention of the FULL token stream; now nothing shuffles —
+    # the relation materializes where the chunk text sits, the 100 TB
+    # shape for a per-row extraction (plan pinned exchange-free in
+    # tests/test_plans.py). Measured cold 10x corpus (kg_edges derive):
+    # see OPTIMIZATION_r16.md.
+    #
+    # (The r8 caveat about Generate over computed arrays paying
+    # UnsafeArrayData copies applied to exploding the RAW token array —
+    # thousands of elements per chunk; the entity array exploded here is
+    # already deduped, an order of magnitude smaller.)
     #
     # Warm: entity extraction starts from the materialized ``chunks``
     # checkpoint (a 4-column pruned parquet scan) instead of re-cleaning
@@ -661,55 +677,34 @@ def chunk_entities_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         if ner_active()
         else words("text_content")
     )
-    toks = chunks.select(
-        "chunk_id",
-        "paper_id",
-        "chunk_index",
-        F.posexplode(mentions).alias("pos", "token"),
-    )
-    normed = toks.withColumn("name_normalized", normalize_entity("token")).filter(
-        F.length("name_normalized") >= KG_MIN_NAME_LENGTH
-    )
-    # first-seen-per-(chunk, entity) in TWO aggregations, not one
-    # min_by(struct) — a struct/string aggregation buffer is not
-    # hash-aggregable, so the single-agg form planned as SortAggregate
-    # and SORTED THE ENTIRE TOKEN STREAM on both sides of the exchange
-    # (n·log n per map task + sort-spill risk on 100 TB token streams).
-    # Stage 1 groups by the token too and keeps only min(pos) — an INT
-    # buffer, so it plans as HashAggregate with map-side partials
-    # (asserted in tests/test_plans.py): the exchange carries one row
-    # per distinct mention, never the raw stream, and nothing sorts at
-    # token scale. Stage 2 resolves name-normalized collisions
-    # (different raw tokens, same normalized form) with min_by over the
-    # already-deduped, entity-sized relation — its SortAggregate sorts
-    # |entities| rows, not |tokens|. Measured wall-clock parity with the
-    # single agg on the 10x local fixture (hash build ≈ in-memory sort
-    # at this size); the hash shape is chosen for the scale regime,
-    # where aggregation hash maps partial-combine and spill gracefully
-    # while a pre-agg sort of raw tokens cannot. paper_id/chunk_index
-    # are chunk-level constants, so adding them to stage 1's keys
-    # changes no groups. pos is unique within a chunk, so the
-    # composition is deterministic and row-identical to the windowed
-    # form (the DuckDB oracle keeps the row_number formulation; values
-    # match exactly).
-    per_token = normed.groupBy(
-        "chunk_id", "paper_id", "chunk_index", "name_normalized", "token"
-    ).agg(F.min("pos").alias("pos"))
-    firsts = per_token.groupBy("chunk_id", "name_normalized").agg(
-        F.min_by(F.struct("paper_id", "chunk_index", "pos", "token"), "pos").alias(
-            "s"
-        )
+    base = chunks.select(
+        "chunk_id", "paper_id", "chunk_index", mentions.alias("toks")
+    ).withColumn("normed", F.transform("toks", normalize_entity))
+    # toks/normed are materialized attributes (never inlined into the
+    # lambdas below — Catalyst does not hoist non-lambda subtrees out of
+    # HOF lambdas, so an inlined tokenizer would re-run per element).
+    ents_arr = F.expr(
+        f"""transform(
+          transform(
+            array_distinct(filter(normed, n -> length(n) >= {KG_MIN_NAME_LENGTH})),
+            n -> struct(n AS nn, array_position(normed, n) AS ap)),
+          s -> struct(CAST(s.ap - 1 AS INT) AS pos,
+                      element_at(toks, CAST(s.ap AS INT)) AS token,
+                      s.nn AS name_normalized))"""
     )
     return (
-        firsts.select(
+        base.select(
+            "chunk_id", "paper_id", "chunk_index", F.explode(ents_arr).alias("e")
+        )
+        .select(
             "chunk_id",
-            F.col("s.paper_id").alias("paper_id"),
-            F.col("s.chunk_index").alias("chunk_index"),
-            F.col("s.pos").alias("pos"),
-            F.col("s.token").alias("token"),
-            "name_normalized",
+            "paper_id",
+            "chunk_index",
+            F.col("e.pos").alias("pos"),
+            F.col("e.token").alias("token"),
+            F.col("e.name_normalized").alias("name_normalized"),
             F.concat(
-                F.lit("node_"), F.substring("name_normalized", 1, 60)
+                F.lit("node_"), F.substring("e.name_normalized", 1, 60)
             ).alias("node_id"),
         )
         .cache()
@@ -821,19 +816,23 @@ def kg_edges_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     A2 weight = per-paper co-occurrence count. This is the 25M-edge
     explosion at reference scale.
 
-    Pair generation is ONE shuffle, not a self-join: group each chunk's
-    (already first-seen-deduped) node list with collect_list, sort it,
-    and expand ordered position-pairs map-side. The former self equi-join
-    on chunk_id shuffled the entity table twice (once per side) to
-    produce the same pairs; the grouped form carries each entity mention
-    through the exchange once and does the quadratic-in-chunk expansion
-    where the data sits (chunk entity counts are bounded by the chunker,
-    so per-group memory is bounded and skew is capped). The `s != t`
+    Pair generation needs NO shuffle at all (r16, guide §2.4): each
+    chunk's sorted node list is computed map-side with the same
+    array-HOF extraction as ``chunk_entities_df`` (array_distinct on
+    the normalized token array preserves the first-seen multiset of
+    node_ids per chunk), then expanded into ordered position-pairs in
+    place. The r8-r15 shape shuffled the exploded entity relation once
+    to collect_list it back per chunk; that exchange carried every
+    entity mention of the corpus and existed only to regroup what the
+    chunk row already held. The ONLY exchange left is the final weight
+    aggregation — the theoretical minimum for a corpus-wide edge rollup
+    (§1.1 first-principles: one shuffle of the pair stream, nothing
+    else). The quadratic-in-chunk expansion stays bounded exactly as
+    before (chunker caps B ≤ CHUNK_SIZE). The `s != t`
     filter reproduces the strict `<` residual exactly, including the
     duplicate-node_id multiplicity corner (m*n position-pairs for m+n
     equal-keyed rows, same as the join) — the DuckDB oracle keeps the
-    self-join formulation and matches row-for-row. Measured on the cold
-    10x corpus: ~2x faster than the self-join shape.
+    self-join formulation and matches row-for-row.
 
     Hot-chunk bound (r12 verdict): the per-group expansion materializes
     all B(B-1)/2 pair structs of a B-entity chunk in one transient array
@@ -845,10 +844,32 @@ def kg_edges_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     text. tests/test_corpus_invariants.py pins the 5x-beyond-structural
     stress (B=10^3 → 499,500 exact pairs through ordered_pair_expansion)
     completing on executor-thread memory."""
-    ents = chunk_entities_df(spark, sf_dir).select("chunk_id", "paper_id", "node_id")
-    per_chunk = ents.groupBy("chunk_id", "paper_id").agg(
-        F.array_sort(F.collect_list("node_id")).alias("ns")
+    from ..functions.ner import extract_mentions_udf, ner_active
+
+    p = _warm_path(sf_dir, "chunks", spark)
+    chunks = (
+        spark.read.parquet(p).select("paper_id", "text_content")
+        if p
+        else _chunk_documents(spark, sf_dir)
     )
+    mentions = (
+        extract_mentions_udf("text_content")
+        if ner_active()
+        else words("text_content")
+    )
+    normed = chunks.select(
+        "paper_id", F.transform(mentions, normalize_entity).alias("normed")
+    )
+    # per-chunk sorted node multiset, map-side: array_distinct keeps one
+    # entry per distinct normalized name (first-seen), the node_id map
+    # can re-introduce duplicates via the 60-char prefix — the same
+    # multiset the old collect_list produced, without its exchange
+    ns = F.expr(
+        f"""array_sort(transform(
+          array_distinct(filter(normed, n -> length(n) >= {KG_MIN_NAME_LENGTH})),
+          n -> concat('node_', substring(n, 1, 60))))"""
+    )
+    per_chunk = normed.select("paper_id", ns.alias("ns"))
     pairs = (
         per_chunk.select("paper_id", ordered_pair_expansion("ns"))
         .filter(F.col("p.s") != F.col("p.t"))

@@ -452,14 +452,17 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.set(k, v)
 
 
-def test_entity_dedup_token_stream_hash_aggregates(spark, sf_dir):
-    """The first-seen entity dedup must consume the raw token stream
-    through a HashAggregate (int min(pos) buffer, map-side partials) —
-    never a SortAggregate, which would sort every token on both sides
-    of the exchange (r8: sort-spill risk at 100 TB). The residual
-    SortAggregate (min_by struct buffer) may only see the already-
-    deduped entity-sized relation."""
+def test_entity_extraction_is_shuffle_free(spark, sf_dir):
+    """r16 optimization pin (guide §2.4): the first-seen entity dedup is
+    a per-chunk property, computed entirely map-side with array HOFs —
+    the plan must contain NO Exchange and NO aggregate at all (the
+    r8-r15 shape paid two aggregation exchanges over the token stream).
+    Same contract for the kg_edges pair expansion up to its single
+    weight-rollup exchange: one Exchange, nothing else."""
+    import re
+
     from cs_5542_lab_6_spark.pipeline.corpus import chunk_entities_df
+    from cs_5542_lab_6_spark.registry import all_queries
 
     plan = (
         chunk_entities_df(spark, sf_dir)
@@ -467,14 +470,18 @@ def test_entity_dedup_token_stream_hash_aggregates(spark, sf_dir):
         .executedPlan()
         .toString()
     )
-    lines = plan.split("\n")
-    hash_lines = [ln for ln in lines if "HashAggregate" in ln]
-    sort_lines = [ln for ln in lines if "SortAggregate" in ln]
-    # stage 1 (partial + final) hash-aggregates on the token-level keys
-    assert any("token" in ln and "pos" in ln for ln in hash_lines), plan
-    # stage 2's SortAggregate carries the min_by only — keyed WITHOUT the
-    # raw token, i.e. it runs on the deduped relation
-    assert sort_lines and all("min_by" in ln for ln in sort_lines), plan
+    assert "Aggregate" not in plan, plan
+    # the only admissible exchange is the deliberate small-fixture
+    # fan_out (REPARTITION origin, a no-op at scale) in the cold chunk
+    # derivation — never a hash-aggregation exchange
+    ex_lines = [ln for ln in plan.split("\n") if "Exchange" in ln]
+    assert all("REPARTITION" in ln for ln in ex_lines), plan
+
+    edges_plan = formatted_plan(all_queries()["kg_edges_build"](spark, sf_dir))
+    agg_ex = len(re.findall(r"Exchange hashpartitioning(?!.*REPARTITION)",
+                            edges_plan.split("\n\n", 1)[0]))
+    assert agg_ex <= 1, edges_plan
+    assert "CollectList" not in edges_plan  # the regroup shuffle is gone
 
 
 def test_round10_plans(spark, sf_dir):
