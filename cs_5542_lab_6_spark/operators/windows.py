@@ -301,53 +301,67 @@ RFM_RANK_PARTS = 32
 def _parallel_ntile(
     df: DataFrame, n: int, order_cols: list, key: str, alias: str
 ) -> DataFrame:
-    """Exact ntile(n) with NO single-partition window — the
-    zipWithIndex idiom in DataFrame form (VERDICT r6 item 3):
+    """Exact ntile(n) with NO data-scale single-partition window — the
+    zipWithIndex idiom in DataFrame form (VERDICT r6 item 3), fully
+    lazy since r16:
 
     1. range-exchange on the sort key (sampled boundaries, fully
-       parallel), frozen with an eager localCheckpoint so the counts
-       job and the rank job below see the SAME partitioning (two
-       separate actions re-planning the exchange could re-sample
-       different boundaries and misalign the offsets);
+       parallel); both consumers below reference the SAME exchange
+       subtree, which Catalyst's ReuseExchange executes once — so the
+       partition boundaries are shared by construction (the r6-r15
+       shape froze them with an eager localCheckpoint + a driver
+       collect of the partition counts: 3 blocking driver round-trips
+       per dimension, 8 jobs per query — all gone);
     2. per-partition row_number (parallel windows, one per partition)
-       plus a driver-side prefix sum of the partition counts — a
-       RFM_RANK_PARTS-integer collect, the same sanctioned driver
-       decision point as k-means centroids — gives each row its exact
-       global rank;
-    3. ntile arithmetic on the rank: the first (total % n) buckets take
-       ceil(total/n) rows, the rest floor(total/n) — bit-identical to
-       the SQL ntile the oracle runs.
+       plus a prefix sum over the RFM_RANK_PARTS-row partition-count
+       aggregate (a SinglePartition window over an aggregate-sized
+       relation — the sanctioned tiny-relation shape, same as
+       corpus_temperature_mixing's 5-row window) broadcast-joined back
+       on __pid gives each row its exact global rank, driver-free;
+    3. ntile arithmetic on the rank in exact integer math: the first
+       (total % n) buckets take ceil(total/n) rows, the rest
+       floor(total/n) — bit-identical to the SQL ntile the oracle runs
+       (integer ceil-div replaces the old double-divide F.ceil, which
+       would lose exactness past 2^53 ranks).
 
     Input must be totally ordered by order_cols (unique tiebreaker);
     cost is one narrow pass over |df| per dimension, never a funnel of
     the whole relation through one task."""
-    part = (
-        df.repartitionByRange(RFM_RANK_PARTS, *order_cols)
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+    part = df.repartitionByRange(RFM_RANK_PARTS, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
     )
-    counts = sorted(
-        (r["__pid"], r["c"])
-        for r in part.groupBy("__pid").agg(F.count("*").alias("c")).collect()
+    counts = part.groupBy("__pid").agg(F.count("*").alias("c"))
+    offs = counts.select(
+        "__pid",
+        F.coalesce(
+            F.sum("c").over(
+                W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("__off"),
+        F.sum("c").over(W.partitionBy()).alias("__total"),
     )
-    total = sum(c for _, c in counts)
-    offsets: dict[int, int] = {}
-    acc = 0
-    for pid, c in counts:
-        offsets[pid] = acc
-        acc += c
-    off = F.create_map(*[F.lit(v) for kv in offsets.items() for v in kv])
     local = F.row_number().over(W.partitionBy("__pid").orderBy(*order_cols))
-    rank = off[F.col("__pid")] + local
-    big = -(-total // n)  # ceil(total / n)
-    small = max(total // n, 1)
-    n_big = total % n
-    bucket = (
-        F.when(rank <= n_big * big, F.ceil(rank / F.lit(big)))
-        .otherwise(n_big + F.ceil((rank - n_big * big) / F.lit(small)))
-        .cast("int")
+    ranked = part.join(F.broadcast(offs), "__pid").select(
+        F.col(key),
+        (F.col("__off") + local).alias("__rank"),
+        F.col("__total"),
     )
-    return part.select(F.col(key), bucket.alias(alias))
+    # big = ceil(total/n); small = max(floor(total/n), 1); the first
+    # (total % n) buckets hold `big` rows, the rest `small` — integer
+    # ceil-div (a + b - 1) div b throughout
+    bucket = (
+        f"CASE WHEN __rank <= (__total % {n}) * ((__total + {n - 1}) div {n}) "
+        f"THEN (__rank + ((__total + {n - 1}) div {n}) - 1) "
+        f"       div ((__total + {n - 1}) div {n}) "
+        f"ELSE (__total % {n}) "
+        f"     + ((__rank - (__total % {n}) * ((__total + {n - 1}) div {n})) "
+        f"        + greatest(__total div {n}, 1) - 1) "
+        f"       div greatest(__total div {n}, 1) END"
+    )
+    return ranked.select(
+        F.col(key), F.expr(bucket).cast("int").alias(alias)
+    )
 
 
 @query(
@@ -397,9 +411,7 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
         .cast("double")
         .alias("spend"),
-    # the rollup feeds three rank passes + the final join: materialize it
-    # once (|customers| rows) instead of re-aggregating orders four times
-    ).localCheckpoint(eager=True)
+    )
     r = _parallel_ntile(
         per_cust, RFM_BUCKETS, [F.desc("last_order"), F.asc("o_custkey")],
         "o_custkey", "r",

