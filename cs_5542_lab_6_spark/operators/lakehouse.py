@@ -598,14 +598,30 @@ def scd2_apply_delta(dim: DataFrame, delta: DataFrame) -> DataFrame:
     rebuild."""
     w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     affected = delta.select("o_custkey").distinct()
-    # closed versions are immutable; open versions of UNAFFECTED
-    # customers also pass through
-    untouched = dim.join(F.broadcast(affected), "o_custkey", "left_anti")
-    closed_of_affected = dim.join(F.broadcast(affected), "o_custkey").filter(
-        ~F.col("is_current")
+    # r16 (guide §2.3/§2.4): the r9-r15 shape instantiated the dimension
+    # subtree FOUR times (anti-join pass-through, closed-of-affected,
+    # open rows, and the voffset broadcast) — four full scans of what is
+    # the 100 TB relation here. Two remain, the structural minimum for
+    # this merge: one pass-through scan that keeps every row except the
+    # open versions of affected customers (one broadcast left join +
+    # filter replaces the former anti-join + inner-join pair), and one
+    # is_current-pruned scan for the open versions. The voffset no
+    # longer needs its own dim instantiation at all: the seed row
+    # CARRIES version-1 into the mini relation and a max() window over
+    # the customer partition (same key as the lag/renumber windows —
+    # zero extra exchange) propagates it to the customer's delta rows;
+    # customers with no seed row are fresh and keep 0.
+    untouched_and_closed = (
+        dim.join(
+            F.broadcast(affected.withColumn("_aff", F.lit(1))),
+            "o_custkey",
+            "left",
+        )
+        .filter(~(F.col("_aff").isNotNull() & F.col("is_current")))
+        .drop("_aff")
     )
-    open_rows = dim.join(F.broadcast(affected), "o_custkey").filter(
-        F.col("is_current")
+    open_rows = dim.filter(F.col("is_current")).join(
+        F.broadcast(affected), "o_custkey"
     )
 
     # seed: the open version re-enters the change stream as a pseudo
@@ -617,18 +633,19 @@ def scd2_apply_delta(dim: DataFrame, delta: DataFrame) -> DataFrame:
         F.lit(-1).cast("long").alias("o_orderkey"),
         (F.col("version") - 1).alias("voffset"),
     )
-    delta_in = delta.join(
-        F.broadcast(open_rows.select("o_custkey", (F.col("version") - 1).alias("voffset"))),
-        "o_custkey",
-        "left",
-    ).select(
+    delta_in = delta.select(
         "o_custkey",
         "o_orderpriority",
         "o_orderdate",
         "o_orderkey",
-        F.coalesce(F.col("voffset"), F.lit(0)).alias("voffset"),
+        F.lit(0).cast(seed.schema["voffset"].dataType).alias("voffset"),
     )
-    mini = seed.unionByName(delta_in)
+    mini = seed.unionByName(delta_in).withColumn(
+        # constant per customer: the seed row's version-1 when the
+        # customer has history, 0 for fresh customers
+        "voffset",
+        F.max("voffset").over(W.partitionBy("o_custkey")),
+    )
     mini_changes = (
         mini.withColumn("prev_prio", F.lag("o_orderpriority").over(w))
         .filter(
@@ -645,8 +662,6 @@ def scd2_apply_delta(dim: DataFrame, delta: DataFrame) -> DataFrame:
         F.lead("o_orderdate").over(w).alias("valid_to"),
         F.lead("o_orderdate").over(w).isNull().alias("is_current"),
     )
-    return (
-        untouched.unionByName(closed_of_affected)
-        .unionByName(reopened)
-        .orderBy("o_custkey", "version")
+    return untouched_and_closed.unionByName(reopened).orderBy(
+        "o_custkey", "version"
     )
