@@ -64,6 +64,13 @@ def get_spark(
         .config("spark.sql.python.filterPushdown.enabled", "true")
         # --- scan sizing: 128MB splits is the parquet sweet spot ---------
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # --- parquet codec: zstd (guide §6) — smaller than snappy at
+        # similar read speed; applies to everything the engine writes
+        # (warehouse stages, streaming workdirs). Measured at sf0.1:
+        # warehouse 97MB -> 56MB, cold build and warm-scan timings at
+        # parity (see OPTIMIZATION_r16.md) — the win is I/O bytes, which
+        # is the 100 TB bottleneck, not this VM's page cache.
+        .config("spark.sql.parquet.compression.codec", "zstd")
         # --- broadcast threshold: dims (region/nation/supplier) broadcast
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # --- concurrent-job fairness: the warehouse build runs stage
