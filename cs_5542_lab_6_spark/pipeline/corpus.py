@@ -1219,6 +1219,52 @@ def _kg_und_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kg_und_occurrences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same relation as ``_kg_und_raw`` (both orientations, unaggregated)
+    but produced from ONE pass over the canonical rows: each row is
+    exploded map-side into its two orientations instead of instantiating
+    the source twice under a union (guide §2.1 — when warm that halves
+    the kg_edges checkpoint scans; cold it halves the pair self-joins).
+    Use this when no seed predicate needs to reach the scan per
+    orientation; ``_kg_und_raw`` remains for consumers that push an
+    endpoint filter into each union branch."""
+    pe = _warm_path(sf_dir, "kg_edges", spark)
+    if pe:
+        e = spark.read.parquet(pe).select(
+            F.col("source_node_id").alias("src"),
+            F.col("target_node_id").alias("tgt"),
+            "weight",
+        )
+    else:
+        ents = chunk_entities_df(spark, sf_dir).select("chunk_id", "node_id")
+        a, b = ents.alias("a"), ents.alias("b")
+        e = a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.node_id") < F.col("b.node_id")),
+        ).select(
+            F.col("a.node_id").alias("src"),
+            F.col("b.node_id").alias("tgt"),
+            F.lit(1.0).alias("weight"),
+        )
+    return e.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("src").alias("src"),
+                    F.col("tgt").alias("tgt"),
+                    F.col("weight").alias("weight"),
+                ),
+                F.struct(
+                    F.col("tgt").alias("src"),
+                    F.col("src").alias("tgt"),
+                    F.col("weight").alias("weight"),
+                ),
+            )
+        ).alias("o")
+    ).select("o.src", "o.tgt", "o.weight")
+
+
 @query(
     "kg_two_hop",
     oracle=f"""
@@ -1268,17 +1314,50 @@ def kg_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     the (tiny) hop-1 frontier, hash-joins it into the raw relation
     map-side, and only then aggregates per (src, tgt) — so the one real
     shuffle carries frontier-incident rows, never the full graph. The old
-    plan aggregated the complete edge relation up to three times."""
-    und = _kg_und_raw(spark, sf_dir)
+    plan aggregated the complete edge relation up to three times.
+
+    Warm fast path (r16, guide §2.1/§6.3): kg_edges rows are per-paper
+    (keyed (src, tgt, paper_id)) in canonical src < tgt orientation. The
+    generic shape reads the checkpoint FOUR times — the both-orientation
+    union instantiated separately under hop 1 and hop 2. Instead: hop 1
+    is ONE scan with the seed filter OR-pushed to parquet over both
+    endpoint columns (seed sits on exactly one side of a canonical row,
+    so summing weight per other-endpoint is the same h1w); hop 2 is ONE
+    scan exploded into both orientations map-side and hash-joined
+    against the broadcast frontier. 4 scans -> 2; the aggregation
+    structure (and its frontier-restriction-below-aggregation shape) is
+    unchanged. Row-identity with the cold derivation is pinned in
+    tests/test_ingest.py::test_warm_warehouse_queries_equal_cold."""
     seed = "node_spark"
-    hop1 = (
-        und.filter(F.col("src") == seed)
-        .groupBy(F.col("tgt").alias("node_id"))
-        .agg(F.sum("weight").alias("h1w"))
-    )
-    front = F.broadcast(hop1)
+    pe = _warm_path(sf_dir, "kg_edges", spark)
+    if pe:
+        e = spark.read.parquet(pe)
+        hop1 = (
+            e.filter(
+                (F.col("source_node_id") == seed)
+                | (F.col("target_node_id") == seed)
+            )
+            .select(
+                F.when(
+                    F.col("source_node_id") == seed, F.col("target_node_id")
+                )
+                .otherwise(F.col("source_node_id"))
+                .alias("node_id"),
+                "weight",
+            )
+            .groupBy("node_id")
+            .agg(F.sum("weight").alias("h1w"))
+        )
+    else:
+        hop1 = (
+            _kg_und_raw(spark, sf_dir)
+            .filter(F.col("src") == seed)
+            .groupBy(F.col("tgt").alias("node_id"))
+            .agg(F.sum("weight").alias("h1w"))
+        )
+    both = _kg_und_occurrences(spark, sf_dir)
     hop2 = (
-        und.join(front, und.src == front.node_id)
+        both.join(F.broadcast(hop1), both.src == F.col("node_id"))
         .filter(F.col("tgt") != seed)
         .groupBy("src", "tgt", "h1w")
         .agg(F.sum("weight").alias("w2"))

@@ -35,6 +35,7 @@ from .corpus import (
     _CORPUS_CTES,
     KG_MIN_NAME_LENGTH,
     _kg_relations,
+    _kg_und_occurrences,
     _warm_path,
     chunk_entities_df,
     chunks_source,
@@ -217,30 +218,25 @@ def eval_rag_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     nseed = seeds.groupBy("qid").agg(F.count("*").alias("n_seed"))
-    edges, firsts = _kg_relations(spark, sf_dir)
-    # the whole report stays ONE lazy plan: the branches that re-read a
-    # relation (the bridge distinct, the seed-node set, the two top-k
-    # sets) compile to identical exchanges that Catalyst's
-    # ReuseExchangeAndSubquery computes once — measured equal to
-    # explicit localCheckpoint cuts at sf0.1, without the AQE
-    # materialize-at-construction jobs a checkpoint triggers
+    _, firsts = _kg_relations(spark, sf_dir)
     seed_nodes = (
         F.broadcast(seeds)
         .join(firsts, "name_normalized")
         .select("qid", "node_id")
         .distinct()
     )
-    e = edges.select("source_node_id", "target_node_id")
+    # 1-hop neighbors from the UNAGGREGATED both-orientation occurrence
+    # relation (one kg_edges scan via map-side orientation explode, r16):
+    # `related` only needs DISTINCT neighbor ids, so the per-(src,tgt)
+    # weight aggregation the old `_kg_relations().edges` paid — twice,
+    # once per orientation branch — was a pure extra shuffle; the final
+    # .distinct() below is the only dedup the semantics need.
+    und = _kg_und_occurrences(spark, sf_dir)
     related = (
         seed_nodes.unionAll(
             F.broadcast(seed_nodes)
-            .join(e, seed_nodes.node_id == e.source_node_id)
-            .select("qid", F.col("target_node_id").alias("node_id"))
-        )
-        .unionAll(
-            F.broadcast(seed_nodes)
-            .join(e, seed_nodes.node_id == e.target_node_id)
-            .select("qid", F.col("source_node_id").alias("node_id"))
+            .join(und, seed_nodes.node_id == und.src)
+            .select("qid", F.col("tgt").alias("node_id"))
         )
         .distinct()
     )
@@ -264,39 +260,53 @@ def eval_rag_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "chunk_id")
     )
 
-    # --- per-question report (every relation here is <= |Q| * k rows) --
-    nv = vtop.groupBy("qid").agg(F.count("*").alias("n_vector"))
-    ng = gtop.groupBy("qid").agg(F.count("*").alias("n_graph"))
-    nov = (
-        vtop.join(gtop, ["qid", "chunk_id"])
-        .groupBy("qid")
-        .agg(F.count("*").alias("n_overlap"))
+    # --- per-question report in ONE aggregation pass (r16, guide §2.4) --
+    # The old report instantiated each top-k subtree THREE times (its
+    # count, the overlap join, its coverage join — six heavy subtrees,
+    # seven small joins, relying on ReusedExchange to dedupe the work).
+    # Instead: tag the two retrieved sets, left-join the seed-node/bridge
+    # match once, and compute every metric in a single grouped pass —
+    # the overlap via the set identity |V∩G| = |V| + |G| − |V∪G|. Each
+    # retrieved set is distinct (qid, chunk_id) by construction
+    # (row_number ≤ k), so the per-mode distinct chunk counts equal the
+    # old per-mode row counts exactly.
+    modes = vtop.withColumn("mode", F.lit("v")).unionByName(
+        gtop.withColumn("mode", F.lit("g"))
     )
-
-    def _coverage(top: DataFrame, alias: str) -> DataFrame:
-        return (
-            seed_nodes.join(bridge, "node_id")
-            .join(top, ["qid", "chunk_id"])
-            .groupBy("qid")
-            .agg(F.countDistinct("node_id").alias(alias))
+    match = bridge.join(F.broadcast(seed_nodes), "node_id").select(
+        "qid", "chunk_id", "node_id"
+    )
+    rep = (
+        modes.join(F.broadcast(match), ["qid", "chunk_id"], "left")
+        .groupBy("qid")
+        .agg(
+            F.countDistinct(
+                F.when(F.col("mode") == "v", F.col("chunk_id"))
+            ).alias("n_vector"),
+            F.countDistinct(
+                F.when(F.col("mode") == "g", F.col("chunk_id"))
+            ).alias("n_graph"),
+            F.countDistinct("chunk_id").alias("n_union"),
+            F.countDistinct(
+                F.when(F.col("mode") == "v", F.col("node_id"))
+            ).alias("v_cov"),
+            F.countDistinct(
+                F.when(F.col("mode") == "g", F.col("node_id"))
+            ).alias("g_cov"),
         )
-
-    vcov = _coverage(vtop, "v_cov")
-    gcov = _coverage(gtop, "g_cov")
+    )
 
     out = (
         qdf.select("qid", "question")
         .join(nseed, "qid")
-        .join(nv, "qid", "left")
-        .join(ng, "qid", "left")
-        .join(nov, "qid", "left")
-        .join(vcov, "qid", "left")
-        .join(gcov, "qid", "left")
-        .na.fill(
-            0, ["n_vector", "n_graph", "n_overlap", "v_cov", "g_cov"]
+        .join(rep, "qid", "left")
+        .na.fill(0, ["n_vector", "n_graph", "n_union", "v_cov", "g_cov"])
+        .withColumn(
+            "n_overlap",
+            F.col("n_vector") + F.col("n_graph") - F.col("n_union"),
         )
     )
-    union_sz = F.col("n_vector") + F.col("n_graph") - F.col("n_overlap")
+    union_sz = F.col("n_union")
     return out.select(
         F.sha2(F.col("question"), 256).alias("log_id"),
         "qid",

@@ -59,19 +59,64 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _run_to_memory(sdf: DataFrame, base: str, mode: str) -> DataFrame:
+STREAM_STATE_TARGET_BYTES = 32 * 1024 * 1024
+
+
+def _stream_state_partitions(spark: SparkSession, sf_dir: str) -> int | None:
+    """Scale-adaptive state-store width for the bounded event streams
+    (guide §2.2: derive partitioning from input size, never a constant).
+
+    A stateful streaming query plans its shuffles with
+    ``spark.sql.shuffle.partitions`` AT QUERY START, bakes that count
+    into the checkpoint, and is exempt from AQE coalescing — so the
+    session default (sized to cluster cores for batch work) is wrong at
+    both ends: a 2 MB fixture pays 32 state-store instances, delta files
+    and fsyncs per trigger, while a 100 TB keyspace would want far more
+    than the local core count. Derivation: one state partition per
+    {STREAM_STATE_TARGET_BYTES} of bounded source, clamped to
+    [1, session shuffle partitions] — locally that is 1-2 partitions; at
+    scale the clamp lands on the cluster-sized session value.
+    $SPARK_GRAFT_STREAM_STATE_PARTS overrides both (unbounded production
+    sources have no file size; their width is a capacity decision).
+    Results are invariant to the width — the aggregations/dedup/join
+    semantics are partition-count independent (oracle-pinned), only the
+    per-trigger fixed cost changes."""
+    env = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTS")
+    if env:
+        return max(1, int(env))
+    try:
+        nbytes = os.path.getsize(os.path.join(sf_dir, "events.parquet"))
+    except OSError:
+        return None
+    session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return max(1, min(session_parts, -(-nbytes // STREAM_STATE_TARGET_BYTES)))
+
+
+def _run_to_memory(
+    sdf: DataFrame, base: str, mode: str, sf_dir: str | None = None
+) -> DataFrame:
     """Execute a bounded streaming query to completion (availableNow) and
-    return the materialized memory-sink table."""
+    return the materialized memory-sink table. With ``sf_dir`` the
+    stateful shuffle width is derived from the source size (see
+    ``_stream_state_partitions``) for the duration of the run; the
+    session conf is restored afterwards."""
     name = f"{base}_{next(_RUN_IDS)}"
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
     spark = sdf.sparkSession
+    parts = _stream_state_partitions(spark, sf_dir) if sf_dir else None
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        if parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
     return spark.table(name)
 
 
@@ -98,7 +143,7 @@ def stream_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
         .agg(F.count("*").alias("n_events"), _dsum("value", "total_value"))
     )
-    out = _run_to_memory(agg, "stream_tumbling_daily", "complete")
+    out = _run_to_memory(agg, "stream_tumbling_daily", "complete", sf_dir)
     return out.select(
         F.col("w.start").alias("window_start"),
         F.col("w.end").alias("window_end"),
@@ -136,7 +181,7 @@ def stream_tumbling_daily_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
         .agg(F.count("*").alias("n_events"))
     )
-    out = _run_to_memory(agg, "stream_tumbling_append", "append")
+    out = _run_to_memory(agg, "stream_tumbling_append", "append", sf_dir)
     return out.select(
         F.col("w.start").alias("window_start"),
         F.col("w.end").alias("window_end"),
@@ -162,7 +207,7 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = stream_events(spark, sf_dir)
     doubled = ev.unionByName(ev).withWatermark("ts", WATERMARK_DELAY)
     deduped = doubled.dropDuplicatesWithinWatermark(["event_id"])
-    out = _run_to_memory(deduped, "stream_dedup", "append")
+    out = _run_to_memory(deduped, "stream_dedup", "append", sf_dir)
     return out.select("event_id", "user_id", "event_type", "value").orderBy("event_id")
 
 
@@ -210,7 +255,7 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("user_id", F.session_window("ts", SESSION_GAP).alias("w"))
         .agg(F.count("*").alias("n_events"), _dsum("value", "total_value"))
     )
-    out = _run_to_memory(agg, "stream_session", "complete")
+    out = _run_to_memory(agg, "stream_session", "complete", sf_dir)
     return out.select(
         "user_id",
         F.col("w.start").alias("session_start"),
@@ -278,7 +323,7 @@ def stream_user_stats_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    out = _run_to_memory(emitted, "stream_user_stats", "update")
+    out = _run_to_memory(emitted, "stream_user_stats", "update", sf_dir)
     return (
         out.groupBy("user_id")
         .agg(
@@ -341,7 +386,7 @@ def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {JOIN_WINDOW}")),
         "inner",
     )
-    out = _run_to_memory(joined, "stream_join", "append")
+    out = _run_to_memory(joined, "stream_join", "append", sf_dir)
     return out.select(
         "click_id",
         "purchase_id",
@@ -430,7 +475,7 @@ def stream_user_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         _dsum("value", "total_value"),
     )
-    out = _run_to_memory(agg, "user_enriched", "complete")
+    out = _run_to_memory(agg, "user_enriched", "complete", sf_dir)
     return out.orderBy("event_type", "user_tier")
 
 
@@ -575,7 +620,7 @@ def stream_user_top_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
-    out = _run_to_memory(emitted, "stream_top_purchases", "update")
+    out = _run_to_memory(emitted, "stream_top_purchases", "update", sf_dir)
     return (
         out.groupBy("user_id")
         .agg(
