@@ -92,6 +92,49 @@ def _stream_state_partitions(spark: SparkSession, sf_dir: str) -> int | None:
     return max(1, min(session_parts, -(-nbytes // STREAM_STATE_TARGET_BYTES)))
 
 
+def _dir_bytes(*paths: str) -> int:
+    total = 0
+    for p in paths:
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+    return total
+
+
+class _shuffle_width:
+    """Temporarily set ``spark.sql.shuffle.partitions`` to a width derived
+    from the bytes under ``paths`` (one partition per
+    {STREAM_STATE_TARGET_BYTES}, clamped to [1, session width]) — the
+    same input-size derivation as ``_stream_state_partitions``, for the
+    foreachBatch micro-batch plans and their result pins: their
+    localCheckpoint/RDD materializations bypass AQE coalescing entirely
+    (profiled: a 32-task 0.4-0.5s job per micro-batch materializing a
+    ~250-row verdict relation), so the width must be right at plan time,
+    not fixed up at runtime. No-op (session width) when the dirs do not
+    exist yet."""
+
+    def __init__(self, spark: SparkSession, *paths: str) -> None:
+        self.spark = spark
+        session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        nbytes = _dir_bytes(*paths)
+        self.width = (
+            max(1, min(session_parts, -(-nbytes // STREAM_STATE_TARGET_BYTES)))
+            if nbytes
+            else session_parts
+        )
+
+    def __enter__(self) -> "_shuffle_width":
+        self.saved = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.width))
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.saved)
+
+
 def _run_to_memory(
     sdf: DataFrame, base: str, mode: str, sf_dir: str | None = None
 ) -> DataFrame:
@@ -799,13 +842,16 @@ def scd2_stream_run(
         .option("maxFilesPerTrigger", files_per_trigger)
         .parquet(delta_dir)
     )
-    q = (
-        sdf.writeStream.foreachBatch(_apply)
-        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # micro-batch plans are |batch|-sized: plan them (and their versioned
+    # dim writes) at an input-derived width, not the batch-engine default
+    with _shuffle_width(spark, delta_dir, dim0):
+        q = (
+            sdf.writeStream.foreachBatch(_apply)
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     # The final version is whatever the highest committed batch produced —
     # read it off disk rather than a driver counter so a kept-checkpoint
     # resume (which replays only a suffix of batches) still reports the
@@ -1032,13 +1078,16 @@ def dedup_admission_stream_run(
         .option("maxFilesPerTrigger", 1)
         .parquet(arrivals_dir)
     )
-    q = (
-        sdf.writeStream.foreachBatch(_screen)
-        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # micro-batch screens are |batch|-sized (the index side broadcasts
+    # nothing and never shuffles): plan them at an input-derived width
+    with _shuffle_width(spark, arrivals_dir):
+        q = (
+            sdf.writeStream.foreachBatch(_screen)
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return len(glob.glob(os.path.join(workdir, "verdicts", "b*")))
 
 
@@ -1069,11 +1118,13 @@ def stream_dedup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     workdir = tempfile.mkdtemp(prefix="dedup_admission_")
     try:
         dedup_admission_stream_run(spark, sf_dir, workdir)
-        out = (
-            spark.read.parquet(os.path.join(workdir, "verdicts", "b*"))
-            .orderBy("new_doc_id")
-            .localCheckpoint(eager=True)
-        )
+        vdir = os.path.join(workdir, "verdicts")
+        with _shuffle_width(spark, vdir):
+            out = (
+                spark.read.parquet(os.path.join(vdir, "b*"))
+                .orderBy("new_doc_id")
+                .localCheckpoint(eager=True)
+            )
         return out
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
@@ -1120,11 +1171,13 @@ def stream_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     workdir = tempfile.mkdtemp(prefix="scd2_stream_")
     try:
         final_v = scd2_stream_run(spark, sf_dir, workdir)
-        out = (
-            spark.read.parquet(os.path.join(workdir, f"dim_v{final_v}"))
-            .orderBy("o_custkey", "version")
-            .localCheckpoint(eager=True)
-        )
+        vdir = os.path.join(workdir, f"dim_v{final_v}")
+        with _shuffle_width(spark, vdir):
+            out = (
+                spark.read.parquet(vdir)
+                .orderBy("o_custkey", "version")
+                .localCheckpoint(eager=True)
+            )
         return out
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
