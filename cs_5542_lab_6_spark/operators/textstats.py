@@ -159,6 +159,39 @@ def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EN_STOP_DUCK = _duck_count_in_set("w", LANG_STOPWORDS["en"])
 
 
+def _heur_sig_cols(text, toks) -> tuple:
+    """(n_tokens, punct_ratio, stopword_ratio) — the heuristic quality
+    signals, ratios rounded to 4 decimals (the score formula consumes the
+    ROUNDED ratios, part of the pinned contract). Shared by
+    ``doc_quality_scores`` and the fused single-pass
+    ``quality_calibration_bins``."""
+    n_chars = F.length(text)
+    n_tokens = F.size(toks)
+    punct = F.length(F.regexp_replace(text, r"[a-zA-Z0-9\s]", ""))
+    punct_ratio = F.round(
+        F.when(n_chars > 0, punct.cast("double") / n_chars).otherwise(0.0), 4
+    )
+    stopword_ratio = F.round(
+        F.when(
+            n_tokens > 0,
+            _count_in_set(toks, LANG_STOPWORDS["en"]).cast("double") / n_tokens,
+        ).otherwise(0.0),
+        4,
+    )
+    return n_tokens, punct_ratio, stopword_ratio
+
+
+def _heur_score(n_tokens, punct_ratio, stopword_ratio):
+    """The composite heuristic score over the (rounded) signal columns."""
+    return F.round(
+        0.4 * F.least(F.lit(1.0), n_tokens / 100.0)
+        + 0.3 * (1.0 - F.least(F.lit(1.0), punct_ratio * 5.0))
+        + 0.3 * F.least(F.lit(1.0), stopword_ratio * 10.0),
+        4,
+    )
+
+
+
 @query(
     "doc_quality_scores",
     oracle=f"""
@@ -202,31 +235,19 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     (data/ingestion.py:117-122) generalized to a graded signal."""
     docs = load_table(spark, sf_dir, "documents")
     toks = words(F.lower(F.col("text")))
-    n_chars = F.length("text")
-    n_tokens = F.size(toks)
-    punct = F.length(F.regexp_replace("text", r"[a-zA-Z0-9\s]", ""))
+    n_tokens, punct_ratio, stopword_ratio = _heur_sig_cols(
+        F.col("text"), toks
+    )
     sig = docs.select(
         "doc_id",
         "lang",
         "source",
-        n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
-        F.round(
-            F.when(n_chars > 0, punct.cast("double") / n_chars).otherwise(0.0), 4
-        ).alias("punct_ratio"),
-        F.round(
-            F.when(
-                n_tokens > 0,
-                _count_in_set(toks, LANG_STOPWORDS["en"]).cast("double") / n_tokens,
-            ).otherwise(0.0),
-            4,
-        ).alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        stopword_ratio.alias("stopword_ratio"),
     )
-    score = F.round(
-        0.4 * F.least(F.lit(1.0), F.col("n_tokens") / 100.0)
-        + 0.3 * (1.0 - F.least(F.lit(1.0), F.col("punct_ratio") * 5.0))
-        + 0.3 * F.least(F.lit(1.0), F.col("stopword_ratio") * 10.0),
-        4,
+    score = _heur_score(
+        F.col("n_tokens"), F.col("punct_ratio"), F.col("stopword_ratio")
     )
     return sig.select(
         "doc_id",
@@ -487,6 +508,45 @@ def doc_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 CLS_BUCKETS = 2001
 
 
+def _cls_feature_cols(h) -> tuple:
+    """(n_features, wsum) for the hashed unigram+bigram linear scorer
+    over a MATERIALIZED token-hash array column ``h`` (the HOF-inlining
+    rule applies: pass a named-column reference, never the hashing
+    expression itself — see the classifier docstring). Shared by
+    ``doc_quality_classifier`` and the fused single-pass
+    ``quality_calibration_bins``."""
+    n = F.size(h)
+    w_uni = F.aggregate(
+        F.transform(h, lambda x: x % CLS_BUCKETS - CLS_BUCKETS // 2),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w_bi = F.when(
+        n >= 2,
+        F.aggregate(
+            F.sequence(F.lit(1), n - 1),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc
+            + (
+                (F.element_at(h, i) * 31 + F.element_at(h, i + 1))
+                % CLS_BUCKETS
+                - CLS_BUCKETS // 2
+            ),
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    n_features = n + F.when(n >= 2, n - 1).otherwise(F.lit(0))
+    return n_features, w_uni + w_bi
+
+
+def _cls_score(n_features, wsum):
+    """The rational-squash classifier score over (n_features, wsum)."""
+    raw = F.when(
+        n_features > 0,
+        wsum.cast("double") / (n_features * float(CLS_BUCKETS // 2)),
+    ).otherwise(F.lit(0.0))
+    return F.lit(0.5) + raw / (F.lit(2.0) * (F.lit(1.0) + F.abs(raw)))
+
+
 @query(
     "doc_quality_classifier",
     oracle=f"""
@@ -560,41 +620,15 @@ def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.transform(words(F.lower(F.col("text"))), token_hash).alias("h"),
     )
-    n = F.size("h")
-    w_uni = F.aggregate(
-        F.transform("h", lambda x: x % CLS_BUCKETS - CLS_BUCKETS // 2),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    w_bi = F.when(
-        n >= 2,
-        F.aggregate(
-            F.sequence(F.lit(1), n - 1),
-            F.lit(0).cast("long"),
-            lambda acc, i: acc
-            + (
-                (
-                    F.element_at(F.col("h"), i) * 31
-                    + F.element_at(F.col("h"), i + 1)
-                )
-                % CLS_BUCKETS
-                - CLS_BUCKETS // 2
-            ),
-        ),
-    ).otherwise(F.lit(0).cast("long"))
+    n_features, wsum = _cls_feature_cols(F.col("h"))
     scored = hashed.select(
         "doc_id",
         "source",
         "lang",
-        (n + F.when(n >= 2, n - 1).otherwise(F.lit(0))).alias("n_features"),
-        (w_uni + w_bi).alias("wsum"),
+        n_features.alias("n_features"),
+        wsum.alias("wsum"),
     )
-    raw = F.when(
-        F.col("n_features") > 0,
-        F.col("wsum").cast("double")
-        / (F.col("n_features") * float(CLS_BUCKETS // 2)),
-    ).otherwise(F.lit(0.0))
-    score = F.lit(0.5) + raw / (F.lit(2.0) * (F.lit(1.0) + F.abs(raw)))
+    score = _cls_score(F.col("n_features"), F.col("wsum"))
     return scored.select(
         "doc_id",
         "source",
@@ -1681,18 +1715,45 @@ def _register_quality_calibration_bins() -> None:
         DECIMAL(14,4) casts of the already-4-dec-rounded per-doc scores,
         so the sums are order-independent and engine-exact.
 
-        Scale shape: both scorers are single-pass narrow projections
-        over the same documents scan; the join is doc_id-keyed and the
+        Scale shape (r16): both scorers are single-pass narrow
+        projections over the SAME documents scan, one row per doc_id —
+        so the doc_id join of the two registered queries is computable
+        as a single fused pass with zero joins and zero extra scans
+        (the expressions are the scorers' own, shared via
+        ``_heur_sig_cols``/``_heur_score`` and
+        ``_cls_feature_cols``/``_cls_score``, so the definitions cannot
+        fork; the composed two-query oracle pins the equivalence). The
         report collapses to {CAL_BINS} rows in one hash aggregation."""
-        model = doc_quality_classifier(spark, sf_dir).select(
-            "doc_id",
-            F.col("quality_score").alias("m_score"),
-            (F.col("decision") == "keep").alias("keep"),
+        docs = load_table(spark, sf_dir, "documents")
+        base = docs.select(
+            "doc_id", "text", words(F.lower(F.col("text"))).alias("w")
         )
-        heur = doc_quality_scores(spark, sf_dir).select(
-            "doc_id", F.col("quality_score").alias("h_score")
+        # token-hash array materialized as a named column BEFORE any
+        # lambda indexes into it (the classifier's HOF-inlining rule)
+        hashed = base.select(
+            "doc_id", "text", "w", F.transform("w", token_hash).alias("h")
         )
-        joined = model.join(heur, "doc_id").select(
+        n_tokens, punct_ratio, stopword_ratio = _heur_sig_cols(
+            F.col("text"), F.col("w")
+        )
+        n_features, wsum = _cls_feature_cols(F.col("h"))
+        sig = hashed.select(
+            n_tokens.alias("n_tokens"),
+            punct_ratio.alias("punct_ratio"),
+            stopword_ratio.alias("stopword_ratio"),
+            n_features.alias("n_features"),
+            wsum.alias("wsum"),
+        )
+        m_raw = _cls_score(F.col("n_features"), F.col("wsum"))
+        joined = sig.select(
+            F.round(m_raw, 4).alias("m_score"),
+            _heur_score(
+                F.col("n_tokens"),
+                F.col("punct_ratio"),
+                F.col("stopword_ratio"),
+            ).alias("h_score"),
+            (m_raw >= 0.5).alias("keep"),
+        ).select(
             F.least(
                 F.floor(F.col("m_score") * CAL_BINS).cast("int"),
                 F.lit(CAL_BINS - 1),
