@@ -1408,14 +1408,46 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lsh": ann_lsh_topk(spark, sf_dir).select("qid", "vec_id"),
         "lsh_mp": ann_lsh_multiprobe_topk(spark, sf_dir).select("qid", "vec_id"),
     }
-    per_method = [
-        truth.join(df.withColumn("hit", F.lit(1)), ["qid", "vec_id"], "left")
+    # ONE pass (r16, the eval_rag_comparison pattern): the truth subtree
+    # — a corpus-wide exact scoring — appeared once per method branch
+    # and relied on ReusedExchange to execute once; instead left-join
+    # the union-tagged method lists (each ≤ |Q|·k rows, broadcast) into
+    # a SINGLE truth instantiation and count per-method matches
+    # conditionally. Each method list is distinct (qid, vec_id) by
+    # construction (row_number ≤ k), so a truth row fans out at most
+    # once per method and the conditional counts equal the old per-
+    # method join counts exactly; stack() re-emits one row per
+    # (qid, method) including the n_hits = 0 ones the old left joins
+    # produced.
+    methods = sorted(approx)
+    preds = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            df.withColumn("method", F.lit(m))
+            for m, df in sorted(approx.items())
+        ],
+    )
+    per_qid = (
+        truth.join(F.broadcast(preds), ["qid", "vec_id"], "left")
         .groupBy("qid")
-        .agg(F.count("hit").alias("n_hits"))
-        .select("qid", F.lit(method).alias("method"), "n_hits")
-        for method, df in sorted(approx.items())
-    ]
-    hits = reduce(lambda a, b: a.unionByName(b), per_method)
+        .agg(
+            *[
+                F.count(F.when(F.col("method") == m, F.lit(1))).alias(
+                    f"nh_{i}"
+                )
+                for i, m in enumerate(methods)
+            ]
+        )
+    )
+    stack_args = ", ".join(
+        f"'{m}', nh_{i}" for i, m in enumerate(methods)
+    )
+    hits = per_qid.select(
+        "qid",
+        F.expr(
+            f"stack({len(methods)}, {stack_args}) AS (method, n_hits)"
+        ),
+    )
     return hits.select(
         "qid",
         "method",
@@ -2308,26 +2340,46 @@ def ann_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("ivf_pq", ann_ivf_pq_topk(spark, sf_dir)),
     )
 
-    def hit_rows(method: str, cand: DataFrame) -> DataFrame:
-        hit = cand.select("qid", "vec_id").withColumn("_h", F.lit(1))
-        return (
-            truth.join(hit, ["qid", "vec_id"], "left")
-            .groupBy("qid")
-            .agg(
-                F.lit(method).alias("method"),
-                F.sum(F.coalesce(F.col("_h"), F.lit(0)))
-                .cast("bigint")
-                .alias("n_hits"),
-                F.round(
-                    F.sum(F.coalesce(F.col("_h"), F.lit(0))).cast("double") / TOP_K,
-                    4,
-                ).alias("recall_at_k"),
-            )
+    # ONE pass over a single truth instantiation (r16, the
+    # ann_recall_eval / eval_rag_comparison pattern): union-tag the tier
+    # candidate lists (each ≤ |Q|·k rows, broadcast), left-join them
+    # into truth once, count per-tier matches conditionally, and stack
+    # back to one row per (qid, method) — including the n_hits = 0 rows
+    # the old per-tier left joins produced. Each tier list is distinct
+    # (qid, vec_id) by construction, so the conditional counts equal the
+    # old per-tier join counts exactly.
+    names = [t[0] for t in tiers]
+    preds = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            cand.select("qid", "vec_id").withColumn("method", F.lit(m))
+            for m, cand in tiers
+        ],
+    )
+    per_qid = (
+        truth.join(F.broadcast(preds), ["qid", "vec_id"], "left")
+        .groupBy("qid")
+        .agg(
+            *[
+                F.count(F.when(F.col("method") == m, F.lit(1))).alias(
+                    f"nh_{i}"
+                )
+                for i, m in enumerate(names)
+            ]
         )
-
-    rows = hit_rows(*tiers[0])
-    for t in tiers[1:]:
-        rows = rows.unionByName(hit_rows(*t))
+    )
+    stack_args = ", ".join(f"'{m}', nh_{i}" for i, m in enumerate(names))
+    rows = per_qid.select(
+        "qid",
+        F.expr(f"stack({len(names)}, {stack_args}) AS (method, n_hits)"),
+    ).select(
+        "qid",
+        "method",
+        F.col("n_hits").cast("bigint").alias("n_hits"),
+        F.round(F.col("n_hits").cast("double") / TOP_K, 4).alias(
+            "recall_at_k"
+        ),
+    )
     w = W.partitionBy()  # 3*|Q| rows — a 9-row global window, never data
     tot_trained = F.sum(
         F.when(F.col("method") == "pq_adc_trained", F.col("n_hits")).otherwise(

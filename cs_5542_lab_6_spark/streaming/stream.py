@@ -989,6 +989,26 @@ def dedup_admission_stream_run(
     sizes_dir = os.path.join(workdir, "index_sizes")
     if not os.path.isdir(index_dir):
         idx = _doc_shingles(spark, sf_dir).filter(~is_new)
+        # guide §6 output sizing: the standing index is written once and
+        # scanned once per micro-batch forever after — size its files
+        # from the source bytes (same 32MB rule as _shuffle_width), not
+        # from the session task count, so each screen opens ~1 file per
+        # 32MB instead of one tiny file per core. Only when the warm
+        # signature stage makes the size knowable; the cold path (tests)
+        # keeps the planner's layout.
+        from ..pipeline.corpus import _warm_path
+
+        wp = _warm_path(sf_dir, "doc_shingles", spark)
+        if wp and "://" not in wp:
+            nbytes = _dir_bytes(wp)
+            session_parts = int(
+                spark.conf.get("spark.sql.shuffle.partitions")
+            )
+            width = max(
+                1,
+                min(session_parts, -(-nbytes // STREAM_STATE_TARGET_BYTES)),
+            )
+            idx = idx.coalesce(width)
         idx.write.mode("overwrite").parquet(index_dir)
         spark.read.parquet(index_dir).groupBy("doc_id").agg(
             F.count("*").alias("n")
