@@ -2088,11 +2088,18 @@ def _register_doc_winnowing_overlap() -> None:
         floor. Served from the materialized ``winnow_fps`` warehouse
         stage when warm — the whole scan-and-join then runs on the
         compact fingerprint parquet, never raw text."""
+        # r16 (§2.4): nfp is a per-doc property of the fingerprint ARRAY
+        # (size of the distinct set), so it rides each exploded row and
+        # the pair groupBy keys — the old separate sizes aggregation
+        # (a third instantiation of the exploded relation plus TWO
+        # doc_id joins back onto the pair list) computed exactly this.
+        # Functional dependence doc_id -> nfp keeps the groups identical.
+        dfp = F.array_distinct(F.col("fps"))
         fps = _winnow_relation(spark, sf_dir).select(
             "doc_id",
-            F.explode(F.array_distinct(F.col("fps"))).alias("fp"),
+            F.size(dfp).alias("nfp"),
+            F.explode(dfp).alias("fp"),
         )
-        sizes = fps.groupBy("doc_id").agg(F.count("*").alias("nfp"))
         a, b = fps.alias("a"), fps.alias("b")
         pairs = (
             a.join(
@@ -2103,20 +2110,14 @@ def _register_doc_winnowing_overlap() -> None:
             .groupBy(
                 F.col("a.doc_id").alias("doc_a"),
                 F.col("b.doc_id").alias("doc_b"),
+                F.col("a.nfp").alias("nfp_a"),
+                F.col("b.nfp").alias("nfp_b"),
             )
             .agg(F.count("*").alias("n_shared"))
             .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
         )
         return (
-            pairs.join(
-                sizes.select(F.col("doc_id").alias("doc_a"), F.col("nfp").alias("nfp_a")),
-                "doc_a",
-            )
-            .join(
-                sizes.select(F.col("doc_id").alias("doc_b"), F.col("nfp").alias("nfp_b")),
-                "doc_b",
-            )
-            .select(
+            pairs.select(
                 "doc_a",
                 "doc_b",
                 F.col("n_shared").cast("bigint").alias("n_shared"),
