@@ -102,11 +102,11 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cold: derived and cached — every consumer (sizes, signatures, both
     sides of the verify join) reuses one materialization; cache() is
     MEMORY_AND_DISK, so at scale it spills rather than OOMs."""
-    from ..pipeline.corpus import _warm_path
+    from ..pipeline.corpus import _warm_path, read_stage
 
     p = _warm_path(sf_dir, "doc_shingles", spark)
     if p:
-        return spark.read.parquet(p)
+        return read_stage(spark, p)
     return doc_shingles_build(spark, sf_dir).cache()
 
 
@@ -151,11 +151,11 @@ def doc_minhash_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _doc_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, h0..h{n}) MinHash signatures: the ``doc_minhash``
     warehouse checkpoint when warm, the one-pass aggregation otherwise."""
-    from ..pipeline.corpus import _warm_path
+    from ..pipeline.corpus import _warm_path, read_stage
 
     p = _warm_path(sf_dir, "doc_minhash", spark)
     if p:
-        return spark.read.parquet(p)
+        return read_stage(spark, p)
     return doc_minhash_build(spark, sf_dir)
 
 
@@ -846,11 +846,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair would have passed. ``dedup_lsh_bucket_audit``'s
     ``star_edges_failing_verify`` column counts exactly those exposure
     points (0 on every natural fixture — no capped buckets exist)."""
-    from ..pipeline.corpus import _warm_path
+    from ..pipeline.corpus import _warm_path, read_stage
 
     p = _warm_path(sf_dir, "dedup_clusters", spark)
     if p:
-        return spark.read.parquet(p).orderBy("cluster_id")
+        return read_stage(spark, p).orderBy("cluster_id")
     return dedup_clusters_build(spark, sf_dir)
 
 
@@ -1027,11 +1027,11 @@ def _doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, simhash) signatures: the ``doc_simhash`` warehouse
     checkpoint when warm (a 16-byte-row parquet scan), the cold
     derivation cached otherwise (both sides of the band join reuse it)."""
-    from ..pipeline.corpus import _warm_path
+    from ..pipeline.corpus import _warm_path, read_stage
 
     p = _warm_path(sf_dir, "doc_simhash", spark)
     if p:
-        return spark.read.parquet(p)
+        return read_stage(spark, p)
     return doc_simhash_build(spark, sf_dir).cache()
 
 

@@ -148,7 +148,7 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     stages — the per-query work drops to a token-pruned postings scan +
     broadcast joins, never re-tokenizing the corpus (warm ≡ cold
     asserted in tests/test_ingest.py). Cold: the full derivation."""
-    from ..pipeline.corpus import _warm_path
+    from ..pipeline.corpus import _warm_path, read_stage
 
     post_p = _warm_path(sf_dir, "bm25_postings", spark)
     dl_p = _warm_path(sf_dir, "bm25_doclen", spark)
@@ -156,13 +156,13 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         qterms = spark.createDataFrame(
             [(t,) for t in sorted(set(BM25_QUERY_TERMS))], "term string"
         )
-        doclen = spark.read.parquet(dl_p)
+        doclen = read_stage(spark, dl_p)
         stats = doclen.agg(
             F.count("*").alias("n_docs"),
             F.avg(F.col("dl").cast("double")).alias("avgdl"),
         )
         tf = (
-            spark.read.parquet(post_p)
+            read_stage(spark, post_p)
             .filter(F.col("token").isin(*sorted(set(BM25_QUERY_TERMS))))
             .join(F.broadcast(qterms), F.col("token") == F.col("term"))
             .select("doc_id", "term", "tf")
@@ -567,15 +567,15 @@ def tfidf_keywords_for(
     Scale shape: df is a map-side-combinable aggregate over postings,
     the N scalar broadcasts, and the per-doc top-{TFIDF_TOP} is a
     window-group-limit over the postings scan — linear everywhere."""
-    from ..pipeline.corpus import _warm_path
+    from ..pipeline.corpus import _warm_path, read_stage
 
     if k < 1:
         raise ValueError(f"need k >= 1, got {k}")
     post_p = _warm_path(sf_dir, "bm25_postings", spark)
     dl_p = _warm_path(sf_dir, "bm25_doclen", spark)
     if post_p and dl_p:
-        postings = spark.read.parquet(post_p)
-        doclen = spark.read.parquet(dl_p)
+        postings = read_stage(spark, post_p)
+        doclen = read_stage(spark, dl_p)
     else:
         postings = bm25_postings_build(spark, sf_dir)
         doclen = bm25_doclen_build(spark, sf_dir)

@@ -206,12 +206,12 @@ def doc_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle is the plain full-scan strpos filter: candidate pruning must
     be output-invisible, exactly like the MinHash-banding dedup
     contract (operators/dedup.py)."""
-    from ..pipeline.corpus import _warm_path
+    from ..pipeline.corpus import _warm_path, read_stage
 
     grams = _pattern_trigrams(SUBSTR_PATTERN)
     p = _warm_path(sf_dir, "trigram_postings", spark)
     postings = (
-        spark.read.parquet(p)
+        read_stage(spark, p)
         if p
         else trigram_postings_build(spark, sf_dir)
     )

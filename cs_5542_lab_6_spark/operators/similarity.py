@@ -96,11 +96,11 @@ def _coded(spark: SparkSession, sf_dir: str) -> DataFrame:
     every similarity query starts from. Warm: one scan of the
     ``lsh_codes`` index stage (bucket-clustered, norm/code precomputed).
     Cold: derived in the scan projection, identical values."""
-    from ..pipeline.corpus import _warm_path
+    from ..pipeline.corpus import _warm_path, read_stage
 
     p = _warm_path(sf_dir, "lsh_codes", spark)
     if p:
-        return spark.read.parquet(p)
+        return read_stage(spark, p)
     return (
         load_table(spark, sf_dir, "embeddings")
         .select(
@@ -357,11 +357,11 @@ def ivf_centroids_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(label, cv) centroids: the ``ivf_centroids`` warehouse checkpoint
     when warm, the corpus-wide aggregation otherwise."""
-    from ..pipeline.corpus import _warm_path
+    from ..pipeline.corpus import _warm_path, read_stage
 
     p = _warm_path(sf_dir, "ivf_centroids", spark)
     if p:
-        return spark.read.parquet(p)
+        return read_stage(spark, p)
     return ivf_centroids_build(spark, sf_dir)
 
 
@@ -911,11 +911,11 @@ def kmeans_assign_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, cluster): the ``kmeans_assign`` checkpoint when warm, the
     Lloyd derivation (eagerly cut — K-row-bounded rounds) otherwise."""
-    from ..pipeline.corpus import _warm_path
+    from ..pipeline.corpus import _warm_path, read_stage
 
     p = _warm_path(sf_dir, "kmeans_assign", spark)
     if p:
-        return spark.read.parquet(p)
+        return read_stage(spark, p)
     return kmeans_assign_build(spark, sf_dir)  # already eagerly cut
 
 
@@ -1704,11 +1704,11 @@ def _pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     warm, the full encode otherwise — codes are a pure function of the
     vectors and the deterministic anchors, so both paths are
     row-identical."""
-    from ..pipeline.corpus import _warm_path
+    from ..pipeline.corpus import _warm_path, read_stage
 
     p = _warm_path(sf_dir, "pq_codes", spark)
     if p:
-        return spark.read.parquet(p)
+        return read_stage(spark, p)
     return pq_codes_build(spark, sf_dir)
 
 
@@ -1838,11 +1838,11 @@ def pq_codebook_train_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pq_codebook_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(m, j, c): the ``pq_codebook`` warehouse checkpoint when warm, the
     per-subspace Lloyd training otherwise — deterministic either way."""
-    from ..pipeline.corpus import _warm_path
+    from ..pipeline.corpus import _warm_path, read_stage
 
     p = _warm_path(sf_dir, "pq_codebook", spark)
     if p:
-        return spark.read.parquet(p)
+        return read_stage(spark, p)
     return pq_codebook_train_build(spark, sf_dir)
 
 
@@ -1859,11 +1859,11 @@ def pq_codes_trained_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pq_codes_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, label, m, j) under the trained codebook: warm stage scan
     or the full re-encode."""
-    from ..pipeline.corpus import _warm_path
+    from ..pipeline.corpus import _warm_path, read_stage
 
     p = _warm_path(sf_dir, "pq_codes_trained", spark)
     if p:
-        return spark.read.parquet(p)
+        return read_stage(spark, p)
     return pq_codes_trained_build(spark, sf_dir)
 
 

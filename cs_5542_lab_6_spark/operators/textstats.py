@@ -951,10 +951,10 @@ def _lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(w1, w2, c2, c1, v): the materialized ``lm_counts`` checkpoint
     when warm (a pure parquet scan), the cold derivation otherwise —
     row-identical either way."""
-    from ..pipeline.corpus import _warm_path
+    from ..pipeline.corpus import _warm_path, read_stage
 
     p = _warm_path(sf_dir, "lm_counts", spark)
-    return spark.read.parquet(p) if p else lm_counts_build(spark, sf_dir)
+    return read_stage(spark, p) if p else lm_counts_build(spark, sf_dir)
 
 
 @query(
@@ -1881,10 +1881,10 @@ def _winnow_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n_grams, sels, fps): the materialized ``winnow_fps``
     checkpoint when warm (a pure parquet scan), the cold derivation
     otherwise — row-identical either way."""
-    from ..pipeline.corpus import _warm_path
+    from ..pipeline.corpus import _warm_path, read_stage
 
     p = _warm_path(sf_dir, "winnow_fps", spark)
-    return spark.read.parquet(p) if p else winnow_fps_build(spark, sf_dir)
+    return read_stage(spark, p) if p else winnow_fps_build(spark, sf_dir)
 
 
 @query(

@@ -382,6 +382,38 @@ def _warm_path(
     return path if os.path.exists(marker) else None
 
 
+# Session-level stage-schema memo (r17, guide §6 file-listing/metadata
+# discipline): a bare ``spark.read.parquet(path)`` runs a driver-side
+# footer-read job PER CALL to infer the schema (~90 ms each on this VM;
+# the query layer does 1-6 warm reads per query, so the inference tax was
+# a measurable slice of every sub-second query). The engine WROTE these
+# stages, so their schemas are deterministic — this memo is the catalog a
+# real 100 TB deployment reads schemas from (tables there are catalog
+# entries, never schema-inferred per query). Keyed on the _SUCCESS commit
+# mtime so a rebuilt stage re-infers exactly once; NO data or results are
+# cached — every query still scans the parquet files in full.
+_STAGE_SCHEMAS: dict[str, tuple[float, object]] = {}
+
+
+def read_stage(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan of a committed warehouse stage, schema served from
+    the session catalog memo (inferred once per commit, see above)."""
+    marker = os.path.join(path, "_SUCCESS")
+    if os.environ.get("SPARK_GRAFT_SCHEMA_MEMO", "1") == "0":
+        return spark.read.parquet(path)  # measurement/debug kill-switch
+    try:
+        mt = os.path.getmtime(marker)
+    except OSError:
+        # remote URI or glob: no local marker to key on — infer as before
+        return spark.read.parquet(path)
+    hit = _STAGE_SCHEMAS.get(path)
+    if hit is not None and hit[0] == mt:
+        return spark.read.schema(hit[1]).parquet(path)
+    df = spark.read.parquet(path)
+    _STAGE_SCHEMAS[path] = (mt, df.schema)
+    return df
+
+
 def _stage_or(
     spark: SparkSession, sf_dir: str, stage: str, builder
 ) -> DataFrame:
@@ -389,7 +421,7 @@ def _stage_or(
     pure parquet scan), the cold builder otherwise — row-for-row the same
     relation (asserted in tests/test_ingest.py)."""
     p = _warm_path(sf_dir, stage, spark)
-    return spark.read.parquet(p) if p else builder(spark, sf_dir)
+    return read_stage(spark, p) if p else builder(spark, sf_dir)
 
 
 def chunks_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -399,7 +431,7 @@ def chunks_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     otherwise."""
     p = _warm_path(sf_dir, "chunks", spark)
     if p:
-        return spark.read.parquet(p)
+        return read_stage(spark, p)
     return chunks_with_embeddings_df(spark, sf_dir)
 
 
@@ -666,7 +698,7 @@ def chunk_entities_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stage in ingest.STAGES (warm ≡ cold via test_ingest.py).
     p = _warm_path(sf_dir, "chunks", spark)
     chunks = (
-        spark.read.parquet(p).select(
+        read_stage(spark, p).select(
             "chunk_id", "paper_id", "chunk_index", "text_content"
         )
         if p
@@ -848,7 +880,7 @@ def kg_edges_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     p = _warm_path(sf_dir, "chunks", spark)
     chunks = (
-        spark.read.parquet(p).select("paper_id", "text_content")
+        read_stage(spark, p).select("paper_id", "text_content")
         if p
         else _chunk_documents(spark, sf_dir)
     )
@@ -969,9 +1001,9 @@ def _kg_relations(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFram
     pn = _warm_path(sf_dir, "kg_nodes", spark)
     pe = _warm_path(sf_dir, "kg_edges", spark)
     if pn and pe:
-        nodes = spark.read.parquet(pn)
+        nodes = read_stage(spark, pn)
         edges = (
-            spark.read.parquet(pe)
+            read_stage(spark, pe)
             .groupBy("source_node_id", "target_node_id")
             .agg(F.sum("weight").alias("weight"))
         )
@@ -1197,7 +1229,7 @@ def _kg_und_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     weight 1.0 per occurrence (sum of ones ≡ the per-paper counts)."""
     pe = _warm_path(sf_dir, "kg_edges", spark)
     if pe:
-        e = spark.read.parquet(pe).select(
+        e = read_stage(spark, pe).select(
             F.col("source_node_id").alias("src"),
             F.col("target_node_id").alias("tgt"),
             "weight",
@@ -1230,7 +1262,7 @@ def _kg_und_occurrences(spark: SparkSession, sf_dir: str) -> DataFrame:
     endpoint filter into each union branch."""
     pe = _warm_path(sf_dir, "kg_edges", spark)
     if pe:
-        e = spark.read.parquet(pe).select(
+        e = read_stage(spark, pe).select(
             F.col("source_node_id").alias("src"),
             F.col("target_node_id").alias("tgt"),
             "weight",
@@ -1331,7 +1363,7 @@ def kg_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed = "node_spark"
     pe = _warm_path(sf_dir, "kg_edges", spark)
     if pe:
-        e = spark.read.parquet(pe)
+        e = read_stage(spark, pe)
         hop1 = (
             e.filter(
                 (F.col("source_node_id") == seed)
@@ -1455,9 +1487,9 @@ def corpus_delete_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     pm, pc = _warm_path(sf_dir, "kg_map", spark), _warm_path(sf_dir, "chunks", spark)
     if pm and pc:
         ents = (
-            spark.read.parquet(pm)
+            read_stage(spark, pm)
             .select("chunk_id", "node_id")
-            .join(spark.read.parquet(pc).select("chunk_id", "paper_id"), "chunk_id")
+            .join(read_stage(spark, pc).select("chunk_id", "paper_id"), "chunk_id")
             .select("paper_id", "node_id")
         )
     else:
@@ -1591,7 +1623,7 @@ def kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pn = _warm_path(sf_dir, "kg_nodes", spark)
     if pe and pn:
         canon = (
-            spark.read.parquet(pe)
+            read_stage(spark, pe)
             .select("source_node_id", "target_node_id")
             .distinct()
         )
@@ -1615,7 +1647,7 @@ def kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
-        nodes = spark.read.parquet(pn).select("node_id")
+        nodes = read_stage(spark, pn).select("node_id")
     else:
         ents = chunk_entities_df(spark, sf_dir).select("chunk_id", "node_id")
         a, b = ents.alias("a"), ents.alias("b")
@@ -1716,7 +1748,7 @@ def kg_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         # task count), lineage is cut, and no CacheManager entry needs
         # unpersist bookkeeping.
         canon = (
-            spark.read.parquet(pe)
+            read_stage(spark, pe)
             .select(
                 F.col("source_node_id").alias("u"),
                 F.col("target_node_id").alias("v"),
@@ -1986,7 +2018,7 @@ def _kg_sparse_edges(
     pe = _warm_path(sf_dir, "kg_edges", spark)
     if pe:
         canon = (
-            spark.read.parquet(pe)
+            read_stage(spark, pe)
             .select(
                 F.col("source_node_id").alias("u"),
                 F.col("target_node_id").alias("v"),

@@ -37,6 +37,7 @@ from .corpus import (
     _kg_relations,
     _kg_und_occurrences,
     _warm_path,
+    read_stage,
     chunk_entities_df,
     chunks_source,
 )
@@ -246,7 +247,7 @@ def eval_rag_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
     # what kg_map materializes), so deduping here was a pure extra
     # shuffle of the bridge relation — the r11 plan audit removed it.
     bridge = (
-        spark.read.parquet(pm).select("chunk_id", "node_id")
+        read_stage(spark, pm).select("chunk_id", "node_id")
         if pm
         else chunk_entities_df(spark, sf_dir).select("chunk_id", "node_id")
     )
