@@ -1818,32 +1818,70 @@ def _register_dedup_method_eval() -> None:
         registered queries unchanged — evaluation composes operators.
 
         Scale shape: every relation here is pair-list-sized (near-dup
-        pairs, not corpus rows); the truth list is computed once and
-        left-joined per method; the heavy lifting — signatures, bands,
-        buckets — rides the same warm warehouse stages the composed
-        queries already read."""
+        pairs, not corpus rows); the truth list is instantiated ONCE as
+        a tagged member of the same union the methods ride (r17, guide
+        §2.4 — the ann_recall_eval recipe adapted to a corpus-shaped
+        truth): one (doc_a, doc_b) grouped pass computes per-method row
+        counts and a truth flag per pair, a single global aggregate
+        folds them into conditional sums, and ``stack`` pivots the one
+        row back to per-method rows. The old shape instantiated the
+        truth pipeline twice (the ``hit`` left-join side + the
+        ``n_truth`` count) and paid a join plus a crossJoin on top; the
+        heavy lifting — signatures, bands, buckets — rides the same
+        warm warehouse stages the composed queries already read.
+
+        Equivalence to the join form: each method's registered output is
+        one row per emitted pair, so per (doc_a, doc_b) the conditional
+        count of a method's rows is that pair's multiplicity (n_pred =
+        its sum), a pair matches truth iff the truth tag appears in its
+        group (tp = sum of multiplicity·flag — the left join counted
+        exactly the method rows whose pair had a truth row), and truth's
+        pair list is distinct by construction (it ends in a (doc_a,
+        doc_b) groupBy), so n_truth = sum of flags."""
         truth = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
         methods = {
             "minhash_lsh": dedup_minhash_lsh(spark, sf_dir),
             "simhash": dedup_simhash(spark, sf_dir),
             "sorted_neighborhood": dedup_sorted_neighborhood(spark, sf_dir),
         }
-        preds = None
+        tagged = truth.select(
+            F.lit("__truth__").alias("method"), "doc_a", "doc_b"
+        )
         for name, df in methods.items():
-            part = df.select(
-                F.lit(name).alias("method"), "doc_a", "doc_b"
+            tagged = tagged.unionByName(
+                df.select(F.lit(name).alias("method"), "doc_a", "doc_b")
             )
-            preds = part if preds is None else preds.unionByName(part)
-        n_truth = truth.agg(F.count("*").cast("bigint").alias("n_truth"))
-        hit = truth.withColumn("_t", F.lit(1))
+
+        def _cnt(name: str) -> F.Column:
+            return F.sum(F.when(F.col("method") == name, 1).otherwise(0))
+
+        per_pair = tagged.groupBy("doc_a", "doc_b").agg(
+            *[_cnt(m).alias(f"c_{i}") for i, m in enumerate(methods)],
+            F.max(F.when(F.col("method") == "__truth__", 1).otherwise(0)).alias(
+                "t"
+            ),
+        )
+        folded = per_pair.agg(
+            *[
+                c
+                for i in range(len(methods))
+                for c in (
+                    F.sum(f"c_{i}").cast("bigint").alias(f"np_{i}"),
+                    F.sum(F.col(f"c_{i}") * F.col("t"))
+                    .cast("bigint")
+                    .alias(f"tp_{i}"),
+                )
+            ],
+            F.sum("t").cast("bigint").alias("n_truth"),
+        )
+        stack_args = ", ".join(
+            f"'{m}', np_{i}, tp_{i}" for i, m in enumerate(methods)
+        )
         return (
-            preds.join(hit, ["doc_a", "doc_b"], "left")
-            .groupBy("method")
-            .agg(
-                F.count("*").cast("bigint").alias("n_pred"),
-                F.sum(F.coalesce(F.col("_t"), F.lit(0))).cast("bigint").alias("tp"),
+            folded.selectExpr(
+                f"stack({len(methods)}, {stack_args}) AS (method, n_pred, tp)",
+                "n_truth",
             )
-            .crossJoin(F.broadcast(n_truth))
             .select(
                 "method",
                 "n_pred",
