@@ -535,6 +535,35 @@ def test_dedup_admission_verdicts_invariant_to_batching(spark, sf_dir, tmp_path)
         assert streamed == batch
 
 
+def test_dedup_admission_catchup_trigger_matches_batch(spark, sf_dir, tmp_path):
+    """The r17 catch-up-replay knob on the admission stream (the
+    registered query runs at files_per_trigger=2): merging two arrival
+    files per trigger must produce genuinely fewer micro-batches and a
+    verdict union identical to the one-shot batch screen — every trigger
+    still screens against the same standing snapshot. A kept checkpoint
+    owns its batching (the SCD2 marker guard, mirrored)."""
+    from cs_5542_lab_6_spark.operators.dedup import dedup_incremental
+    from cs_5542_lab_6_spark.streaming.stream import dedup_admission_stream_run
+
+    batch = sorted(map(tuple, dedup_incremental(spark, sf_dir).collect()))
+    wd = str(tmp_path / "adm_fpt2")
+    os.makedirs(wd)
+    got = dedup_admission_stream_run(
+        spark, sf_dir, wd, n_files=4, files_per_trigger=2
+    )
+    assert got == 2  # 4 files, 2 per trigger
+    streamed = sorted(
+        map(tuple, spark.read.parquet(f"{wd}/verdicts/b*").collect())
+    )
+    assert streamed == batch
+    # kept checkpoint + different trigger batching must fail loudly
+    # (availableNow would silently replay nothing at ANY knob value)
+    with pytest.raises(ValueError, match="files_per_trigger=2"):
+        dedup_admission_stream_run(
+            spark, sf_dir, wd, n_files=4, files_per_trigger=1
+        )
+
+
 def test_dedup_admission_stream_resumes_partial_progress(spark, sf_dir, tmp_path):
     """Kept-checkpoint crash resume for the admission stream — same
     batch_id-keyed exactly-once idiom as the SCD2 stream: crash before
