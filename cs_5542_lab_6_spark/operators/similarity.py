@@ -817,43 +817,99 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def kmeans_points(emb: DataFrame) -> DataFrame:
-    """Long-form fixed-point coordinates (vec_id, dim, val)."""
+    """Fixed-point coordinate ARRAY per vector (vec_id, va) — element i
+    is round(embedding[i] * KMEANS_SCALE) as a long, exactly the value
+    the pre-r17 long form carried per (vec_id, dim) row. The assign step
+    consumes the array in-row (see ``kmeans_assign_lazy``); the centroid
+    update posexplodes it back to long form map-side."""
     return emb.select(
         "vec_id",
-        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x"),
-    ).select(
-        "vec_id", "dim", F.round(F.col("x") * KMEANS_SCALE).cast("long").alias("val")
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.round(x * KMEANS_SCALE).cast("long"),
+        ).alias("va"),
+    )
+
+
+def _kmeans_cents_row(cent_long: DataFrame) -> DataFrame:
+    """(cluster, dim, cval) -> ONE row holding every centroid as
+    struct(cluster, ca) sorted by cluster id (deterministic: clusters
+    are unique, sort_array orders the structs by their first field)."""
+    arrs = (
+        cent_long.groupBy("cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "cval"))).alias("dc"))
+        .select("cluster", F.transform("dc", lambda s: s["cval"]).alias("ca"))
+    )
+    return arrs.agg(
+        F.sort_array(F.collect_list(F.struct("cluster", "ca"))).alias("cents")
     )
 
 
 def kmeans_assign_lazy(pts: DataFrame) -> DataFrame:
     """Final Lloyd assignment (vec_id, cluster, dist) after KMEANS_ITERS
     rounds, as a LAZY plan over ``pts`` — the shared primitive behind
-    ``embedding_kmeans`` (summary) and ``semantic_dedup`` (row-level)."""
+    ``embedding_kmeans`` (summary) and ``semantic_dedup`` (row-level).
 
-    def assign(cent: DataFrame) -> DataFrame:
-        d = (
-            pts.join(F.broadcast(cent), "dim")
-            .withColumn("sq", (F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval")))
-            .groupBy("vec_id", "cluster")
-            .agg(F.sum("sq").alias("dist"))
-        )
-        best = d.groupBy("vec_id").agg(
-            F.min(F.struct("dist", "cluster")).alias("b")
-        )
-        return best.select("vec_id", F.col("b.cluster").alias("cluster"), F.col("b.dist").alias("dist"))
+    r17 (guide §1.2/§2.4): the assign step is computed IN-ROW. The old
+    long form joined points with centroids on ``dim`` — an n·d·K-row
+    map-side expansion pushed through TWO aggregation exchanges (sum of
+    squares per (vec, cluster), then the argmin) per Lloyd round. Now
+    the K centroids ride ONE broadcast row (the scalar-subquery shape:
+    a 1-row BroadcastNestedLoopJoin) and each vector computes all K
+    exact integer distances with zip_with/aggregate and picks the argmin
+    with array_min over struct(dist, cluster) — the same lexicographic
+    (min dist, then min cluster) rule the old min(struct(...)) applied.
+    Zero exchanges per assign; integer sums are order-independent, so
+    every distance, tie-break and centroid value is bit-identical to the
+    long form (oracle-pinned at two SFs)."""
 
-    cent = pts.filter(F.col("vec_id") < KMEANS_K).select(
-        F.col("vec_id").cast("int").alias("cluster"), "dim", F.col("val").alias("cval")
+    def assign(cents_row: DataFrame) -> DataFrame:
+        best = F.array_min(
+            F.transform(
+                F.col("cents"),
+                lambda c: F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("va"),
+                            c["ca"],
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x,
+                    ).alias("dist"),
+                    c["cluster"].alias("cluster"),
+                ),
+            )
+        )
+        return (
+            pts.crossJoin(F.broadcast(cents_row))
+            .select("vec_id", best.alias("b"))
+            .select(
+                "vec_id",
+                F.col("b.cluster").alias("cluster"),
+                F.col("b.dist").alias("dist"),
+            )
+        )
+
+    cents = pts.filter(F.col("vec_id") < KMEANS_K).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("vec_id").cast("int").alias("cluster"),
+                    F.col("va").alias("ca"),
+                )
+            )
+        ).alias("cents")
     )
-    asg = assign(cent)
+    asg = assign(cents)
+    long_pts = pts.select("vec_id", F.posexplode("va").alias("dim", "val"))
     for _ in range(KMEANS_ITERS - 1):
-        cent = (
-            asg.join(pts, "vec_id")
+        cent_long = (
+            asg.join(long_pts, "vec_id")
             .groupBy("cluster", "dim")
             .agg(F.expr("sum(val) div count(*)").alias("cval"))
         )
-        asg = assign(cent)
+        asg = assign(_kmeans_cents_row(cent_long))
     return asg
 
 

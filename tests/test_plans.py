@@ -175,7 +175,6 @@ def test_mixing_and_clustering_plans(spark, sf_dir):
         "corpus_mixture_plan",
         "doc_sequence_packing",
         "doc_token_familiarity",
-        "embedding_kmeans",
         "dedup_incremental",
         "kg_pagerank",
         "events_retention_cohorts",
@@ -185,23 +184,41 @@ def test_mixing_and_clustering_plans(spark, sf_dir):
         "corpus_weighted_sample",
         "order_priority_exists_counts",
         "customer_order_count_histogram",
-        "semantic_dedup",
     ]:
         plan = plan_of(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
     # embedding_kmeans eagerly cuts its K-row result (cache hygiene), so
-    # the returned plan is a Scan ExistingRDD — assert the broadcast
-    # centroid join on the lazy pre-checkpoint pipeline instead
-    from cs_5542_lab_6_spark.operators.similarity import kmeans_lazy, kmeans_points
+    # the returned plan is a Scan ExistingRDD — assert the Lloyd shape on
+    # the lazy pre-checkpoint pipeline instead. Since r17 the assign step
+    # is in-row: the ONLY nested-loop joins allowed are the 1-row
+    # centroid-array broadcasts (the scalar-subquery shape, one per
+    # Lloyd round), so every BNLJ must be a BuildRight Cross and there
+    # must be no point-against-centroid shuffle: no Exchange may carry
+    # the per-dim long form (the exchanges left are the centroid-update
+    # aggregations and the final summary, all keyed on cluster/dim/pid).
+    import re
+
+    from cs_5542_lab_6_spark.operators.similarity import (
+        KMEANS_ITERS,
+        kmeans_lazy,
+        kmeans_points,
+    )
     from cs_5542_lab_6_spark.sources import load_table
 
     kplan = formatted_plan(
         kmeans_lazy(kmeans_points(load_table(spark, sf_dir, "embeddings")))
     )
-    assert "BroadcastHashJoin" in kplan
     assert "CartesianProduct" not in kplan
-    assert "BroadcastNestedLoopJoin" not in kplan
+    bnlj = re.findall(r"BroadcastNestedLoopJoin (\w+) (\w+)", kplan)
+    assert len(bnlj) == KMEANS_ITERS, kplan  # one 1-row broadcast per round
+    assert all(j == "Cross" for j, _b in bnlj), bnlj
+    # semantic_dedup composes the same assign; its cold plan carries the
+    # same sanctioned 1-row broadcasts and nothing else nested-loop
+    sd = plan_of(spark, sf_dir, "semantic_dedup")
+    assert "CartesianProduct" not in sd
+    for j, _b in re.findall(r"BroadcastNestedLoopJoin (\w+) (\w+)", sd):
+        assert j == "Cross", sd
     assert "BroadcastHashJoin" in plan_of(spark, sf_dir, "corpus_stratified_sample")
 
 
