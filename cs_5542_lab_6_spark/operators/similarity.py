@@ -1195,6 +1195,12 @@ def contamination_semantic_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 MMR_QID = 0  # the query vector
 MMR_CAND = 10  # stage-one candidate pool (brute-force top-k)
 MMR_K = 5  # diversified result size; λ = 0.5 fixed in the formula
+# Pool size at which the pairwise-sims relation is eagerly checkpointed
+# instead of re-derived per argmax round (r16 advice): lazy re-derivation
+# is k·n² total pairwise work vs n² + one blocking materialization job —
+# the job wins below a few hundred candidates (measured at n=10: lazy
+# ~8% faster), the n² term wins far above it. Results identical.
+MMR_SIMS_CHECKPOINT_MIN = 512
 
 
 def _mmr_round_sql(i: int) -> str:
@@ -1343,17 +1349,23 @@ def mmr_topk_for(
     )
     a = rel.select(F.col("vec_id").alias("a_id"), F.col("v").alias("av"), F.col("nrm").alias("an"))
     b = rel.select(F.col("vec_id").alias("b_id"), F.col("v").alias("bv"), F.col("nrm").alias("bn"))
-    # lazy on purpose (r16): ``rel`` above is already an eager
-    # checkpoint, so this n_cand² self-join is a trivial plan over an
-    # in-memory RDD scan — re-deriving it per argmax round costs less
-    # than the extra blocking materialization job the old eager
-    # checkpoint paid (back-to-back A/B at sf0.1: ~8% faster min,
-    # 2.28 vs 2.47 on a loaded host)
+    # lazy below MMR_SIMS_CHECKPOINT_MIN candidates (r16+r17 advice):
+    # ``rel`` above is already an eager checkpoint, so this n_cand²
+    # self-join is a trivial plan over an in-memory RDD scan —
+    # re-deriving it per argmax round costs less than the extra blocking
+    # materialization job the old eager checkpoint paid (back-to-back
+    # A/B at sf0.1: ~8% faster min, 2.28 vs 2.47 on a loaded host). But
+    # lazy re-derivation makes total pairwise work k·n² instead of n²
+    # once, which inverts past a pool-size threshold — so large pools
+    # (where the quadratic dominates the one checkpoint job) keep the
+    # eager cut. Results are unaffected either way.
     sims = a.join(b, F.col("a_id") != F.col("b_id")).select(
         "a_id",
         "b_id",
         _cos(F.col("av"), F.col("bv"), F.col("an"), F.col("bn")).alias("sim"),
     )
+    if n_cand >= MMR_SIMS_CHECKPOINT_MIN:
+        sims = sims.localCheckpoint(eager=True)
     cand = rel.select("vec_id", "rel")
     first = cand.orderBy(F.desc("rel"), F.asc("vec_id")).limit(1).select(
         F.lit(1).alias("rank"),

@@ -65,6 +65,22 @@ KG_MIN_NAME_LENGTH = 3  # data/config.py:36
 INGESTED_AT = "2026-01-01 00:00:00"  # fixed literal: never wall clock
 EMBED_DIM = 64  # fixture embedding dimensionality
 
+# The ONE definition of per-chunk entity extraction (r16 advice: the
+# fragment was duplicated between chunk_entities_df and kg_edges_build,
+# so an edit to either would silently desync edges from nodes/kg_map).
+# ``_entity_names_sql(col)`` = the first-seen-ordered distinct normalized
+# names of a chunk, length-filtered; ``_NODE_ID_SQL`` = the 60-char
+# prefix node-id rule. Every node_id the KG family materializes expands
+# from these two fragments.
+_NODE_ID_SQL = "concat('node_', substring({n}, 1, 60))"
+
+
+def _entity_names_sql(col: str) -> str:
+    return (
+        f"array_distinct(filter({col}, "
+        f"n -> length(n) >= {KG_MIN_NAME_LENGTH}))"
+    )
+
 
 # ---------------------------------------------------------------------------
 # Stage 1 — load & clean (F1, P2)
@@ -718,7 +734,7 @@ def chunk_entities_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     ents_arr = F.expr(
         f"""transform(
           transform(
-            array_distinct(filter(normed, n -> length(n) >= {KG_MIN_NAME_LENGTH})),
+            {_entity_names_sql("normed")},
             n -> struct(n AS nn, array_position(normed, n) AS ap)),
           s -> struct(CAST(s.ap - 1 AS INT) AS pos,
                       element_at(toks, CAST(s.ap AS INT)) AS token,
@@ -735,9 +751,7 @@ def chunk_entities_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e.pos").alias("pos"),
             F.col("e.token").alias("token"),
             F.col("e.name_normalized").alias("name_normalized"),
-            F.concat(
-                F.lit("node_"), F.substring("e.name_normalized", 1, 60)
-            ).alias("node_id"),
+            F.expr(_NODE_ID_SQL.format(n="e.name_normalized")).alias("node_id"),
         )
         .cache()
     )
@@ -892,14 +906,17 @@ def kg_edges_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     normed = chunks.select(
         "paper_id", F.transform(mentions, normalize_entity).alias("normed")
     )
-    # per-chunk sorted node multiset, map-side: array_distinct keeps one
-    # entry per distinct normalized name (first-seen), the node_id map
-    # can re-introduce duplicates via the 60-char prefix — the same
-    # multiset the old collect_list produced, without its exchange
+    # per-chunk sorted node multiset, map-side: the filtered-distinct
+    # name extraction and the node_id prefix rule are the SHARED
+    # fragments (_entity_names_sql/_NODE_ID_SQL) chunk_entities_df
+    # expands — one definition, so edges can't desync from nodes/kg_map
+    # (r16 advice). The node_id map can re-introduce duplicates via the
+    # 60-char prefix — the same multiset the old collect_list produced,
+    # without its exchange
     ns = F.expr(
         f"""array_sort(transform(
-          array_distinct(filter(normed, n -> length(n) >= {KG_MIN_NAME_LENGTH})),
-          n -> concat('node_', substring(n, 1, 60))))"""
+          {_entity_names_sql("normed")},
+          n -> {_NODE_ID_SQL.format(n="n")}))"""
     )
     per_chunk = normed.select("paper_id", ns.alias("ns"))
     pairs = (

@@ -52,64 +52,66 @@ _REGISTRY: dict[str, Q] = {}
 # tests/test_oracle_parity.py (rows+schema+exact-value over all
 # registered oracles) and at sf0.1 by tests/test_scale_canary.py.
 _PRIORITY: tuple[str, ...] = (
-    # --- CHANGED in round 16 (lm_counts stage rebuilt as a single
-    # --- corpus explode, operators/textstats.py lm_counts_build; these
-    # --- three queries' cold derivation transits the changed builder,
-    # --- so they re-verify the round it changed — doc_lm_perplexity's
-    # --- inclusion also closes the r15 ADVICE note that its r15 warm
-    # --- seam never got a first-round driver hash check):
-    "doc_lm_perplexity",
-    "corpus_doremi_weights",
-    "corpus_doremi_sample",
-    # --- The REMAINING 27 r11-vintage rows (the exact set written down
-    # --- in the r15 plan; after this window no pre-r12 vintage remains
-    # --- anywhere in the registry):
-    "doc_token_familiarity",
-    "embedding_kmeans",
-    "events_daily_anomaly",
-    "events_lateness_audit",
-    "events_retention_cohorts",
-    "events_watermark_sizing",
-    "kg_degree_assortativity",
-    "kg_link_prediction",
-    "kg_pagerank",
-    "kg_sparse_neighborhood_jaccard",
-    "kg_triangle_stats",
-    "language_id_confusion",
-    "large_order_customers",
-    "nation_price_medians",
-    "nation_trade_flows",
-    "national_supplier_share",
-    "order_priority_exists_counts",
-    "promo_revenue_share",
-    "quiet_wealthy_customers",
-    "returned_item_customers",
-    "small_quantity_part_revenue",
-    "source_blocklist_filter",
-    "source_overlap_matrix",
-    "source_quality_profile",
+    # --- CHANGED in round 17 (optimization round 2: every query whose
+    # --- implementation or execution knobs changed this round gets a
+    # --- fresh driver hash the same round — the freshness contract):
+    # --- dedup_method_eval (union-tagged single-pass restructure),
+    # --- the streaming pair (files_per_trigger=2), the kmeans family
+    # --- (in-row Lloyd assign: embedding_kmeans, semantic_dedup,
+    # --- contamination_semantic_scan, corpus_temperature_mixing),
+    # --- mmr_diversified_topk (sims-checkpoint pool gating):
+    "dedup_method_eval",
     "stream_scd2_apply",
-    "stream_user_enriched_counts",
-    "top_supplier_revenue",
-    # --- Stalest-r12 fill to 44 (the r12 cohort is 43 rows, all equally
-    # --- r12-vintage; doc_lm_perplexity above is one of them, so take
-    # --- the first 14 of the others alphabetically — the r17 remainder
-    # --- is then the deterministic 28-row set written in the r17 plan
-    # --- at the end of this tuple):
-    "bm25_rerank_topk",
-    "corpus_bpe_merge_candidates",
-    "corpus_bpe_tokenize_stats",
-    "corpus_bpe_train",
-    "corpus_curation_decisions",
-    "corpus_duplicate_sentences",
-    "corpus_snapshot_diff",
-    "corpus_vocab_growth",
-    "curation_by_source",
-    "customer_rfm_segments",
-    "customer_top_orders_lateral",
-    "dedup_clusters",
-    "dedup_clusters_star",
-    "dedup_lsh_bucket_audit",
+    "stream_dedup_admission",
+    "embedding_kmeans",
+    "semantic_dedup",
+    "contamination_semantic_scan",
+    "corpus_temperature_mixing",
+    "mmr_diversified_topk",
+    # --- CHANGED in round 16 but missed by the r16 window (the rotation
+    # --- was committed before the optimization session; r16 VERDICT
+    # --- item 2 orders exactly this list to re-verify here):
+    "kg_map_build",
+    "kg_nodes_build",
+    "kg_two_hop",
+    "eval_rag_comparison",
+    "ann_recall_eval",
+    "ann_pq_recall_eval",
+    "doc_winnowing_overlap",
+    "quality_calibration_bins",
+    "orders_scd2_incremental",
+    # --- The REMAINING r12-vintage rows (the exact 28-row set written
+    # --- down in the r16 plan, minus dedup_method_eval / kg_two_hop /
+    # --- stream_dedup_admission which lead the window above; after this
+    # --- window no pre-r13 vintage remains anywhere in the registry):
+    "dedup_rate_by_source",
+    "doc_quality_filter_funnel",
+    "doc_token_entropy",
+    "events_hourly_seasonality",
+    "events_props_variant",
+    "events_session_windows",
+    "events_transition_matrix",
+    "excess_stock_suppliers",
+    "kg_degree_distribution",
+    "kg_reachability_sql",
+    "min_cost_part_supplier",
+    "multimodal_decode_features",
+    "nation_market_share",
+    "orders_date_spine_gaps",
+    "orders_merge_upsert",
+    "orders_mv_incremental_refresh",
+    "priority_price_gini",
+    "product_type_profit",
+    "sole_late_supplier_orders",
+    "sql_script_pipe_revenue",
+    "sql_script_procedural_threshold",
+    "stream_user_stats_stateful",
+    "stream_user_top_purchases",
+    "tokenizer_fertility_by_lang",
+    "user_click_purchase_cogroup",
+    # --- Stalest-r13 fill to 44 (alphabetical over the r13 cohort):
+    "active_customer_keys",
+    "agent_chunk_context",
     # --- Regression guards that stay in every window
     "chunks_build",               # corpus chunker (pure-Catalyst UDTF twin)
     "kg_edges_build",             # co-occurrence one-shuffle expansion
@@ -117,33 +119,23 @@ _PRIORITY: tuple[str, ...] = (
     "eval_metrics_log",           # JSON sink (red in r4, fixed r5)
     "stream_tumbling_daily",      # real Structured Streaming
     "ann_ivf_topk",               # warm ivf_centroids seam, cold path
-    # --- r17 rotation plan (the write-down discipline from the r11
-    # --- verdict, applied every round): window = any r17 new/changed
-    # --- queries, then the REMAINING 28 r12-vintage rows
-    # --- dedup_method_eval, dedup_rate_by_source,
-    # --- doc_quality_filter_funnel, doc_token_entropy,
-    # --- events_hourly_seasonality, events_props_variant,
-    # --- events_session_windows, events_transition_matrix,
-    # --- excess_stock_suppliers, kg_degree_distribution,
-    # --- kg_reachability_sql, kg_two_hop, min_cost_part_supplier,
-    # --- multimodal_decode_features, nation_market_share,
-    # --- orders_date_spine_gaps, orders_merge_upsert,
-    # --- orders_mv_incremental_refresh, priority_price_gini,
-    # --- product_type_profit, sole_late_supplier_orders,
-    # --- sql_script_pipe_revenue, sql_script_procedural_threshold,
-    # --- stream_dedup_admission, stream_user_stats_stateful,
-    # --- stream_user_top_purchases, tokenizer_fertility_by_lang,
-    # --- user_click_purchase_cogroup
-    # --- then stalest-r13 fill to 44, then the 6 guards. That clears
-    # --- every pre-r13 vintage.
-    # --- Round-16 note on dedup_method_eval (r15 verdict item 6, stated
-    # --- explicitly so the two truth surfaces can't silently drift):
-    # --- its implementation was NOT touched in r16, so per the
-    # --- freshness contract it stays out of the r16 window; its scores
-    # --- are pinned semantically on the planted near-dup corpus
-    # --- (tests/test_neardup_corpus.py), and its driver row rotates
-    # --- with the r12 cohort above in r17, where it is first in the
-    # --- written remainder.
+    # --- r18+ rotation plan (the write-down discipline from the r11
+    # --- verdict): window = any new/changed queries, then the REMAINING
+    # --- 37 r13-vintage rows — ann_lsh_multiprobe_topk, ann_lsh_topk,
+    # --- ann_pq_adc_topk, chunks_view, chunks_with_embeddings,
+    # --- contrastive_pair_mining, corpus_chunk_ratio, corpus_drift_psi,
+    # --- corpus_token_frequencies, corpus_verify, dedup_embedding_nn,
+    # --- dedup_ngram_jaccard, dedup_simhash, dedup_sorted_neighborhood,
+    # --- doc_fingerprints, doc_language_id, doc_quality_classifier,
+    # --- doc_repetition_stats, doc_substring_search, doc_token_stats,
+    # --- embedding_drift_psi, events_ams_f2_sketch,
+    # --- events_cms_heavy_hitters, events_heavy_hitters_exact,
+    # --- events_k_anonymity, order_fill_status,
+    # --- order_status_priority_cube, orders_per_month, papers_build,
+    # --- part_catalog_slugs, returnflag_pivot, revenue_forecast,
+    # --- status_priority_grouping_sets, supplier_part_variety,
+    # --- top_orders_by_revenue, user_event_gaps, vector_topk_filtered —
+    # --- then stalest-r14 fill to 44, then the 6 guards.
     # --- Standing round-notes request to the driver (r14 verdict item 8,
     # --- carried): repo-side realism is covered by the Zipf/clustered/
     # --- planted-near-dup/planted-winnowing fixtures in tests/, but

@@ -114,7 +114,16 @@ class _shuffle_width:
     (profiled: a 32-task 0.4-0.5s job per micro-batch materializing a
     ~250-row verdict relation), so the width must be right at plan time,
     not fixed up at runtime. No-op (session width) when the dirs do not
-    exist yet."""
+    exist yet.
+
+    SINGLE-THREADED BY ASSUMPTION (r16 advice): this mutates the
+    session-global ``spark.sql.shuffle.partitions`` for the duration of
+    the run and restores it afterwards. The engine drives streams
+    serially (bench, registry, tests); a server that ever planned OTHER
+    queries on the same session while a stream is in flight would plan
+    them at the stream-derived width (often 1) — scope the run through
+    ``spark.newSession()`` (per-session conf, shared context) before
+    adding such concurrency."""
 
     def __init__(self, spark: SparkSession, *paths: str) -> None:
         self.spark = spark
@@ -1060,7 +1069,16 @@ def dedup_admission_stream_run(
         # the BATCH side broadcasts (the documented 100 TB shape: |batch|
         # × avg-postings work, the standing index never shuffles) — made
         # explicit so per-batch size estimates can't flip it to a
-        # sort-merge that would shuffle the index every trigger
+        # sort-merge that would shuffle the index every trigger.
+        # SIZE GUARD (r16 advice): maxFilesPerTrigger caps files, not
+        # bytes, so one oversized arrival file would turn the forced
+        # broadcast into a broadcast-size failure instead of an SMJ
+        # fallback. The arrivals bake above writes bounded files from the
+        # fixture cut, and _shuffle_width derives the batch width from
+        # the same bytes; a production deployment must gate this hint on
+        # per-trigger arrival bytes (shingle expansion ~10x text bytes)
+        # against spark.sql.autoBroadcastJoinThreshold-scale limits and
+        # fall back to the planner's choice above it.
         inter = (
             F.broadcast(sh_b.alias("a"))
             .join(idx.alias("b"), F.col("a.xs") == F.col("b.xs"))

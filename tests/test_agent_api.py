@@ -4,6 +4,8 @@ reference's context-block shape."""
 
 from __future__ import annotations
 
+import pytest
+
 from cs_5542_lab_6_spark.agent_api import (
     CITATION_CAP,
     run_research_query,
@@ -14,6 +16,7 @@ from cs_5542_lab_6_spark.agent_api import (
 from cs_5542_lab_6_spark.functions.text import normalize_entity_py
 
 
+@pytest.mark.slow
 def test_search_knowledge_graph_honors_entities(spark, sf_dir):
     """Tool-3 contract: the passed entity list drives the target filter
     (normalized with the ingestion rules), not a fixed set."""

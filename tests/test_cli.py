@@ -5,6 +5,8 @@ from __future__ import annotations
 import subprocess
 import sys
 
+import pytest
+
 
 def test_cli_list_names_every_registered_query(capsys):
     from cs_5542_lab_6_spark.__main__ import main
@@ -19,6 +21,7 @@ def test_cli_list_names_every_registered_query(capsys):
         assert marker == ("oracle" if name in oracles else "rows-only")
 
 
+@pytest.mark.slow
 def test_cli_query_runs_in_subprocess(sf_dir):
     # subprocess: main() owns (and stops) its SparkSession, which must
     # not take down the test suite's shared session.

@@ -5,6 +5,7 @@ canonicalization, FK integrity via anti-joins."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from cs_5542_lab_6_spark.functions.vectors import l2_norm
@@ -45,6 +46,7 @@ def test_embeddings_unit_norm_and_dim(spark, sf_dir):
     assert stats["norm_err"] < 1e-5
 
 
+@pytest.mark.slow
 def test_edges_canonical_and_fk_integrity(spark, sf_dir):
     edges = kg_edges_build(spark, sf_dir)
     assert edges.filter(F.col("source_node_id") >= F.col("target_node_id")).count() == 0
@@ -71,6 +73,7 @@ def test_papers_pk_unique(spark, sf_dir):
     assert papers.count() == papers.select("paper_id").distinct().count()
 
 
+@pytest.mark.slow
 def test_chunker_token_array_equals_text_resplit(spark, sf_dir):
     """with_tokens=True carries the window's word array next to the
     joined string; words(text_content) must equal toks row-for-row
@@ -173,6 +176,7 @@ def test_semantic_dedup_salting_is_output_invisible(spark, sf_dir, monkeypatch):
     assert salted == unsalted and salted
 
 
+@pytest.mark.slow
 def test_lsh_hot_bucket_cap_is_linear_and_preserves_components(
     spark, sf_dir, tmp_path
 ):
@@ -229,6 +233,7 @@ def test_lsh_hot_bucket_cap_is_linear_and_preserves_components(
         clear_caches(spark)
 
 
+@pytest.mark.slow
 def test_lsh_cap_preserves_components_on_mutated_corpora(
     spark, tmp_path, monkeypatch
 ):

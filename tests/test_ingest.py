@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from cs_5542_lab_6_spark.pipeline.corpus import chunks_build, papers_build
@@ -83,6 +85,7 @@ def test_build_checkpoint_resume_verify(spark, sf_dir, tmp_path):
     assert set(verify_corpus(spark, out).values()) == {0}
 
 
+@pytest.mark.slow
 def test_warm_warehouse_queries_equal_cold(spark, sf_dir, tmp_path, monkeypatch):
     """The query layer served from materialized checkpoints must be
     row-identical to the cold raw-text derivation — the warm path is a
@@ -280,6 +283,7 @@ def test_parallel_build_failure_propagates_and_resume_completes(
     assert report["bm25_postings"]["skipped"] is False
 
 
+@pytest.mark.slow
 def test_stage_deps_cover_every_warm_read(spark, sf_dir, tmp_path, monkeypatch):
     """STAGE_DEPS is the parallel scheduler's only overwrite-race guard,
     and it is hand-maintained (r10 advice): cross-reference it against

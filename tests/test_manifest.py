@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from cs_5542_lab_6_spark.pipeline.ingest import build_corpus
@@ -26,6 +28,7 @@ def _build(spark, sf_dir, root) -> str:
     return out
 
 
+@pytest.mark.slow
 def test_manifest_roundtrip_and_replica_equality(spark, sf_dir, tmp_path):
     a = _build(spark, sf_dir, tmp_path / "wh_a")
     b = _build(spark, sf_dir, tmp_path / "wh_b")
@@ -39,6 +42,7 @@ def test_manifest_roundtrip_and_replica_equality(spark, sf_dir, tmp_path):
     assert diff_manifests(ma, mb) == {}
 
 
+@pytest.mark.slow
 def test_manifest_checksum_survives_compaction_but_not_row_drift(
     spark, sf_dir, tmp_path
 ):
@@ -67,6 +71,7 @@ def test_manifest_checksum_survives_compaction_but_not_row_drift(
     assert diff_manifests(before, drifted) == {"chunks": "row_count"}
 
 
+@pytest.mark.slow
 def test_compact_partitioned_table_per_partition(spark, sf_dir, tmp_path):
     wh = _build(spark, sf_dir, tmp_path / "wh2")
     papers = os.path.join(wh, "papers")  # partitioned by publication_year

@@ -122,6 +122,7 @@ def test_query_matches_oracle(spark, sf_dir, oracle, name, fn, sql):
     assert not mismatches, f"{name}: first value mismatch: {mismatches[0]}"
 
 
+@pytest.mark.slow
 def test_all_queries_return_rows_or_schema(spark, sf_dir):
     """Every registered query (oracle-backed or not) must at least run and
     produce a stable schema — the driver's smoke criterion."""

@@ -286,6 +286,22 @@ def test_rfm_has_no_global_window(spark, sf_dir):
     df.collect()  # execute df's own queryExecution so AQE finalizes it
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in executed, executed
+    # r17 (r16 advice): the generic assert above could be satisfied by
+    # the per_cust rollup's own reuse while the RANGE exchange — the one
+    # whose reuse the correctness of the global ranks depends on (its
+    # sampled boundaries + spark_partition_id are nondeterministic; if
+    # the counts branch and the rank branch ever executed it twice, the
+    # __pid offsets would silently mis-bucket rows) — regressed to
+    # executing per branch. Pin the range reuse SPECIFICALLY: one
+    # ReusedExchange per ntile dimension must point at a
+    # rangepartitioning exchange. Treat any failure here as a
+    # CORRECTNESS bug, not a perf nit.
+    import re as _re
+
+    range_reuses = _re.findall(
+        r"ReusedExchange[^\n]*rangepartitioning", executed
+    )
+    assert len(range_reuses) >= 3, executed  # one per r/f/m dimension
 
 
 def test_subquery_shapes_decorrelate_to_hash_joins(spark, sf_dir):
@@ -420,6 +436,7 @@ _SWEEP_SKIP = {
 }
 
 
+@pytest.mark.slow
 def test_registry_wide_no_unjustified_nested_loops(spark, sf_dir):
     """Every registered query plans without a CartesianProduct, and any
     BroadcastNestedLoopJoin is in the justified-scalar allowlist — the

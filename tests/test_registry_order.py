@@ -20,49 +20,36 @@ DRIVER_WINDOW = 50
 # lands, and (b) the window refreshes the stalest driver rows (r1/r4
 # vintage) plus the permanent regression-guard core.
 REFERENCE_PARITY = [
-    # changed in round 16 — the lm_counts stage was rebuilt as a single
-    # corpus explode; these three queries' cold derivation transits the
-    # changed builder, so they re-verify the round it changed
-    "doc_lm_perplexity",
-    "corpus_doremi_weights",
-    "corpus_doremi_sample",
-    # the 27 remaining r11-vintage rows (r15 plan — the full written-down
-    # set; absence of ANY re-violates the freshness contract, and after
-    # this window no pre-r12 vintage remains)
-    "doc_token_familiarity",
-    "embedding_kmeans",
-    "events_daily_anomaly",
-    "events_lateness_audit",
-    "events_retention_cohorts",
-    "events_watermark_sizing",
-    "kg_degree_assortativity",
-    "kg_link_prediction",
-    "kg_pagerank",
-    "kg_sparse_neighborhood_jaccard",
-    "kg_triangle_stats",
-    "language_id_confusion",
-    "large_order_customers",
-    "nation_price_medians",
-    "nation_trade_flows",
-    "national_supplier_share",
-    "order_priority_exists_counts",
-    "promo_revenue_share",
-    "quiet_wealthy_customers",
-    "returned_item_customers",
-    "small_quantity_part_revenue",
-    "source_blocklist_filter",
-    "source_overlap_matrix",
-    "source_quality_profile",
+    # changed in round 17 (optimization round 2): restructured or
+    # knob-changed query paths get a fresh driver hash the same round
+    "dedup_method_eval",
     "stream_scd2_apply",
-    "stream_user_enriched_counts",
-    "top_supplier_revenue",
-    # r12-fill sample pins (first-14-alphabetical-of-the-others rule in
-    # registry.py — doc_lm_perplexity is the r12 row already covered by
-    # the changed set above)
-    "bm25_rerank_topk",
-    "corpus_bpe_train",
-    "customer_rfm_segments",
-    "dedup_lsh_bucket_audit",
+    "stream_dedup_admission",
+    "embedding_kmeans",
+    "semantic_dedup",
+    "contamination_semantic_scan",
+    "corpus_temperature_mixing",
+    "mmr_diversified_topk",
+    # changed in round 16 but missed by the r16 window (r16 VERDICT
+    # item 2 orders exactly this re-verification)
+    "kg_map_build",
+    "kg_nodes_build",
+    "kg_two_hop",
+    "eval_rag_comparison",
+    "ann_recall_eval",
+    "ann_pq_recall_eval",
+    "doc_winnowing_overlap",
+    "quality_calibration_bins",
+    "orders_scd2_incremental",
+    # r12-remainder sample pins (the full 25-row set is in registry.py;
+    # these four spot-check the cohort is actually in the window)
+    "dedup_rate_by_source",
+    "nation_market_share",
+    "sole_late_supplier_orders",
+    "user_click_purchase_cogroup",
+    # stalest-r13 fill
+    "active_customer_keys",
+    "agent_chunk_context",
     # regression guards that must stay in every window
     "chunks_build",
     "kg_edges_build",

@@ -487,6 +487,7 @@ def test_scd2_stream_rebatch_after_ckpt_wipe_drops_stale_state(
     assert two == batch
 
 
+@pytest.mark.slow
 def test_dedup_admission_rejects_rebatch_on_reused_workdir(
     spark, sf_dir, tmp_path
 ):
@@ -515,6 +516,7 @@ def test_dedup_admission_rejects_rebatch_on_reused_workdir(
     assert dedup_admission_stream_run(spark, sf_dir, wd3, n_files=3) == 3
 
 
+@pytest.mark.slow
 def test_dedup_admission_verdicts_invariant_to_batching(spark, sf_dir, tmp_path):
     """Every micro-batch screens against the same standing index
     snapshot, so the verdict union must be invariant to how the arrival
